@@ -1,0 +1,9 @@
+"""Test config: force an 8-device virtual CPU mesh so sharding paths are
+testable without TPU hardware (tests never require the real chip)."""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()

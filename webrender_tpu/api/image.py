@@ -1,0 +1,80 @@
+"""Image resources — mirrors `webrender_api/src/image.rs`."""
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+
+class ImageFormat(enum.Enum):
+    """image.rs ImageFormat."""
+    R8 = 1
+    R16 = 2
+    BGRA8 = 3
+    RGBAF32 = 4
+    RG8 = 5
+    RGBAI32 = 6
+    RGBA8 = 7
+
+    @property
+    def bytes_per_pixel(self) -> int:
+        return {
+            ImageFormat.R8: 1, ImageFormat.R16: 2, ImageFormat.BGRA8: 4,
+            ImageFormat.RGBAF32: 16, ImageFormat.RG8: 2,
+            ImageFormat.RGBAI32: 16, ImageFormat.RGBA8: 4,
+        }[self]
+
+
+class ImageDescriptorFlags(enum.IntFlag):
+    NONE = 0
+    IS_OPAQUE = 1 << 0
+    ALLOW_MIPMAPS = 1 << 1
+
+
+@dataclass(frozen=True)
+class ImageDescriptor:
+    """image.rs ImageDescriptor."""
+    format: ImageFormat
+    width: int
+    height: int
+    stride: Optional[int] = None
+    offset: int = 0
+    flags: ImageDescriptorFlags = ImageDescriptorFlags.NONE
+
+    @property
+    def is_opaque(self) -> bool:
+        return bool(self.flags & ImageDescriptorFlags.IS_OPAQUE)
+
+
+@dataclass
+class ImageData:
+    """Raw image bytes or a generator callback (blob analog).
+
+    `pixels` is an (h, w, c) uint8/uint16/float32 numpy array in the channel
+    order implied by the format (BGRA8 stays byte-order BGRA like the
+    reference; internally the renderer converts to RGBA float).
+    """
+    pixels: Optional[np.ndarray] = None
+    blob: Optional[bytes] = None  # serialized blob commands (BlobImageData)
+
+
+@dataclass(frozen=True)
+class DirtyRect:
+    """Partial update rect for update_image; None = whole image."""
+    x: int = 0
+    y: int = 0
+    w: int = 0
+    h: int = 0
+    all: bool = True
+
+
+@dataclass(frozen=True)
+class ExternalImageId:
+    id: int
+
+
+class ExternalImageType(enum.Enum):
+    TEXTURE_HANDLE = 0
+    BUFFER = 1

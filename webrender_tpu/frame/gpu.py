@@ -1,0 +1,195 @@
+"""Device-facing frame data: the flat GPU buffer, instance records, and the
+transform palette.
+
+This is the TPU-native re-design of WebRender's GPU data model
+(`res/brush.glsl:5-50`: instance ivec4 → PrimitiveHeaders → GpuCache texels →
+transform palette): everything a raster kernel needs is laid out in
+
+  * ``f32_buf``    — one flat float32 array (the GpuCache analog,
+                     `gpu_cache.rs`), gathered by address inside kernels;
+  * ``instances``  — ``[N, 8] int32`` instance records (gpu_types.rs
+                     instance layouts);
+  * ``transforms`` — ``[T, 12] float32`` palette: screen→local inverse
+                     homography + AA scale + backface flag
+                     (`gpu_types.rs` TransformPalette, VECS_PER_TRANSFORM=8).
+
+Layouts (addresses in f32_buf, per instance ``prim_addr``):
+  common   [0:4] local rect (x0,y0,x1,y1)  [4:8] local coverage/clip rect
+  SOLID    [8:12] premultiplied RGBA
+  IMAGE    [8:12] atlas uv rect  [12:16] premult color modulation
+           [16] sampling (0=bilinear,1=nearest)  [17] atlas id (0 color,1 alpha)
+           [18:20] stretch size  [20:22] tile spacing  [22:24] pad
+  LINEAR   [8:12] p0,p1  [12] lut_addr  [13] extend  [14:16] pad
+  RADIAL   [8:10] center [10:12] radius  [12] lut_addr [13] extend
+           [14] start_offset [15] end_offset
+  CONIC    [8:10] center [10] angle [11] pad [12] lut_addr [13] extend
+           [14] start_offset [15] end_offset
+  GLYPH    [8:12] atlas uv rect  [12:16] premult text color
+  PICTURE  [8:12] atlas uv rect  [12:16] premult color mod (opacity)
+           [16:36] color matrix (4x5, row major; identity when unused)
+           [36] has_color_matrix
+  BOX_SHADOW [8:12] shadow box rect [12:20] radii  [20] sigma
+           [20:?]: [20] sigma [21] clip_mode(0 outset,1 inset) [22:26] clip
+           box rect (the unshadowed box to exclude/include) [26:34] clip radii
+           [34:38] premult color
+
+Clip records, CLIP_STRIDE floats each at instance ``clip_addr``:
+  [0:4] rect  [4:12] radii (tl.x,tl.y,tr,br,bl)  [12] mode (0 in / 1 out)
+  [13] spatial node  [14] kind (0 rect,1 rounded,2 image mask)
+  [16:20] mask uv rect  [20:24] pad
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+# Instance kinds (device-side enum)
+KIND_SOLID = 0
+KIND_IMAGE = 1
+KIND_LINEAR_GRAD = 2
+KIND_RADIAL_GRAD = 3
+KIND_CONIC_GRAD = 4
+KIND_GLYPH = 5
+KIND_PICTURE = 6
+KIND_CLEAR = 7
+KIND_BOX_SHADOW = 8
+
+N_KINDS = 9
+
+# instance record fields
+INST_KIND = 0
+INST_SPATIAL = 1
+INST_PRIM_ADDR = 2
+INST_CLIP_ADDR = 3
+INST_CLIP_COUNT = 4
+INST_BLEND = 5          # blend op (mix-blend modes for PICTURE composites)
+INST_EDGE_AA = 6        # bit 0..3: left/top/right/bottom edge AA enabled
+INST_FLAGS = 7
+INST_FIELDS = 8
+
+CLIP_STRIDE = 24
+
+# blend ops (MixBlendMode values are offset by BLEND_MIX_BASE)
+BLEND_NORMAL = 0
+BLEND_CLEAR = 1
+BLEND_MIX_BASE = 16      # BLEND_MIX_BASE + MixBlendMode.value
+
+GRAD_LUT_SIZE = 256      # gradient LUT entries (gpu_cache.rs stores 128; we
+                         # use 256 texels for tighter hard-stop fidelity)
+
+MAX_CLIPS_PER_PRIM = 8
+
+
+class GpuBufferBuilder:
+    """Accumulates f32 data + instance records for one frame
+    (render target agnostic; shared by all passes of the frame)."""
+
+    def __init__(self):
+        self._f32: List[np.ndarray] = []
+        self._f32_len = 0
+        self._instances: List[List[int]] = []
+
+    # --- f32 buffer --------------------------------------------------------
+    def push_f32(self, values) -> int:
+        arr = np.asarray(values, dtype=np.float32).reshape(-1)
+        addr = self._f32_len
+        self._f32.append(arr)
+        self._f32_len += arr.size
+        return addr
+
+    # --- instances ---------------------------------------------------------
+    def push_instance(self, kind: int, spatial: int, prim_addr: int,
+                      clip_addr: int = 0, clip_count: int = 0,
+                      blend: int = BLEND_NORMAL, edge_aa: int = 0xF,
+                      flags: int = 0) -> int:
+        idx = len(self._instances)
+        self._instances.append([kind, spatial, prim_addr, clip_addr,
+                                clip_count, blend, edge_aa, flags])
+        return idx
+
+    @property
+    def num_instances(self) -> int:
+        return len(self._instances)
+
+    # --- finalize ----------------------------------------------------------
+    def finish(self) -> Tuple[np.ndarray, np.ndarray]:
+        if self._f32:
+            f32 = np.concatenate(self._f32)
+        else:
+            f32 = np.zeros(4, np.float32)
+        if self._instances:
+            inst = np.asarray(self._instances, dtype=np.int32)
+        else:
+            inst = np.zeros((1, INST_FIELDS), np.int32)
+        # pad f32 to a bucketed size to bound recompiles (SURVEY.md §7
+        # "fixed shapes vs dynamic batching")
+        f32 = pad_pow2(f32, min_size=64)
+        inst = pad_pow2_rows(inst, min_rows=8)
+        return f32, inst
+
+
+def pad_pow2(a: np.ndarray, min_size: int = 64) -> np.ndarray:
+    n = max(min_size, int(a.shape[0]))
+    size = 1 << (n - 1).bit_length()
+    if a.shape[0] == size:
+        return a
+    out = np.zeros((size,) + a.shape[1:], a.dtype)
+    out[: a.shape[0]] = a
+    return out
+
+
+def pad_pow2_rows(a: np.ndarray, min_rows: int = 8) -> np.ndarray:
+    n = max(min_rows, int(a.shape[0]))
+    rows = 1 << (n - 1).bit_length()
+    if a.shape[0] == rows:
+        return a
+    out = np.zeros((rows,) + a.shape[1:], a.dtype)
+    out[: a.shape[0]] = a
+    return out
+
+
+def build_gradient_lut(stops, extend_mode) -> np.ndarray:
+    """Evaluate gradient stops into a GRAD_LUT_SIZE premultiplied-RGBA LUT.
+
+    Matches the reference's cached gradient semantics
+    (`prim_store/gradient/mod.rs` GradientCacheKey → gradient task): linear
+    interpolation in non-premultiplied space between stops, then
+    premultiplied for blending.
+    """
+    lut = np.zeros((GRAD_LUT_SIZE, 4), np.float32)
+    if not stops:
+        return lut
+    offs = np.array([max(0.0, min(1.0, s.offset)) for s in stops], np.float32)
+    cols = np.array([[s.color.r, s.color.g, s.color.b, s.color.a]
+                     for s in stops], np.float32)
+    # normalize: ensure increasing offsets (gradient_builder.rs semantics)
+    for i in range(1, len(offs)):
+        offs[i] = max(offs[i], offs[i - 1])
+    t = (np.arange(GRAD_LUT_SIZE, dtype=np.float32) + 0.5) / GRAD_LUT_SIZE
+    out = np.zeros((GRAD_LUT_SIZE, 4), np.float32)
+    out[:] = cols[0]
+    for i in range(len(offs) - 1):
+        o0, o1 = offs[i], offs[i + 1]
+        c0, c1 = cols[i], cols[i + 1]
+        if o1 > o0:
+            w = np.clip((t - o0) / (o1 - o0), 0.0, 1.0)[:, None]
+            seg = c0 * (1 - w) + c1 * w
+            mask = ((t >= o0) & (t < o1))[:, None]
+            out = np.where(mask, seg, out)
+        else:
+            # hard stop exactly at o0
+            pass
+    out = np.where((t >= offs[-1])[:, None], cols[-1], out)
+    out = np.where((t < offs[0])[:, None], cols[0], out)
+    # premultiply
+    lut[:, :3] = out[:, :3] * out[:, 3:4]
+    lut[:, 3] = out[:, 3]
+    return lut
+
+
+def identity_color_matrix() -> np.ndarray:
+    m = np.zeros((4, 5), np.float32)
+    m[0, 0] = m[1, 1] = m[2, 2] = m[3, 3] = 1.0
+    return m

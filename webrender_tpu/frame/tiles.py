@@ -1,0 +1,64 @@
+"""Tile binning: assign instances to the tiles of a render-target grid.
+
+This is the TPU-native replacement for WebRender's batching + per-tile
+command buffers (`batch.rs` AlphaBatchBuilder + `command_buffer.rs`): instead
+of instanced GL draw calls per batch, every render target is a grid of
+TILE_H×TILE_W pixel tiles and each tile gets a fixed-shape (padded) list of
+instance indices, executed back-to-front by the raster kernel. Painter's
+order inside the list preserves the display-list z order.
+"""
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+# Tile size: last dim 128 to match the VPU lane width, 64 sublanes for f32.
+TILE_W = 128
+TILE_H = 64
+
+
+def bin_instances(inst_indices: Sequence[int],
+                  bboxes: Sequence[Tuple[float, float, float, float]],
+                  origin: Tuple[float, float],
+                  size: Tuple[int, int],
+                  min_slots: int = 8,
+                  ) -> Tuple[np.ndarray, np.ndarray, int, int]:
+    """Bin instances into the tile grid of one render target.
+
+    inst_indices: global instance ids, painter order.
+    bboxes: matching device-space AABBs (x0, y0, x1, y1), already AA-inflated.
+    origin: device coords of the target's (0,0) pixel.
+    size: (w, h) of the target in pixels.
+
+    Returns (tile_insts [nt, slots] i32 padded with -1, tile_counts [nt] i32,
+    nx, ny).
+    """
+    w, h = size
+    ox, oy = origin
+    nx = max(1, -(-w // TILE_W))
+    ny = max(1, -(-h // TILE_H))
+    nt = nx * ny
+    lists: List[List[int]] = [[] for _ in range(nt)]
+    for idx, (x0, y0, x1, y1) in zip(inst_indices, bboxes):
+        tx0 = int(np.floor((x0 - ox) / TILE_W))
+        ty0 = int(np.floor((y0 - oy) / TILE_H))
+        tx1 = int(np.ceil((x1 - ox) / TILE_W))
+        ty1 = int(np.ceil((y1 - oy) / TILE_H))
+        tx0 = max(tx0, 0)
+        ty0 = max(ty0, 0)
+        tx1 = min(tx1, nx)
+        ty1 = min(ty1, ny)
+        for ty in range(ty0, ty1):
+            base = ty * nx
+            for tx in range(tx0, tx1):
+                lists[base + tx].append(idx)
+
+    max_count = max((len(l) for l in lists), default=0)
+    slots = max(min_slots, 1 << max(0, (max_count - 1)).bit_length())
+    tile_insts = np.full((nt, slots), -1, np.int32)
+    tile_counts = np.zeros(nt, np.int32)
+    for t, l in enumerate(lists):
+        tile_insts[t, : len(l)] = l
+        tile_counts[t] = len(l)
+    return tile_insts, tile_counts, nx, ny

@@ -1,0 +1,136 @@
+"""Blend math — premultiplied `over`, PDF/CSS mix-blend-modes.
+
+One implementation parameterized by the array module ``xp`` (numpy for the
+CPU fidelity oracle, jax.numpy for the TPU path) so both backends share
+bit-identical f32 semantics — the glsl-to-cxx role re-imagined
+(SURVEY.md §2.5). Formulas follow the CSS compositing spec, matching the
+reference's mix-blend shader (`brush_mix_blend.glsl`).
+
+Color layout: channel-planar arrays `[4, ...]` premultiplied RGBA.
+"""
+from __future__ import annotations
+
+# Blend op ids (must match frame/gpu.py)
+BLEND_NORMAL = 0
+BLEND_CLEAR = 1
+BLEND_MIX_BASE = 16
+N_BLEND_OPS = BLEND_MIX_BASE + 17
+
+
+def _unpremult(xp, c):
+    a = c[3]
+    safe = xp.where(a > 1e-6, a, 1.0)
+    return xp.stack([c[0] / safe, c[1] / safe, c[2] / safe], 0), a
+
+
+def _lum(xp, c):
+    return 0.3 * c[0] + 0.59 * c[1] + 0.11 * c[2]
+
+
+def _clip_color(xp, c):
+    l = _lum(xp, c)
+    n = xp.minimum(xp.minimum(c[0], c[1]), c[2])
+    x = xp.maximum(xp.maximum(c[0], c[1]), c[2])
+    # if n < 0: c = l + (c - l) * l / (l - n)
+    denom_n = xp.where(xp.abs(l - n) > 1e-6, l - n, 1e-6)
+    c_lo = l + (c - l) * (l / denom_n)
+    c = xp.where(n < 0.0, c_lo, c)
+    # recompute bounds after first clip
+    x = xp.maximum(xp.maximum(c[0], c[1]), c[2])
+    denom_x = xp.where(xp.abs(x - l) > 1e-6, x - l, 1e-6)
+    c_hi = l + (c - l) * ((1.0 - l) / denom_x)
+    c = xp.where(x > 1.0, c_hi, c)
+    return c
+
+
+def _set_lum(xp, c, l):
+    return _clip_color(xp, c + (l - _lum(xp, c)))
+
+
+def _sat(xp, c):
+    return xp.maximum(xp.maximum(c[0], c[1]), c[2]) - \
+        xp.minimum(xp.minimum(c[0], c[1]), c[2])
+
+
+def _set_sat(xp, c, s):
+    cmin = xp.minimum(xp.minimum(c[0], c[1]), c[2])
+    cmax = xp.maximum(xp.maximum(c[0], c[1]), c[2])
+    d = cmax - cmin
+    safe = xp.where(d > 1e-6, d, 1.0)
+    out = xp.where(d > 1e-6, (c - cmin) * (s / safe), 0.0)
+    return out
+
+
+def mix_blend_rgb(xp, mode: int, cb, cs):
+    """Non-premultiplied blend B(Cb, Cs) for one MixBlendMode (int id,
+    MixBlendMode.value). cb/cs: [3, ...] backdrop/source."""
+    if mode == 1:  # multiply
+        return cb * cs
+    if mode == 2:  # screen
+        return cb + cs - cb * cs
+    if mode == 3:  # overlay = hard-light(cs, cb) swapped
+        return mix_blend_rgb(xp, 8, cs, cb)
+    if mode == 4:  # darken
+        return xp.minimum(cb, cs)
+    if mode == 5:  # lighten
+        return xp.maximum(cb, cs)
+    if mode == 6:  # color-dodge
+        safe = xp.where(cs < 1.0, 1.0 - cs, 1e-6)
+        out = xp.minimum(1.0, cb / safe)
+        out = xp.where(cb <= 0.0, 0.0, xp.where(cs >= 1.0, 1.0, out))
+        return out
+    if mode == 7:  # color-burn
+        safe = xp.where(cs > 0.0, cs, 1e-6)
+        out = 1.0 - xp.minimum(1.0, (1.0 - cb) / safe)
+        out = xp.where(cb >= 1.0, 1.0, xp.where(cs <= 0.0, 0.0, out))
+        return out
+    if mode == 8:  # hard-light
+        lo = cb * (2.0 * cs)
+        hi = cb + (2.0 * cs - 1.0) - cb * (2.0 * cs - 1.0)
+        return xp.where(cs <= 0.5, lo, hi)
+    if mode == 9:  # soft-light
+        d_lo = ((16.0 * cb - 12.0) * cb + 4.0) * cb
+        d_hi = xp.sqrt(xp.maximum(cb, 0.0))
+        d = xp.where(cb <= 0.25, d_lo, d_hi)
+        lo = cb - (1.0 - 2.0 * cs) * cb * (1.0 - cb)
+        hi = cb + (2.0 * cs - 1.0) * (d - cb)
+        return xp.where(cs <= 0.5, lo, hi)
+    if mode == 10:  # difference
+        return xp.abs(cb - cs)
+    if mode == 11:  # exclusion
+        return cb + cs - 2.0 * cb * cs
+    if mode == 12:  # hue
+        return _set_lum(xp, _set_sat(xp, cs, _sat(xp, cb)), _lum(xp, cb))
+    if mode == 13:  # saturation
+        return _set_lum(xp, _set_sat(xp, cb, _sat(xp, cs)), _lum(xp, cb))
+    if mode == 14:  # color
+        return _set_lum(xp, cs, _lum(xp, cb))
+    if mode == 15:  # luminosity
+        return _set_lum(xp, cb, _lum(xp, cs))
+    if mode == 16:  # plus-lighter (additive, handled premult outside)
+        return cs
+    return cs  # normal
+
+
+def blend_src_over_dst(xp, op: int, src, dst):
+    """Full blend of premultiplied src [4,...] over premultiplied dst [4,...]
+    for a *static* blend op id. Coverage must already be folded into src."""
+    if op == BLEND_CLEAR:
+        # clear: punch out dst by src alpha (ps_clear semantics — the clear
+        # rect writes transparent; here src.a carries the coverage)
+        return dst * (1.0 - src[3])
+    if op == BLEND_NORMAL or op < BLEND_MIX_BASE:
+        return src + dst * (1.0 - src[3])
+    mode = op - BLEND_MIX_BASE
+    if mode == 0:
+        return src + dst * (1.0 - src[3])
+    if mode == 16:  # plus-lighter
+        return xp.minimum(src + dst, 1.0)
+    cs, a_s = _unpremult(xp, src)
+    cb, a_b = _unpremult(xp, dst)
+    b = mix_blend_rgb(xp, mode, cb, cs)
+    # W3C compositing: Cs' = (1 - ab)*Cs + ab*B(Cb, Cs), then src-over
+    cs2 = (1.0 - a_b) * cs + a_b * b
+    a_out = a_s + a_b * (1.0 - a_s)
+    rgb = cs2 * a_s + cb * a_b * (1.0 - a_s)
+    return xp.stack([rgb[0], rgb[1], rgb[2], a_out], 0)

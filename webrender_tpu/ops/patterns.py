@@ -1,0 +1,370 @@
+"""Pattern + coverage kernels — the brush/clip shader suite.
+
+Single-source kernels parameterized by the array module ``xp`` (numpy for
+the CPU fidelity oracle, jax.numpy for the TPU path) — the glsl-to-cxx
+"one shader source, two backends" role (SURVEY.md §2.5). Math follows the
+reference's GLSL suite: AA distance coverage (`brush.glsl` init_transform_fs
+/ SWGL span AA), rounded-rect SDF (`ellipse.glsl`, `cs_clip_rectangle.glsl`),
+gradients (`cs_*_gradient.glsl` + gradient LUT), image sampling
+(`brush_image.glsl`), box-shadow (`cs_clip_box_shadow` re-designed as the
+closed-form separable gaussian of a box).
+
+Conventions:
+ * colors are channel-planar premultiplied f32: [4, H, W];
+ * `p` is the instance payload vector (prefix [0:4] pattern rect,
+   [4:8] coverage rect — layouts in frame/gpu.py);
+ * (lx, ly) are local-space pixel coordinates [H, W]; (px, py) device.
+"""
+from __future__ import annotations
+
+# payload slice length fetched per instance (see frame/gpu.py layouts)
+PAYLOAD_LEN = 48
+
+
+# ---------------------------------------------------------------------------
+# basic math
+
+def erf(xp, x):
+    """Abramowitz & Stegun 7.1.26 polynomial erf (max err 1.5e-7) — shared
+    exactly by oracle and TPU so box-shadow output is bit-comparable."""
+    s = xp.sign(x)
+    x = xp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    y = 1.0 - (((((1.061405429 * t - 1.453152027) * t) + 1.421413741) * t
+                - 0.284496736) * t + 0.254829592) * t * xp.exp(-x * x)
+    return s * y
+
+
+def inverse_map(xp, trow, px, py):
+    """Device px → local space via the palette row's inverse homography."""
+    u = px * trow[0] + py * trow[3] + trow[6]
+    v = px * trow[1] + py * trow[4] + trow[7]
+    w = px * trow[2] + py * trow[5] + trow[8]
+    w = xp.where(xp.abs(w) > 1e-9, w, 1e-9)
+    return u / w, v / w
+
+
+# ---------------------------------------------------------------------------
+# coverage
+
+def _edge_term(xp, d, aa):
+    """Per-edge coverage term; d = signed device-px distance inside-positive.
+    AA edge: linear box-filter ramp. Non-AA edge: pixel-center test."""
+    return xp.where(aa, xp.minimum(d, 0.5),
+                    xp.where(d >= 0.0, 0.5, -1e3))
+
+
+def rect_coverage(xp, x0, y0, x1, y1, lx, ly, sx, sy, edge_aa):
+    """Exact box-filter coverage of an axis-aligned local rect; per-edge AA
+    control via edge_aa bits (L=1, T=2, R=4, B=8)."""
+    dl = (lx - x0) * sx
+    dr = (x1 - lx) * sx
+    dt = (ly - y0) * sy
+    db = (y1 - ly) * sy
+    tl = _edge_term(xp, dl, (edge_aa & 1) > 0)
+    tr = _edge_term(xp, dr, (edge_aa & 4) > 0)
+    tt = _edge_term(xp, dt, (edge_aa & 2) > 0)
+    tb = _edge_term(xp, db, (edge_aa & 8) > 0)
+    cov_x = xp.clip(tl + tr, 0.0, 1.0)
+    cov_y = xp.clip(tt + tb, 0.0, 1.0)
+    return cov_x * cov_y
+
+
+def _corner_coverage(xp, lx, ly, cx, cy, rx, ry, sign_x, sign_y, scale):
+    """AA coverage multiplier for one rounded corner (ellipse.rs first-order
+    SDF: dist = (g - 1) * g / |∇g|)."""
+    active = (rx > 0.0) & (ry > 0.0)
+    rx_s = xp.where(active, rx, 1.0)
+    ry_s = xp.where(active, ry, 1.0)
+    dx = (cx - lx) * sign_x
+    dy = (cy - ly) * sign_y
+    in_region = (dx > 0.0) & (dy > 0.0) & active
+    ex = dx / rx_s
+    ey = dy / ry_s
+    g = xp.sqrt(ex * ex + ey * ey)
+    grad = xp.sqrt((dx / (rx_s * rx_s)) ** 2 + (dy / (ry_s * ry_s)) ** 2)
+    grad = xp.where(grad > 1e-6, grad, 1e-6)
+    dist = (g - 1.0) * g / grad  # local units, positive outside the ellipse
+    cov = xp.clip(0.5 - dist * scale, 0.0, 1.0)
+    return xp.where(in_region, cov, 1.0)
+
+
+def rounded_rect_coverage(xp, rect4, radii8, lx, ly, sx, sy):
+    """Coverage of a rounded rect (all edges AA'd)."""
+    x0, y0, x1, y1 = rect4[0], rect4[1], rect4[2], rect4[3]
+    cov = rect_coverage(xp, x0, y0, x1, y1, lx, ly, sx, sy, 0xF)
+    scale = xp.sqrt(sx * sy)
+    # top-left, top-right, bottom-right, bottom-left
+    cov = cov * _corner_coverage(xp, lx, ly, x0 + radii8[0], y0 + radii8[1],
+                                 radii8[0], radii8[1], 1.0, 1.0, scale)
+    cov = cov * _corner_coverage(xp, lx, ly, x1 - radii8[2], y0 + radii8[3],
+                                 radii8[2], radii8[3], -1.0, 1.0, scale)
+    cov = cov * _corner_coverage(xp, lx, ly, x1 - radii8[4], y1 - radii8[5],
+                                 radii8[4], radii8[5], -1.0, -1.0, scale)
+    cov = cov * _corner_coverage(xp, lx, ly, x0 + radii8[6], y1 - radii8[7],
+                                 radii8[6], radii8[7], 1.0, -1.0, scale)
+    return cov
+
+
+# ---------------------------------------------------------------------------
+# texture sampling
+
+def sample_rgba(xp, atlas, u, v, u0, v0, u1, v1, nearest):
+    """Bilinear/nearest sample of a planar [4, H, W] atlas, clamped to the
+    half-texel inset of the uv rect (brush_image.glsl sample bounds)."""
+    H, W = atlas.shape[1], atlas.shape[2]
+    lo_u = u0 + 0.5
+    hi_u = xp.maximum(u1 - 0.5, lo_u)
+    lo_v = v0 + 0.5
+    hi_v = xp.maximum(v1 - 0.5, lo_v)
+    u = xp.clip(u, lo_u, hi_u)
+    v = xp.clip(v, lo_v, hi_v)
+    # nearest snaps to texel centers, making the bilinear lerp degenerate
+    un = xp.floor(u) + 0.5
+    vn = xp.floor(v) + 0.5
+    u = xp.where(nearest > 0.5, un, u)
+    v = xp.where(nearest > 0.5, vn, v)
+    uf = u - 0.5
+    vf = v - 0.5
+    xi0 = xp.floor(uf)
+    yi0 = xp.floor(vf)
+    fx = (uf - xi0)[None]
+    fy = (vf - yi0)[None]
+    x0i = xp.clip(xi0.astype("int32"), 0, W - 1)
+    y0i = xp.clip(yi0.astype("int32"), 0, H - 1)
+    x1i = xp.clip(x0i + 1, 0, W - 1)
+    y1i = xp.clip(y0i + 1, 0, H - 1)
+    t00 = atlas[:, y0i, x0i]
+    t10 = atlas[:, y0i, x1i]
+    t01 = atlas[:, y1i, x0i]
+    t11 = atlas[:, y1i, x1i]
+    top = t00 * (1.0 - fx) + t10 * fx
+    bot = t01 * (1.0 - fx) + t11 * fx
+    return top * (1.0 - fy) + bot * fy
+
+
+def sample_alpha(xp, atlas, u, v, u0, v0, u1, v1):
+    """Bilinear sample of an alpha [H, W] atlas with uv-rect clamping."""
+    H, W = atlas.shape
+    u = xp.clip(u, u0 + 0.5, xp.maximum(u1 - 0.5, u0 + 0.5))
+    v = xp.clip(v, v0 + 0.5, xp.maximum(v1 - 0.5, v0 + 0.5))
+    uf = u - 0.5
+    vf = v - 0.5
+    xi0 = xp.floor(uf)
+    yi0 = xp.floor(vf)
+    fx = uf - xi0
+    fy = vf - yi0
+    x0i = xp.clip(xi0.astype("int32"), 0, W - 1)
+    y0i = xp.clip(yi0.astype("int32"), 0, H - 1)
+    x1i = xp.clip(x0i + 1, 0, W - 1)
+    y1i = xp.clip(y0i + 1, 0, H - 1)
+    t00 = atlas[y0i, x0i]
+    t10 = atlas[y0i, x1i]
+    t01 = atlas[y1i, x0i]
+    t11 = atlas[y1i, x1i]
+    top = t00 * (1.0 - fx) + t10 * fx
+    bot = t01 * (1.0 - fx) + t11 * fx
+    return top * (1.0 - fy) + bot * fy
+
+
+# ---------------------------------------------------------------------------
+# gradient LUT
+
+def lut_sample(xp, f32_buf, lut_addr, t, extend_repeat, lut_size=256):
+    """Sample a premultiplied gradient LUT stored in the flat f32 buffer
+    (the GpuCache gradient rows)."""
+    t = xp.where(extend_repeat > 0.5, t - xp.floor(t), xp.clip(t, 0.0, 1.0))
+    tf = t * lut_size - 0.5
+    i0 = xp.floor(tf)
+    fr = tf - i0
+    i0i = xp.clip(i0.astype("int32"), 0, lut_size - 1)
+    i1i = xp.clip(i0i + 1, 0, lut_size - 1)
+    base = int(lut_addr) if not hasattr(lut_addr, "dtype") else lut_addr.astype("int32")
+    a0 = base + i0i * 4
+    a1 = base + i1i * 4
+    out = []
+    for c in range(4):
+        v0 = f32_buf[a0 + c]
+        v1 = f32_buf[a1 + c]
+        out.append(v0 * (1.0 - fr) + v1 * fr)
+    return xp.stack(out, 0)
+
+
+# ---------------------------------------------------------------------------
+# patterns (premultiplied [4, H, W] results)
+
+def _bcast4(xp, vals, shape):
+    return xp.stack([xp.broadcast_to(vals[i], shape) for i in range(4)], 0)
+
+
+def pattern_solid(xp, p, lx, ly):
+    return _bcast4(xp, [p[8], p[9], p[10], p[11]], lx.shape)
+
+
+def _tile_coords(xp, p, lx, ly, stretch_w, stretch_h, spacing_w, spacing_h):
+    """Repeat-tiling of local coords (image_tiling.rs / repeating images).
+    Returns in-tile coords + in-tile mask."""
+    ox = lx - p[0]
+    oy = ly - p[1]
+    period_x = stretch_w + spacing_w
+    period_y = stretch_h + spacing_h
+    period_x = xp.where(period_x > 1e-6, period_x, 1e6)
+    period_y = xp.where(period_y > 1e-6, period_y, 1e6)
+    tx = ox - xp.floor(ox / period_x) * period_x
+    ty = oy - xp.floor(oy / period_y) * period_y
+    in_tile = (tx < stretch_w + 1e-4) & (ty < stretch_h + 1e-4)
+    return tx, ty, in_tile
+
+
+def pattern_image(xp, p, lx, ly, color_atlas):
+    u0, v0, u1, v1 = p[8], p[9], p[10], p[11]
+    stretch_w = xp.maximum(p[18], 1e-6)
+    stretch_h = xp.maximum(p[19], 1e-6)
+    tx, ty, in_tile = _tile_coords(xp, p, lx, ly, stretch_w, stretch_h,
+                                   p[20], p[21])
+    u = u0 + tx / stretch_w * (u1 - u0)
+    v = v0 + ty / stretch_h * (v1 - v0)
+    texel = sample_rgba(xp, color_atlas, u, v, u0, v0, u1, v1, p[16])
+    mod = xp.stack([p[12], p[13], p[14], p[15]], 0)
+    return texel * mod[:, None, None] * in_tile[None]
+
+
+def pattern_glyph(xp, p, lx, ly, alpha_atlas):
+    u = p[8] + (lx - p[0])
+    v = p[9] + (ly - p[1])
+    a = sample_alpha(xp, alpha_atlas, u, v, p[8], p[9], p[10], p[11])
+    col = xp.stack([p[12], p[13], p[14], p[15]], 0)
+    return col[:, None, None] * a[None]
+
+
+def pattern_linear_gradient(xp, p, lx, ly, f32_buf):
+    tx, ty, _ = _tile_coords(xp, p, lx, ly,
+                             xp.maximum(p[14], 1e-6), xp.maximum(p[15], 1e-6),
+                             p[16], p[17])
+    dx = p[10] - p[8]
+    dy = p[11] - p[9]
+    denom = dx * dx + dy * dy
+    denom = xp.where(denom > 1e-9, denom, 1e-9)
+    t = ((tx - p[8]) * dx + (ty - p[9]) * dy) / denom
+    return lut_sample(xp, f32_buf, p[12].astype("int32") if hasattr(p, "dtype")
+                      else int(p[12]), t, p[13])
+
+
+def pattern_radial_gradient(xp, p, lx, ly, f32_buf):
+    tx, ty, _ = _tile_coords(xp, p, lx, ly,
+                             xp.maximum(p[16], 1e-6), xp.maximum(p[17], 1e-6),
+                             p[18], p[19])
+    rx = xp.where(p[10] > 1e-6, p[10], 1e-6)
+    ry = xp.where(p[11] > 1e-6, p[11], rx)
+    # cs_radial_gradient.glsl: aspect-scale y, distance relative to radius.x
+    dx = (tx - p[8])
+    dy = (ty - p[9]) * (rx / ry)
+    d = xp.sqrt(dx * dx + dy * dy) / rx
+    denom = p[15] - p[14]
+    denom = xp.where(xp.abs(denom) > 1e-9, denom, 1e-9)
+    t = (d - p[14]) / denom
+    return lut_sample(xp, f32_buf, p[12].astype("int32") if hasattr(p, "dtype")
+                      else int(p[12]), t, p[13])
+
+
+def pattern_conic_gradient(xp, p, lx, ly, f32_buf):
+    tx, ty, _ = _tile_coords(xp, p, lx, ly,
+                             xp.maximum(p[16], 1e-6), xp.maximum(p[17], 1e-6),
+                             p[18], p[19])
+    dx = tx - p[8]
+    dy = ty - p[9]
+    # CSS conic: 0 at 12 o'clock, clockwise; device y grows down.
+    theta = xp.arctan2(dx, -dy)
+    t = (theta - p[10]) / 6.283185307179586
+    t = t - xp.floor(t)
+    denom = p[15] - p[14]
+    denom = xp.where(xp.abs(denom) > 1e-9, denom, 1e-9)
+    t = (t - p[14]) / denom
+    return lut_sample(xp, f32_buf, p[12].astype("int32") if hasattr(p, "dtype")
+                      else int(p[12]), t, p[13])
+
+
+def _blurred_rect_coverage(xp, x0, y0, x1, y1, sigma, lx, ly):
+    """Gaussian-blurred axis-aligned rect: exact separable product of 1D
+    blurred-box profiles (box shadows; sigma = blur_radius / 2)."""
+    s = xp.where(sigma > 1e-3, sigma, 1e-3) * 1.4142135623730951
+    bx = 0.5 * (erf(xp, (lx - x0) / s) - erf(xp, (lx - x1) / s))
+    by = 0.5 * (erf(xp, (ly - y0) / s) - erf(xp, (ly - y1) / s))
+    return bx * by
+
+
+def pattern_box_shadow(xp, p, lx, ly, sx, sy):
+    """Analytic box shadow (payload layout in frame/gpu.py).
+    TODO: corner-aware blur (Wallace integration) for radii >~ sigma."""
+    sigma = p[20]
+    inset = p[21]
+    sharp = sigma <= 1e-3
+    shadow_rect = p[8:12]
+    shadow_radii = p[12:20]
+    blurred = xp.where(
+        sharp,
+        rounded_rect_coverage(xp, shadow_rect, shadow_radii, lx, ly, sx, sy),
+        _blurred_rect_coverage(xp, p[8], p[9], p[10], p[11], sigma, lx, ly))
+    box_cov = rounded_rect_coverage(xp, p[22:26], p[26:34], lx, ly, sx, sy)
+    cov = xp.where(inset > 0.5,
+                   (1.0 - blurred) * box_cov,
+                   blurred * (1.0 - box_cov))
+    col = xp.stack([p[34], p[35], p[36], p[37]], 0)
+    return col[:, None, None] * cov[None]
+
+
+def apply_color_matrix(xp, color, m20, flag):
+    """Straight-alpha 4x5 color matrix on premultiplied input (SVG
+    feColorMatrix semantics; `m20` is the flattened matrix payload)."""
+    a = color[3]
+    safe = xp.where(a > 1e-6, a, 1.0)
+    r, g, b = color[0] / safe, color[1] / safe, color[2] / safe
+    nr = m20[0] * r + m20[1] * g + m20[2] * b + m20[3] * a + m20[4]
+    ng = m20[5] * r + m20[6] * g + m20[7] * b + m20[8] * a + m20[9]
+    nb = m20[10] * r + m20[11] * g + m20[12] * b + m20[13] * a + m20[14]
+    na = m20[15] * r + m20[16] * g + m20[17] * b + m20[18] * a + m20[19]
+    nr = xp.clip(nr, 0.0, 1.0)
+    ng = xp.clip(ng, 0.0, 1.0)
+    nb = xp.clip(nb, 0.0, 1.0)
+    na = xp.clip(na, 0.0, 1.0)
+    out = xp.stack([nr * na, ng * na, nb * na, na], 0)
+    return xp.where(flag > 0.5, out, color)
+
+
+def pattern_picture(xp, p, px, py, surface_atlas):
+    """Composite a rendered surface region (the `composite.glsl` /
+    ps_split_composite role): device-space 1:1 with optional color matrix."""
+    u = p[8] + (px - p[0])
+    v = p[9] + (py - p[1])
+    texel = sample_rgba(xp, surface_atlas, u, v, p[8], p[9], p[10], p[11], 0.0)
+    mod = xp.stack([p[12], p[13], p[14], p[15]], 0)
+    texel = texel * mod[:, None, None]
+    return apply_color_matrix(xp, texel, p[16:36], p[36])
+
+
+# ---------------------------------------------------------------------------
+# clips
+
+def clip_coverage(xp, rec, transforms, px, py, mask_plane, gather_row):
+    """Coverage multiplier of one clip record (frame/gpu.py layout).
+    `gather_row(transforms, idx)` fetches a palette row (backend-specific);
+    `mask_plane` is the color atlas's alpha plane [H, W] (image masks are
+    regular images; their alpha channel is the mask — `clip.rs` ImageMask).
+    The mask rect maps the image onto rec[0:4] (scaled)."""
+    spatial = rec[13].astype("int32") if hasattr(rec, "dtype") else int(rec[13])
+    trow = gather_row(transforms, spatial)
+    lx, ly = inverse_map(xp, trow, px, py)
+    sx, sy = trow[9], trow[10]
+    kind = rec[14]
+    rect_cov = rect_coverage(xp, rec[0], rec[1], rec[2], rec[3],
+                             lx, ly, sx, sy, 0xF)
+    rounded = rounded_rect_coverage(xp, rec[0:4], rec[4:12], lx, ly, sx, sy)
+    rw = xp.maximum(rec[2] - rec[0], 1e-6)
+    rh = xp.maximum(rec[3] - rec[1], 1e-6)
+    mask_u = rec[16] + (lx - rec[0]) / rw * (rec[18] - rec[16])
+    mask_v = rec[17] + (ly - rec[1]) / rh * (rec[19] - rec[17])
+    masked = sample_alpha(xp, mask_plane, mask_u, mask_v,
+                          rec[16], rec[17], rec[18], rec[19]) * rect_cov
+    cov = xp.where(kind < 0.5, rect_cov,
+                   xp.where(kind < 1.5, rounded, masked))
+    return xp.where(rec[12] > 0.5, 1.0 - cov, cov)

@@ -1,0 +1,177 @@
+"""Tile raster engine — jitted XLA implementation.
+
+The TPU-native replacement for WebRender's instanced GL draws
+(`renderer/mod.rs` draw_instanced_batch :2022): each render target is a grid
+of TILE_H×TILE_W tiles; every tile walks its fixed-shape instance list
+back-to-front, evaluates the pattern + coverage + clip kernels from
+`patterns.py`, and blends into the tile accumulator held in registers/VMEM.
+
+The pattern/blend dispatch is specialized per frame on the *set* of kinds and
+blend ops present (host passes static tuples) so a solid-color frame compiles
+to a solid-only kernel — the analog of WR's shader feature variants
+(`shader_features.rs`). XLA lowers the vmapped `lax.switch` to a select over
+the present branches only.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..frame.gpu import (CLIP_STRIDE, INST_BLEND, INST_CLIP_ADDR,
+                         INST_CLIP_COUNT, INST_EDGE_AA, INST_KIND,
+                         INST_PRIM_ADDR, INST_SPATIAL, KIND_BOX_SHADOW,
+                         KIND_CLEAR, KIND_CONIC_GRAD, KIND_GLYPH, KIND_IMAGE,
+                         KIND_LINEAR_GRAD, KIND_PICTURE, KIND_RADIAL_GRAD,
+                         KIND_SOLID, N_KINDS)
+from ..frame.tiles import TILE_H, TILE_W
+from . import blend as blend_mod
+from . import patterns as pk
+
+
+def _pattern_branch(kind: int):
+    """Returns fn(p, lx, ly, px, py, sx, sy, ctx) -> [4, TH, TW] premult."""
+    if kind == KIND_SOLID:
+        return lambda p, lx, ly, px, py, sx, sy, ctx: \
+            pk.pattern_solid(jnp, p, lx, ly)
+    if kind == KIND_IMAGE:
+        return lambda p, lx, ly, px, py, sx, sy, ctx: \
+            pk.pattern_image(jnp, p, lx, ly, ctx["color_atlas"])
+    if kind == KIND_LINEAR_GRAD:
+        return lambda p, lx, ly, px, py, sx, sy, ctx: \
+            pk.pattern_linear_gradient(jnp, p, lx, ly, ctx["f32_buf"])
+    if kind == KIND_RADIAL_GRAD:
+        return lambda p, lx, ly, px, py, sx, sy, ctx: \
+            pk.pattern_radial_gradient(jnp, p, lx, ly, ctx["f32_buf"])
+    if kind == KIND_CONIC_GRAD:
+        return lambda p, lx, ly, px, py, sx, sy, ctx: \
+            pk.pattern_conic_gradient(jnp, p, lx, ly, ctx["f32_buf"])
+    if kind == KIND_GLYPH:
+        return lambda p, lx, ly, px, py, sx, sy, ctx: \
+            pk.pattern_glyph(jnp, p, lx, ly, ctx["alpha_atlas"])
+    if kind == KIND_PICTURE:
+        return lambda p, lx, ly, px, py, sx, sy, ctx: \
+            pk.pattern_picture(jnp, p, px, py, ctx["surface_atlas"])
+    if kind == KIND_CLEAR:
+        return lambda p, lx, ly, px, py, sx, sy, ctx: \
+            jnp.ones((4,) + lx.shape, jnp.float32)
+    if kind == KIND_BOX_SHADOW:
+        return lambda p, lx, ly, px, py, sx, sy, ctx: \
+            pk.pattern_box_shadow(jnp, p, lx, ly, sx, sy)
+    raise ValueError(kind)
+
+
+@functools.partial(jax.jit, static_argnames=("kinds", "blends"),
+                   donate_argnums=())
+def render_tiles(f32_buf, instances, transforms, tile_insts, tile_origins,
+                 clear_color, color_atlas, alpha_atlas, surface_atlas,
+                 *, kinds: Tuple[int, ...], blends: Tuple[int, ...]):
+    """Render all tiles of one pass → [nt, 4, TILE_H, TILE_W] premult f32."""
+    nt, slots = tile_insts.shape
+    kinds = tuple(kinds) or (KIND_SOLID,)
+    blends = tuple(blends) or (blend_mod.BLEND_NORMAL,)
+
+    # device lookup tables: actual id -> branch position
+    kind_lut = np.zeros(N_KINDS, np.int32)
+    for pos, k in enumerate(kinds):
+        kind_lut[k] = pos
+    kind_lut = jnp.asarray(kind_lut)
+    blend_lut = np.zeros(blend_mod.N_BLEND_OPS, np.int32)
+    for pos, b in enumerate(blends):
+        blend_lut[b] = pos
+    blend_lut = jnp.asarray(blend_lut)
+
+    col_iota = jax.lax.broadcasted_iota(jnp.float32, (TILE_H, TILE_W), 1)
+    row_iota = jax.lax.broadcasted_iota(jnp.float32, (TILE_H, TILE_W), 0)
+    mask_plane = color_atlas[3]
+    ctx = {"f32_buf": f32_buf, "color_atlas": color_atlas,
+           "alpha_atlas": alpha_atlas, "surface_atlas": surface_atlas}
+    pattern_fns = [_pattern_branch(k) for k in kinds]
+    blend_fns = [
+        (lambda op: lambda src, dst: blend_mod.blend_src_over_dst(
+            jnp, op, src, dst))(b) for b in blends]
+
+    init = jnp.broadcast_to(clear_color.reshape(4, 1, 1),
+                            (4, TILE_H, TILE_W)).astype(jnp.float32)
+
+    def tile_fn(origin, slots_row):
+        px = origin[0] + col_iota + 0.5
+        py = origin[1] + row_iota + 0.5
+
+        def body(i, fb):
+            iid = slots_row[i]
+            safe_iid = jnp.maximum(iid, 0)
+            rec = instances[safe_iid]
+            p = jax.lax.dynamic_slice(
+                f32_buf, (jnp.maximum(rec[INST_PRIM_ADDR], 0),),
+                (pk.PAYLOAD_LEN,))
+            trow = transforms[rec[INST_SPATIAL]]
+            lx, ly = pk.inverse_map(jnp, trow, px, py)
+            sx, sy = trow[9], trow[10]
+            cov = pk.rect_coverage(jnp, p[4], p[5], p[6], p[7], lx, ly,
+                                   sx, sy, rec[INST_EDGE_AA])
+
+            def clip_body(j, cov):
+                crec = jax.lax.dynamic_slice(
+                    f32_buf, (rec[INST_CLIP_ADDR] + j * CLIP_STRIDE,),
+                    (CLIP_STRIDE,))
+                return cov * pk.clip_coverage(jnp, crec, transforms, px, py,
+                                              mask_plane,
+                                              lambda t, idx: t[idx])
+            cov = jax.lax.fori_loop(0, rec[INST_CLIP_COUNT], clip_body, cov)
+
+            if len(pattern_fns) == 1:
+                color = pattern_fns[0](p, lx, ly, px, py, sx, sy, ctx)
+            else:
+                color = jax.lax.switch(
+                    kind_lut[rec[INST_KIND]],
+                    [functools.partial(f, p, lx, ly, px, py, sx, sy, ctx)
+                     for f in pattern_fns])
+            src = color * cov[None]
+            if len(blend_fns) == 1:
+                blended = blend_fns[0](src, fb)
+            else:
+                blended = jax.lax.switch(
+                    blend_lut[rec[INST_BLEND]],
+                    [functools.partial(f, src, fb) for f in blend_fns])
+            return jnp.where(iid >= 0, blended, fb)
+
+        return jax.lax.fori_loop(0, slots, body, init)
+
+    return jax.vmap(tile_fn)(tile_origins, tile_insts)
+
+
+def assemble_tiles(tiles, nx: int, ny: int, w: int, h: int):
+    """[nt, 4, TH, TW] → [4, h, w] planar image (crop of the tile grid)."""
+    img = tiles.reshape(ny, nx, 4, TILE_H, TILE_W)
+    img = jnp.transpose(img, (2, 0, 3, 1, 4)).reshape(
+        4, ny * TILE_H, nx * TILE_W)
+    return img[:, :h, :w]
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "axis"),
+                   donate_argnums=(0,))
+def blur_region(src, weights, *, radius: int, axis: int):
+    """Separable gaussian blur of a planar [4, h, w] region; transparent
+    beyond the edges (`cs_blur.glsl` semantics for offscreen targets)."""
+    pad = [(0, 0), (0, 0), (0, 0)]
+    pad[1 + axis] = (radius, radius)
+    x = jnp.pad(src, pad)
+    out = jnp.zeros_like(src)
+    for k in range(2 * radius + 1):
+        if axis == 0:
+            sl = x[:, k:k + src.shape[1], :]
+        else:
+            sl = x[:, :, k:k + src.shape[2]]
+        out = out + weights[k] * sl
+    return out
+
+
+def gaussian_weights(sigma: float, radius: int) -> np.ndarray:
+    xs = np.arange(-radius, radius + 1, dtype=np.float64)
+    w = np.exp(-0.5 * (xs / max(sigma, 1e-6)) ** 2)
+    w /= w.sum()
+    return w.astype(np.float32)

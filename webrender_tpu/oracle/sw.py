@@ -1,0 +1,144 @@
+"""CPU fidelity oracle — the SWGL role (SURVEY.md §2.5, §4.7).
+
+A numpy software renderer that executes the *same* Frame the TPU renderer
+executes, using the *same* single-source kernels (`ops/patterns.py`,
+`ops/blend.py`) with ``xp = numpy``. It is the deterministic reference the
+TPU output is compared against (`--software` reftest runs in the reference
+CI). Per-instance evaluation is restricted to the instance's device bbox —
+the span-rasterization spirit of `swgl/src/rasterize.h` without the SIMD.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import numpy as np
+
+from ..frame.frame_builder import (Frame, PASS_BLUR_H, PASS_BLUR_V,
+                                   PASS_RASTER, TARGET_ROOT)
+from ..frame.gpu import (CLIP_STRIDE, INST_BLEND, INST_CLIP_ADDR,
+                         INST_CLIP_COUNT, INST_EDGE_AA, INST_KIND,
+                         INST_PRIM_ADDR, INST_SPATIAL, KIND_BOX_SHADOW,
+                         KIND_CLEAR, KIND_CONIC_GRAD, KIND_GLYPH, KIND_IMAGE,
+                         KIND_LINEAR_GRAD, KIND_PICTURE, KIND_RADIAL_GRAD,
+                         KIND_SOLID)
+from ..ops import blend as blend_mod
+from ..ops import patterns as pk
+from ..ops.raster import gaussian_weights
+
+
+class SoftwareRenderer:
+    """Executes a Frame on the host. Atlas mirrors come from the Renderer
+    (color_atlas_host / alpha_atlas_host) or are owned standalone."""
+
+    def __init__(self, color_atlas: np.ndarray, alpha_atlas: np.ndarray,
+                 surface_atlas_size=(2048, 4096)):
+        self.color_atlas = color_atlas
+        self.alpha_atlas = alpha_atlas
+        self.surface_atlas = np.zeros((4,) + surface_atlas_size, np.float32)
+
+    def render(self, frame: Frame) -> np.ndarray:
+        fb: Optional[np.ndarray] = None
+        for p in frame.passes:
+            if p.kind == PASS_RASTER:
+                x, y, rw, rh = p.region
+                target = np.empty((4, rh, rw), np.float32)
+                clear = np.asarray(p.clear or (0, 0, 0, 0), np.float32)
+                target[:] = clear.reshape(4, 1, 1)
+                self._raster(frame, p, target)
+                if p.target == TARGET_ROOT:
+                    fb = target
+                else:
+                    self.surface_atlas[:, y:y + rh, x:x + rw] = target
+            elif p.kind in (PASS_BLUR_H, PASS_BLUR_V):
+                self._blur(p)
+        rgba = np.transpose(fb, (1, 2, 0))
+        return np.clip(np.rint(rgba * 255.0), 0, 255).astype(np.uint8)
+
+    # ------------------------------------------------------------------
+    def _raster(self, frame: Frame, p, target: np.ndarray) -> None:
+        ids = p.tile_insts[p.tile_insts >= 0]
+        if ids.size == 0:
+            return
+        order = np.unique(ids)  # ascending id == painter order within a pass
+        ox, oy = p.origin
+        rh, rw = target.shape[1], target.shape[2]
+        f32 = frame.f32_buf
+        for iid in order:
+            rec = frame.instances[iid]
+            bbox = frame.inst_bboxes[iid]
+            x0 = max(0, int(math.floor(bbox[0] - ox)))
+            y0 = max(0, int(math.floor(bbox[1] - oy)))
+            x1 = min(rw, int(math.ceil(bbox[2] - ox)))
+            y1 = min(rh, int(math.ceil(bbox[3] - oy)))
+            if x1 <= x0 or y1 <= y0:
+                continue
+            px = ox + np.arange(x0, x1, dtype=np.float32)[None, :] + 0.5
+            py = oy + np.arange(y0, y1, dtype=np.float32)[:, None] + 0.5
+            px, py = np.broadcast_arrays(px, py)
+            px = px.astype(np.float32)
+            py = py.astype(np.float32)
+
+            addr = int(rec[INST_PRIM_ADDR])
+            pl = f32[addr:addr + pk.PAYLOAD_LEN]
+            if pl.shape[0] < pk.PAYLOAD_LEN:
+                pl = np.pad(pl, (0, pk.PAYLOAD_LEN - pl.shape[0]))
+            trow = frame.transforms[int(rec[INST_SPATIAL])]
+            lx, ly = pk.inverse_map(np, trow, px, py)
+            sx, sy = trow[9], trow[10]
+            cov = pk.rect_coverage(np, pl[4], pl[5], pl[6], pl[7], lx, ly,
+                                   sx, sy, int(rec[INST_EDGE_AA]))
+            for j in range(int(rec[INST_CLIP_COUNT])):
+                ca = int(rec[INST_CLIP_ADDR]) + j * CLIP_STRIDE
+                crec = f32[ca:ca + CLIP_STRIDE]
+                cov = cov * pk.clip_coverage(np, crec, frame.transforms,
+                                             px, py, self.color_atlas[3],
+                                             lambda t, idx: t[int(idx)])
+            kind = int(rec[INST_KIND])
+            if kind == KIND_SOLID:
+                color = pk.pattern_solid(np, pl, lx, ly)
+            elif kind == KIND_IMAGE:
+                color = pk.pattern_image(np, pl, lx, ly, self.color_atlas)
+            elif kind == KIND_LINEAR_GRAD:
+                color = pk.pattern_linear_gradient(np, pl, lx, ly, f32)
+            elif kind == KIND_RADIAL_GRAD:
+                color = pk.pattern_radial_gradient(np, pl, lx, ly, f32)
+            elif kind == KIND_CONIC_GRAD:
+                color = pk.pattern_conic_gradient(np, pl, lx, ly, f32)
+            elif kind == KIND_GLYPH:
+                color = pk.pattern_glyph(np, pl, lx, ly, self.alpha_atlas)
+            elif kind == KIND_PICTURE:
+                color = pk.pattern_picture(np, pl, px, py, self.surface_atlas)
+            elif kind == KIND_CLEAR:
+                color = np.ones((4,) + lx.shape, np.float32)
+            elif kind == KIND_BOX_SHADOW:
+                color = pk.pattern_box_shadow(np, pl, lx, ly, sx, sy)
+            else:
+                continue
+            src = (color * cov[None]).astype(np.float32)
+            dst = target[:, y0:y1, x0:x1]
+            target[:, y0:y1, x0:x1] = blend_mod.blend_src_over_dst(
+                np, int(rec[INST_BLEND]), src, dst)
+
+    # ------------------------------------------------------------------
+    def _blur(self, p) -> None:
+        sx_, sy_, sw, sh = p.src_region
+        dx, dy, _, _ = p.region
+        src = self.surface_atlas[:, sy_:sy_ + sh, sx_:sx_ + sw]
+        if p.sigma <= 0:
+            self.surface_atlas[:, dy:dy + sh, dx:dx + sw] = src
+            return
+        radius = max(1, int(np.ceil(3.0 * p.sigma)))
+        radius = 1 << (radius - 1).bit_length()
+        w = gaussian_weights(p.sigma, radius)
+        axis = 2 if p.kind == PASS_BLUR_H else 1
+        pad = [(0, 0), (0, 0), (0, 0)]
+        pad[axis] = (radius, radius)
+        x = np.pad(src, pad)
+        out = np.zeros_like(src)
+        for k in range(2 * radius + 1):
+            if axis == 1:
+                out += w[k] * x[:, k:k + sh, :]
+            else:
+                out += w[k] * x[:, :, k:k + sw]
+        self.surface_atlas[:, dy:dy + sh, dx:dx + sw] = out

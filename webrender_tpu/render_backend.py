@@ -1,0 +1,124 @@
+"""Render backend — transaction processing + document state.
+
+Mirrors `webrender/src/render_backend.rs` (RenderBackend::run :785,
+process_api_msg :968, Document::build_frame :510) collapsed into a
+synchronous single-host pipeline: transactions update the Scene/resources,
+scene building flattens display lists, frame building emits device arrays,
+and the Renderer executes them. The reference's thread pipeline (app → scene
+builder → backend → render thread) maps onto this sequential flow; an async
+wrapper can overlap scene building with rendering later without changing
+these semantics.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from .api.color import ColorF
+from .api.display_item import PipelineId
+from .api.transaction import (AddFont, AddFontInstance, AddImage, DeleteFont,
+                              DeleteFontInstance, DeleteImage, Epoch,
+                              Transaction, UpdateImage)
+from .api.units import Point2D, Rect, Transform
+from .frame.frame_builder import Frame, FrameBuilder
+from .renderer.renderer import Renderer
+from .resources.resource_cache import ResourceCache
+from .scene.scene import BuiltScene, Scene
+from .scene.scene_builder import build_scene
+
+
+class RenderBackend:
+    """One document (render_backend.rs Document) + its pipeline state."""
+
+    def __init__(self, device_size: Tuple[int, int], dpr: float = 1.0,
+                 background_color: Optional[ColorF] = ColorF.WHITE,
+                 renderer: Optional[Renderer] = None):
+        self.device_size = device_size
+        self.dpr = dpr
+        self.background_color = background_color
+        self.scene = Scene()
+        self.resources = ResourceCache()
+        self.renderer = renderer or Renderer()
+        self.frame_builder = FrameBuilder()
+        self.built_scene: Optional[BuiltScene] = None
+        self.scroll_offsets: Dict[int, Point2D] = {}
+        self.properties: Dict[int, Transform] = {}
+        self.frame_ready = False
+        self.last_frame: Optional[Frame] = None
+
+    # ------------------------------------------------------------------
+    def send_transaction(self, txn: Transaction) -> None:
+        """render_api.rs send_transaction :1249 → process_transaction."""
+        scene_changed = False
+        for update in txn.resource_updates:
+            self._apply_resource_update(update)
+        for op, payload in txn.scene_ops:
+            if op == "set_display_list":
+                epoch, dl = payload
+                self.scene.set_display_list(dl.pipeline_id, epoch, dl)
+                scene_changed = True
+            elif op == "set_root_pipeline":
+                self.scene.root_pipeline_id = payload
+                scene_changed = True
+            elif op == "remove_pipeline":
+                self.scene.remove_pipeline(payload)
+                scene_changed = True
+        for op, payload in txn.frame_ops:
+            if op == "scroll":
+                self.scroll_offsets[payload.external_scroll_id] = payload.offset
+            elif op == "dynamic_properties":
+                for pv in payload.transforms:
+                    self.properties[pv.key] = pv.value
+        if scene_changed and self.scene.has_root_pipeline:
+            self.built_scene = build_scene(self.scene, self.background_color)
+        if txn.generate_frame_flag:
+            self.frame_ready = True
+
+    def _apply_resource_update(self, update) -> None:
+        if isinstance(update, AddImage):
+            self.resources.add_image_template(update.key, update.descriptor,
+                                              update.data, update.tiling)
+        elif isinstance(update, UpdateImage):
+            self.resources.update_image_template(update.key, update.descriptor,
+                                                 update.data, update.dirty_rect)
+        elif isinstance(update, DeleteImage):
+            self.resources.delete_image_template(update.key)
+        elif isinstance(update, AddFont):
+            self.resources.add_font(update.key, update.data, update.path,
+                                    update.index)
+        elif isinstance(update, DeleteFont):
+            self.resources.delete_font(update.key)
+        elif isinstance(update, AddFontInstance):
+            self.resources.add_font_instance(update.key, update.font_key,
+                                             update.size, update.options)
+        elif isinstance(update, DeleteFontInstance):
+            self.resources.delete_font_instance(update.key)
+
+    # ------------------------------------------------------------------
+    def build_frame(self) -> Optional[Frame]:
+        if self.built_scene is None:
+            return None
+        frame = self.frame_builder.build(
+            self.built_scene, self.resources, self.device_size, self.dpr,
+            scroll_offsets=self.scroll_offsets, properties=self.properties)
+        self.last_frame = frame
+        return frame
+
+    def render(self) -> np.ndarray:
+        """Build + execute a frame; returns premultiplied RGBA8 (h, w, 4)."""
+        frame = self.build_frame()
+        assert frame is not None, "no scene to render"
+        return self.renderer.render(frame, self.resources)
+
+    def render_software(self) -> np.ndarray:
+        """Render the same frame on the CPU fidelity oracle."""
+        from .oracle.sw import SoftwareRenderer
+        frame = self.build_frame()
+        assert frame is not None
+        # make sure uploads are reflected in the host mirrors
+        self.renderer.apply_uploads(self.resources.take_uploads())
+        sw = SoftwareRenderer(self.renderer.color_atlas_host,
+                              self.renderer.alpha_atlas_host)
+        return sw.render(frame)

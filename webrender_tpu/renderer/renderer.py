@@ -1,0 +1,167 @@
+"""Renderer — executes Frames on the device.
+
+Mirrors `webrender/src/renderer/mod.rs` (render :1241 / draw_frame :4525)
+with the GL device replaced by jitted XLA computations over HBM-resident
+arrays: texture uploads become dynamic_update_slice into the atlas arrays,
+each render pass is one `render_tiles` launch over the pass's tile grid, and
+the final framebuffer is read back to host for PNG/compare (readback is only
+for tests — production compositing stays on device).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..frame.frame_builder import (Frame, RenderPass, PASS_BLUR_H,
+                                   PASS_BLUR_V, PASS_RASTER, TARGET_ROOT)
+from ..frame.gpu import INST_BLEND, INST_KIND
+from ..frame.tiles import TILE_H, TILE_W
+from ..ops.raster import (assemble_tiles, blur_region, gaussian_weights,
+                          render_tiles)
+from ..resources.resource_cache import (ATLAS_ALPHA, ATLAS_COLOR,
+                                        PendingUpload, ResourceCache)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _upload_color(atlas, texels, x: int, y: int):
+    # texels arrive (h, w, 4); atlas is planar [4, H, W]
+    planar = jnp.transpose(texels, (2, 0, 1))
+    return jax.lax.dynamic_update_slice(atlas, planar, (0, y, x))
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _upload_alpha(atlas, texels, x: int, y: int):
+    return jax.lax.dynamic_update_slice(atlas, texels, (y, x))
+
+
+@functools.partial(jax.jit, donate_argnums=(0,),
+                   static_argnames=("nx", "ny", "w", "h"))
+def _write_region(target, tiles, *, nx: int, ny: int, w: int, h: int,
+                  x: int = 0, y: int = 0):
+    img = assemble_tiles(tiles, nx, ny, w, h)
+    return jax.lax.dynamic_update_slice(target, img, (0, y, x))
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _copy_region(dst, src_img, x: int, y: int):
+    return jax.lax.dynamic_update_slice(dst, src_img, (0, y, x))
+
+
+class Renderer:
+    """Owns the HBM atlas arrays + framebuffer (`device/gl.rs` Device role)."""
+
+    def __init__(self,
+                 color_atlas_size=(2048, 2048),
+                 alpha_atlas_size=(2048, 2048),
+                 surface_atlas_size=(2048, 4096)):
+        self.color_atlas = jnp.zeros((4,) + color_atlas_size, jnp.float32)
+        self.alpha_atlas = jnp.zeros(alpha_atlas_size, jnp.float32)
+        self.surface_atlas_size = surface_atlas_size
+        self.surface_atlas = jnp.zeros((4,) + surface_atlas_size, jnp.float32)
+        # host mirrors for the CPU fidelity oracle
+        self.color_atlas_host = np.zeros((4,) + color_atlas_size, np.float32)
+        self.alpha_atlas_host = np.zeros(alpha_atlas_size, np.float32)
+
+    # ------------------------------------------------------------------
+    def apply_uploads(self, uploads: List[PendingUpload]) -> None:
+        """renderer/upload.rs role: push pending texel updates into HBM."""
+        for up in uploads:
+            r = up.region
+            if up.atlas == ATLAS_COLOR:
+                tex = np.ascontiguousarray(up.texels, np.float32)
+                self.color_atlas = _upload_color(
+                    self.color_atlas, jnp.asarray(tex), r.x, r.y)
+                self.color_atlas_host[:, r.y:r.y + tex.shape[0],
+                                      r.x:r.x + tex.shape[1]] = \
+                    np.transpose(tex, (2, 0, 1))
+            elif up.atlas == ATLAS_ALPHA:
+                tex = np.ascontiguousarray(up.texels, np.float32)
+                self.alpha_atlas = _upload_alpha(
+                    self.alpha_atlas, jnp.asarray(tex), r.x, r.y)
+                self.alpha_atlas_host[r.y:r.y + tex.shape[0],
+                                      r.x:r.x + tex.shape[1]] = tex
+
+    # ------------------------------------------------------------------
+    def render(self, frame: Frame,
+               resources: Optional[ResourceCache] = None) -> np.ndarray:
+        """Execute all passes; returns premultiplied RGBA8 (h, w, 4)."""
+        if resources is not None:
+            self.apply_uploads(resources.take_uploads())
+
+        w, h = frame.fb_size
+        f32_buf = jnp.asarray(frame.f32_buf)
+        instances = jnp.asarray(frame.instances)
+        transforms = jnp.asarray(frame.transforms)
+        framebuffer = None
+
+        for p in frame.passes:
+            if p.kind == PASS_RASTER:
+                framebuffer = self._run_raster(
+                    p, frame, f32_buf, instances, transforms, framebuffer)
+            elif p.kind in (PASS_BLUR_H, PASS_BLUR_V):
+                self._run_blur(p)
+            else:
+                raise ValueError(p.kind)
+
+        img = np.asarray(framebuffer)  # [4, H, W]
+        rgba = np.transpose(img, (1, 2, 0))
+        return np.clip(np.rint(rgba * 255.0), 0, 255).astype(np.uint8)
+
+    # ------------------------------------------------------------------
+    def _pass_dispatch_sets(self, p: RenderPass, frame: Frame):
+        ids = p.tile_insts[p.tile_insts >= 0]
+        if ids.size == 0:
+            return (0,), (0,)
+        used = frame.instances[np.unique(ids)]
+        kinds = tuple(sorted(set(int(k) for k in used[:, INST_KIND])))
+        blends = tuple(sorted(set(int(b) for b in used[:, INST_BLEND])))
+        return kinds, blends
+
+    def _tile_origins(self, p: RenderPass) -> np.ndarray:
+        ox, oy = p.origin
+        ys, xs = np.mgrid[0:p.ny, 0:p.nx]
+        origins = np.stack([ox + xs.reshape(-1) * TILE_W,
+                            oy + ys.reshape(-1) * TILE_H], axis=1)
+        return origins.astype(np.float32)
+
+    def _run_raster(self, p: RenderPass, frame: Frame, f32_buf, instances,
+                    transforms, framebuffer):
+        kinds, blends = self._pass_dispatch_sets(p, frame)
+        origins = jnp.asarray(self._tile_origins(p))
+        clear = jnp.asarray(np.asarray(p.clear or (0, 0, 0, 0), np.float32))
+        tiles = render_tiles(
+            f32_buf, instances, transforms, jnp.asarray(p.tile_insts),
+            origins, clear, self.color_atlas, self.alpha_atlas,
+            self.surface_atlas, kinds=kinds, blends=blends)
+        x, y, rw, rh = p.region
+        if p.target == TARGET_ROOT:
+            return _write_region(
+                jnp.zeros((4, rh, rw), jnp.float32) if framebuffer is None
+                else framebuffer,
+                tiles, nx=p.nx, ny=p.ny, w=rw, h=rh, x=0, y=0)
+        self.surface_atlas = _write_region(
+            self.surface_atlas, tiles, nx=p.nx, ny=p.ny, w=rw, h=rh, x=x, y=y)
+        return framebuffer
+
+    def _run_blur(self, p: RenderPass) -> None:
+        sx, sy, sw, sh = p.src_region
+        dx, dy, _, _ = p.region
+        axis = 1 if p.kind == PASS_BLUR_H else 0
+        sigma = p.sigma
+        if sigma <= 0:
+            src = jax.lax.dynamic_slice(self.surface_atlas, (0, sy, sx),
+                                        (4, sh, sw))
+            self.surface_atlas = _copy_region(self.surface_atlas, src, dx, dy)
+            return
+        radius = max(1, int(np.ceil(3.0 * sigma)))
+        # bucket the radius to bound compile variants
+        radius = 1 << (radius - 1).bit_length()
+        weights = jnp.asarray(gaussian_weights(sigma, radius))
+        src = jax.lax.dynamic_slice(self.surface_atlas, (0, sy, sx),
+                                    (4, sh, sw))
+        blurred = blur_region(src, weights, radius=radius, axis=axis)
+        self.surface_atlas = _copy_region(self.surface_atlas, blurred, dx, dy)

@@ -1,0 +1,326 @@
+"""Resource cache — images, fonts, glyphs, and their atlas residency.
+
+Mirrors `webrender/src/resource_cache.rs` (ResourceCache :439) +
+`texture_cache.rs`: image templates are registered via transactions;
+at prepare time primitives request their image/glyphs, which allocates atlas
+space and queues texel uploads. The renderer consumes `take_uploads()` each
+frame and applies them to the HBM atlas arrays via dynamic_update_slice
+(the PBO upload path of `renderer/upload.rs`, minus the PBOs).
+
+Atlas texel format is premultiplied RGBA float32 (color) / float32 (alpha):
+TPU kernels blend in f32, so the conversion happens once at upload.
+"""
+from __future__ import annotations
+
+import io
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..api.font import (FontInstanceKey, FontInstanceOptions, FontKey,
+                        FontRenderMode, GlyphDimensions)
+from ..api.image import ImageData, ImageDescriptor, ImageFormat
+from .atlas import AtlasRegion, ShelfAllocator
+
+ATLAS_COLOR = 0
+ATLAS_ALPHA = 1
+ATLAS_SURFACE = 2
+
+
+@dataclass
+class PendingUpload:
+    atlas: int                 # ATLAS_COLOR / ATLAS_ALPHA
+    region: AtlasRegion
+    texels: np.ndarray         # color: (h, w, 4) f32 premult; alpha: (h, w) f32
+
+
+@dataclass
+class ImageTemplate:
+    descriptor: ImageDescriptor
+    data: ImageData
+    generation: int = 0
+    region: Optional[AtlasRegion] = None
+    uploaded_generation: int = -1
+
+
+@dataclass
+class CachedGlyph:
+    region: Optional[AtlasRegion]   # None for blank glyphs (e.g. spaces)
+    left: float                     # bearing: bitmap origin relative to pen
+    top: float
+    width: int
+    height: int
+
+
+def _to_premult_rgba_f32(desc: ImageDescriptor, data: ImageData) -> np.ndarray:
+    """Convert template pixels to premultiplied RGBA float32 (h, w, 4)."""
+    px = data.pixels
+    assert px is not None, "image template has no pixel data"
+    h, w = desc.height, desc.width
+    fmt = desc.format
+    if fmt == ImageFormat.BGRA8:
+        arr = px.reshape(h, w, 4).astype(np.float32) / 255.0
+        arr = arr[..., [2, 1, 0, 3]]  # BGRA → RGBA
+    elif fmt == ImageFormat.RGBA8:
+        arr = px.reshape(h, w, 4).astype(np.float32) / 255.0
+    elif fmt == ImageFormat.R8:
+        a = px.reshape(h, w).astype(np.float32) / 255.0
+        arr = np.stack([a, a, a, np.ones_like(a)], axis=-1)
+    elif fmt == ImageFormat.RG8:
+        rg = px.reshape(h, w, 2).astype(np.float32) / 255.0
+        arr = np.stack([rg[..., 0], rg[..., 1], np.zeros((h, w), np.float32),
+                        np.ones((h, w), np.float32)], axis=-1)
+    elif fmt == ImageFormat.RGBAF32:
+        arr = px.reshape(h, w, 4).astype(np.float32)
+    else:
+        raise NotImplementedError(f"image format {fmt}")
+    # premultiply (uploads are premultiplied; wrench PNGs arrive straight)
+    out = arr.copy()
+    out[..., :3] *= out[..., 3:4]
+    return out
+
+
+class FontContext:
+    """FreeType-backed glyph rasterization via matplotlib's bundled ft2font
+    (the `wr_glyph_rasterizer` platform/unix/font.rs role)."""
+
+    def __init__(self):
+        from matplotlib import ft2font
+        self._ft = ft2font
+        self.faces: Dict[Tuple[int, int], object] = {}
+
+    def add_font(self, key: FontKey, data: Optional[bytes], path: Optional[str],
+                 index: int = 0) -> None:
+        if data is not None:
+            face = self._ft.FT2Font(io.BytesIO(data))
+        else:
+            face = self._ft.FT2Font(path)
+        self.faces[(key.namespace, key.key)] = face
+
+    def has_font(self, key: FontKey) -> bool:
+        return (key.namespace, key.key) in self.faces
+
+    def delete_font(self, key: FontKey) -> None:
+        self.faces.pop((key.namespace, key.key), None)
+
+    def glyph_index(self, key: FontKey, ch: str) -> int:
+        face = self.faces[(key.namespace, key.key)]
+        return face.get_char_index(ord(ch))
+
+    def rasterize(self, key: FontKey, size: float, glyph_index: int,
+                  subpixel_offset: float = 0.0):
+        """Render one glyph → (alpha f32 (h, w), left, top, advance).
+
+        left/top: FreeType bitmap bearings — bitmap origin is at
+        (pen_x + left, pen_y - top), y-down device space.
+        """
+        face = self.faces[(key.namespace, key.key)]
+        face.set_size(size, 72)  # size in px when dpi=72
+        glyph = face.load_glyph(glyph_index, self._ft.LoadFlags.RENDER)
+        x0, y0, x1, y1 = glyph.bbox  # 26.6 fixed point
+        w = (x1 - x0 + 63) // 64 + 1
+        h = (y1 - y0 + 63) // 64 + 1
+        if w <= 1 or h <= 1 or glyph.width == 0:
+            return (np.zeros((0, 0), np.float32), 0.0, 0.0,
+                    glyph.linearHoriAdvance / 65536.0)
+        img = self._ft.FT2Image(w, h)
+        # draw_glyph_to_bitmap at (0,0) places the bitmap aligned to the
+        # glyph bbox corner: bitmap top-left = pen + (bbox.x0, -bbox.y1)/64.
+        face.draw_glyph_to_bitmap(img, 0, 0, glyph, antialiased=True)
+        bitmap = np.asarray(img, dtype=np.uint8)
+        # crop trailing blank row/col introduced by the +1 padding
+        nz = np.nonzero(bitmap)
+        if len(nz[0]) == 0:
+            return (np.zeros((0, 0), np.float32), 0.0, 0.0,
+                    glyph.linearHoriAdvance / 65536.0)
+        bitmap = bitmap[: nz[0].max() + 1, : nz[1].max() + 1]
+        alpha = bitmap.astype(np.float32) / 255.0
+        advance = glyph.linearHoriAdvance / 65536.0
+        return alpha, x0 / 64.0, y1 / 64.0, advance
+
+
+class ResourceCache:
+    """resource_cache.rs ResourceCache analog (images + fonts + glyphs)."""
+
+    def __init__(self, color_atlas_size=(2048, 2048),
+                 alpha_atlas_size=(2048, 2048)):
+        self.color_atlas_size = color_atlas_size
+        self.alpha_atlas_size = alpha_atlas_size
+        self.color_alloc = ShelfAllocator(color_atlas_size[1], color_atlas_size[0])
+        self.alpha_alloc = ShelfAllocator(alpha_atlas_size[1], alpha_atlas_size[0])
+        self.images: Dict[int, ImageTemplate] = {}
+        self.fonts = FontContext()
+        self.font_instances: Dict[Tuple[int, int], Tuple[FontKey, float, FontInstanceOptions]] = {}
+        self.glyphs: Dict[Tuple, CachedGlyph] = {}
+        self.pending_uploads: List[PendingUpload] = []
+
+    # --- transaction resource updates (render_api.rs ResourceUpdate) -------
+    def add_image_template(self, key: int, descriptor: ImageDescriptor,
+                           data: ImageData, tiling=None) -> None:
+        """resource_cache.rs:792"""
+        self.images[key] = ImageTemplate(descriptor, data)
+
+    def update_image_template(self, key: int, descriptor: ImageDescriptor,
+                              data: ImageData, dirty_rect=None) -> None:
+        tpl = self.images.get(key)
+        gen = tpl.generation + 1 if tpl else 0
+        region = tpl.region if tpl and tpl.descriptor.width == descriptor.width \
+            and tpl.descriptor.height == descriptor.height else None
+        self.images[key] = ImageTemplate(descriptor, data, generation=gen,
+                                         region=region)
+
+    def delete_image_template(self, key: int) -> None:
+        self.images.pop(key, None)
+
+    def add_font(self, key: FontKey, data=None, path=None, index=0) -> None:
+        self.fonts.add_font(key, data, path, index)
+
+    def delete_font(self, key: FontKey) -> None:
+        self.fonts.delete_font(key)
+
+    def add_font_instance(self, key: FontInstanceKey, font_key: FontKey,
+                          size: float, options: FontInstanceOptions) -> None:
+        self.font_instances[(key.namespace, key.key)] = (font_key, size, options)
+
+    def delete_font_instance(self, key: FontInstanceKey) -> None:
+        self.font_instances.pop((key.namespace, key.key), None)
+
+    # --- prepare-time requests (resource_cache.rs request_image :926) ------
+    def request_image(self, key: int) -> Optional[Tuple[AtlasRegion, ImageDescriptor]]:
+        tpl = self.images.get(key)
+        if tpl is None:
+            return None
+        if tpl.region is None:
+            tpl.region = self.color_alloc.alloc(tpl.descriptor.width,
+                                                tpl.descriptor.height)
+            assert tpl.region is not None, "color atlas full"
+        if tpl.uploaded_generation != tpl.generation:
+            texels = _to_premult_rgba_f32(tpl.descriptor, tpl.data)
+            up_region = AtlasRegion(tpl.region.x, tpl.region.y,
+                                    tpl.descriptor.width, tpl.descriptor.height)
+            self.pending_uploads.append(
+                PendingUpload(ATLAS_COLOR, up_region, texels))
+            tpl.uploaded_generation = tpl.generation
+        return tpl.region, tpl.descriptor
+
+    def request_glyphs(self, font_instance_key: int,
+                       glyph_indices, subpixel_quantize: bool = True
+                       ) -> Dict[int, CachedGlyph]:
+        """resource_cache.rs request_glyphs :1092 → GlyphRasterizer."""
+        fi = self.font_instances.get((0, font_instance_key))
+        if fi is None:
+            return {}
+        font_key, size, options = fi
+        out = {}
+        for gi in set(glyph_indices):
+            cache_key = (font_key.namespace, font_key.key, size, gi)
+            cached = self.glyphs.get(cache_key)
+            if cached is None:
+                alpha, left, top, _adv = self.fonts.rasterize(font_key, size, gi)
+                h, w = alpha.shape
+                if h == 0 or w == 0:
+                    cached = CachedGlyph(None, left, top, w, h)
+                else:
+                    region = self.alpha_alloc.alloc(w, h)
+                    assert region is not None, "alpha atlas full"
+                    region = AtlasRegion(region.x, region.y, w, h)
+                    self.pending_uploads.append(
+                        PendingUpload(ATLAS_ALPHA, region, alpha))
+                    cached = CachedGlyph(region, left, top, w, h)
+                self.glyphs[cache_key] = cached
+            out[gi] = cached
+        return out
+
+    def font_instance(self, font_instance_key: int):
+        return self.font_instances.get((0, font_instance_key))
+
+    def request_yuv_image(self, yuv_keys, fmt: str, color_space, color_range,
+                          color_depth):
+        """YUV planes → RGBA conversion at upload (the `yuv.glsl` matrices,
+        host-side for now; an in-kernel YUV path is a later optimization).
+        Returns (AtlasRegion, w, h) of the converted RGBA image."""
+        from ..api.display_item import ColorRange, YuvColorSpace
+        cache_key = ("yuv", tuple(yuv_keys),
+                     tuple(self.images[k].generation
+                           for k in yuv_keys if k in self.images))
+        cached = getattr(self, "_yuv_cache", None)
+        if cached is None:
+            cached = self._yuv_cache = {}
+        hit = cached.get(cache_key)
+        if hit is not None:
+            return hit
+        planes = []
+        for k in yuv_keys:
+            tpl = self.images.get(k)
+            if tpl is None:
+                return None
+            desc = tpl.descriptor
+            px = tpl.data.pixels
+            if desc.format == ImageFormat.R8:
+                planes.append(px.reshape(desc.height, desc.width)
+                              .astype(np.float32) / 255.0)
+            elif desc.format == ImageFormat.RG8:
+                planes.append(px.reshape(desc.height, desc.width, 2)
+                              .astype(np.float32) / 255.0)
+            elif desc.format == ImageFormat.R16:
+                planes.append(px.reshape(desc.height, desc.width)
+                              .astype(np.float32) / 65535.0)
+            else:
+                planes.append(px.reshape(desc.height, desc.width, -1)
+                              .astype(np.float32) / 255.0)
+        if fmt == "planar":
+            y, u, v = planes[0], planes[1], planes[2]
+        elif fmt == "nv12":
+            y = planes[0]
+            u, v = planes[1][..., 0], planes[1][..., 1]
+        elif fmt == "interleaved":
+            y = planes[0][..., 0]
+            u, v = planes[0][..., 1], planes[0][..., 2]
+        else:
+            raise NotImplementedError(f"yuv format {fmt}")
+        h, w = y.shape
+        # upsample chroma to luma size (bilinear would match GL; nearest is
+        # within reftest fuzz for 2x)
+        if u.shape != y.shape:
+            ry, rx = h // u.shape[0], w // u.shape[1]
+            u = np.repeat(np.repeat(u, ry, 0), rx, 1)[:h, :w]
+            v = np.repeat(np.repeat(v, ry, 0), rx, 1)[:h, :w]
+        if color_range == ColorRange.LIMITED:
+            y = (y - 16.0 / 255.0) * (255.0 / 219.0)
+            u = (u - 128.0 / 255.0) * (255.0 / 224.0)
+            v = (v - 128.0 / 255.0) * (255.0 / 224.0)
+        else:
+            u = u - 128.0 / 255.0
+            v = v - 128.0 / 255.0
+        if color_space == YuvColorSpace.REC601:
+            kr, kb = 0.299, 0.114
+        elif color_space == YuvColorSpace.REC709:
+            kr, kb = 0.2126, 0.0722
+        elif color_space == YuvColorSpace.REC2020:
+            kr, kb = 0.2627, 0.0593
+        else:  # IDENTITY (GBR)
+            kr, kb = None, None
+        if kr is None:
+            r, g, b = v, y, u
+        else:
+            kg = 1.0 - kr - kb
+            r = y + 2.0 * (1.0 - kr) * v
+            b = y + 2.0 * (1.0 - kb) * u
+            g = y - (2.0 * kr * (1.0 - kr) / kg) * v - \
+                (2.0 * kb * (1.0 - kb) / kg) * u
+        rgba = np.clip(np.stack(
+            [r, g, b, np.ones_like(y)], axis=-1), 0.0, 1.0).astype(np.float32)
+        region = self.color_alloc.alloc(w, h)
+        assert region is not None, "color atlas full (yuv)"
+        region = AtlasRegion(region.x, region.y, w, h)
+        self.pending_uploads.append(PendingUpload(ATLAS_COLOR, region, rgba))
+        result = (region, w, h)
+        cached[cache_key] = result
+        return result
+
+    # --- renderer side -----------------------------------------------------
+    def take_uploads(self) -> List[PendingUpload]:
+        out = self.pending_uploads
+        self.pending_uploads = []
+        return out

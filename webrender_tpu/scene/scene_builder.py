@@ -1,0 +1,433 @@
+"""Scene building: display lists → BuiltScene.
+
+Mirrors `webrender/src/scene_building.rs` (SceneBuilder::build :536,
+build_all :872, build_item :1370): a single linear traversal of each
+pipeline's display list, maintaining a stacking-context stack, a lexical
+offset (the reference's `rf_mapper` offset), shadow stack, and defining
+spatial/clip nodes as they appear. Output is a tree of PicturePrims whose
+leaves are scene primitives.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+from ..api.color import ColorF
+from ..api.display_item import (
+    BackdropFilterItem, BorderItem, BoxShadowItem, ClearRectangleItem,
+    ClipChainItem, ClipMode, CommonItemProperties, ConicGradientItem,
+    FilterOp, FilterOpKind, GradientItem, HitTestItem, IframeItem, ImageItem,
+    ImageMaskClipItem, LineItem, MixBlendMode, PipelineId, PopAllShadowsItem,
+    PopReferenceFrameItem, PopStackingContextItem, PrimitiveFlags,
+    PushReferenceFrameItem, PushShadowItem, PushStackingContextItem,
+    RadialGradientItem, RectangleItem, RectClipItem, ReferenceFrameKind,
+    RepeatingImageItem, RoundedRectClipItem, ScrollFrameItem, Shadow,
+    SpatialId, StackingContextFlags, StickyFrameItem, TextItem,
+    TransformStyle, YuvImageItem, ROOT_CLIP_CHAIN,
+)
+from ..api.units import Point2D, Rect, Size2D, Transform
+from .clip import ClipKind, ClipNode, ClipStore
+from .prims import (
+    BackdropFilterPrim, BoxShadowPrim, ClearPrim, CompositeOps,
+    ConicGradientPrim, ImagePrim, LineDecorationPrim, LinearGradientPrim,
+    NinePatchBorderPrim, NormalBorderPrim, PicturePrim, PrimCommon,
+    RadialGradientPrim, RectanglePrim, TextRunPrim, YuvImagePrim,
+)
+from .scene import BuiltScene, Scene
+from .spatial_tree import SceneSpatialTree
+
+
+@dataclass
+class HitTestEntry:
+    common: PrimCommon
+    tag: Tuple[int, int]
+
+
+@dataclass
+class _StackingContext:
+    picture: PicturePrim
+    offset: Point2D              # lexical offset inherited by children
+    extra_clips: Tuple[int, ...]  # pass-through SC clips pushed onto children
+
+
+@dataclass
+class _ShadowState:
+    shadows: List[Shadow] = field(default_factory=list)
+    shadow_pics: List[PicturePrim] = field(default_factory=list)
+    originals: List[object] = field(default_factory=list)
+
+
+class SceneBuilder:
+    """One-shot builder: SceneBuilder(scene).build() → BuiltScene."""
+
+    SHADOWABLE = (TextRunPrim, LineDecorationPrim, RectanglePrim, ImagePrim,
+                  NormalBorderPrim)
+
+    def __init__(self, scene: Scene,
+                 background_color: Optional[ColorF] = None):
+        self.scene = scene
+        self.background_color = background_color
+        self.spatial_tree = SceneSpatialTree()
+        self.clip_store = ClipStore()
+        self.hit_test_items: List[HitTestEntry] = []
+        # (pipeline_ns_key, local spatial index) -> global node index
+        self.spatial_map: Dict[Tuple[Tuple[int, int], int], int] = {}
+        self._next_spatial = 2
+
+    # ------------------------------------------------------------------
+    def build(self) -> BuiltScene:
+        """scene_building.rs build (:536): traverse the root pipeline."""
+        assert self.scene.has_root_pipeline, "no root pipeline set"
+        rp = self.scene.root_pipeline_id
+        ns = (rp.namespace, rp.id)
+        self.spatial_map[(ns, 0)] = 0
+        self.spatial_map[(ns, 1)] = 1
+
+        root_pic = PicturePrim(
+            common=PrimCommon(Rect(-1e9, -1e9, 2e9, 2e9),
+                              Rect(-1e9, -1e9, 2e9, 2e9), 0),
+        )
+        dl = self.scene.pipelines[ns]
+        self._build_pipeline(dl, ns, root_pic, Point2D(0, 0), ())
+        return BuiltScene(
+            root=root_pic,
+            spatial_tree=self.spatial_tree,
+            clip_store=self.clip_store,
+            background_color=self.background_color,
+            hit_test_items=self.hit_test_items,
+            pipeline_epochs=dict(self.scene.epochs),
+        )
+
+    def _alloc_spatial_index(self) -> int:
+        idx = len(self.spatial_tree.nodes)
+        return idx
+
+    # ------------------------------------------------------------------
+    def _build_pipeline(self, dl, ns: Tuple[int, int], target: PicturePrim,
+                        offset: Point2D, extra_clips: Tuple[int, ...]) -> None:
+        """Traverse one pipeline's display list (build_all :872)."""
+        sc_stack: List[_StackingContext] = [
+            _StackingContext(target, offset, extra_clips)]
+        rf_stack: List[int] = []  # global indices of pushed reference frames
+        shadow: Optional[_ShadowState] = None
+        items = iter(dl.items)
+
+        for item in items:
+            top = sc_stack[-1]
+
+            # --- structure ------------------------------------------------
+            if isinstance(item, PushStackingContextItem):
+                composite = self._composite_ops(item)
+                spatial = self._spatial(ns, item.spatial_id)
+                chain = self._resolve_chain(ns, item.clip_chain_id)
+                new_offset = Point2D(top.offset.x + item.origin.x,
+                                     top.offset.y + item.origin.y)
+                pic = PicturePrim(
+                    common=PrimCommon(Rect(-1e9, -1e9, 2e9, 2e9),
+                                      Rect(-1e9, -1e9, 2e9, 2e9),
+                                      spatial,
+                                      clip_chain=chain + top.extra_clips,
+                                      is_backface_visible=bool(
+                                          item.prim_flags
+                                          & PrimitiveFlags.IS_BACKFACE_VISIBLE)),
+                    composite=composite,
+                    raster_space=item.raster_space,
+                )
+                if composite.needs_surface:
+                    top.picture.children.append(pic)
+                    sc_stack.append(_StackingContext(pic, new_offset, ()))
+                else:
+                    # pass-through: children flatten into parent picture with
+                    # SC clips applied to each (scene_building.rs collapses
+                    # no-op stacking contexts the same way).
+                    sc_stack.append(_StackingContext(
+                        top.picture, new_offset,
+                        top.extra_clips + chain))
+                continue
+
+            if isinstance(item, PopStackingContextItem):
+                assert len(sc_stack) > 1, "unbalanced pop_stacking_context"
+                sc_stack.pop()
+                continue
+
+            if isinstance(item, PushReferenceFrameItem):
+                parent = self._spatial(ns, item.parent_spatial_id)
+                origin = Point2D(item.origin.x + top.offset.x,
+                                 item.origin.y + top.offset.y)
+                gidx = self._alloc_spatial_index()
+                binding = getattr(item.transform, "binding_key", None)
+                self.spatial_tree.add_reference_frame(
+                    gidx, parent, origin, item.transform,
+                    transform_binding=binding,
+                    is_perspective=item.kind == ReferenceFrameKind.PERSPECTIVE,
+                    preserves_3d=item.transform_style == TransformStyle.PRESERVE_3D)
+                self.spatial_map[(ns, item.id.index)] = gidx
+                rf_stack.append(gidx)
+                # Inside the new reference frame the lexical offset restarts:
+                # it was consumed by the frame origin (rf_mapper semantics).
+                sc_stack.append(_StackingContext(top.picture, Point2D(0, 0),
+                                                 top.extra_clips))
+                continue
+
+            if isinstance(item, PopReferenceFrameItem):
+                sc_stack.pop()
+                rf_stack.pop()
+                continue
+
+            if isinstance(item, ScrollFrameItem):
+                parent = self._spatial(ns, item.parent_spatial_id)
+                gidx = self._alloc_spatial_index()
+                self.spatial_tree.add_scroll_frame(
+                    gidx, parent,
+                    frame_rect=item.frame_rect.translate(top.offset.x, top.offset.y),
+                    content_rect=item.content_rect.translate(top.offset.x, top.offset.y),
+                    external_id=item.external_id,
+                    external_scroll_offset=item.external_scroll_offset)
+                self.spatial_map[(ns, item.id.index)] = gidx
+                continue
+
+            if isinstance(item, StickyFrameItem):
+                parent = self._spatial(ns, item.parent_spatial_id)
+                gidx = self._alloc_spatial_index()
+                moved = dataclasses.replace(
+                    item, bounds=item.bounds.translate(top.offset.x, top.offset.y))
+                self.spatial_tree.add_sticky_frame(gidx, parent, moved)
+                self.spatial_map[(ns, item.id.index)] = gidx
+                continue
+
+            # --- clips ----------------------------------------------------
+            if isinstance(item, RectClipItem):
+                node = ClipNode(ClipKind.RECT,
+                                self._spatial(ns, item.spatial_id),
+                                item.clip_rect.translate(top.offset.x, top.offset.y))
+                idx = self.clip_store.add_node(node)
+                self.clip_store.register_clip_id(hash(ns), item.id.index, idx)
+                continue
+
+            if isinstance(item, RoundedRectClipItem):
+                node = ClipNode(ClipKind.ROUNDED_RECT,
+                                self._spatial(ns, item.spatial_id),
+                                item.rect.translate(top.offset.x, top.offset.y),
+                                radii=item.radii, mode=item.mode)
+                idx = self.clip_store.add_node(node)
+                self.clip_store.register_clip_id(hash(ns), item.id.index, idx)
+                continue
+
+            if isinstance(item, ImageMaskClipItem):
+                node = ClipNode(ClipKind.IMAGE_MASK,
+                                self._spatial(ns, item.spatial_id),
+                                item.rect.translate(top.offset.x, top.offset.y),
+                                image_key=item.image_key,
+                                points=item.points, fill_rule=item.fill_rule)
+                idx = self.clip_store.add_node(node)
+                self.clip_store.register_clip_id(hash(ns), item.id.index, idx)
+                continue
+
+            if isinstance(item, ClipChainItem):
+                nodes = tuple(self.clip_store.node_for_clip_id(hash(ns), c.index)
+                              for c in item.clips)
+                parent = None
+                if item.parent is not None and item.parent.index >= 0:
+                    parent = (hash(ns), item.parent.index)
+                self.clip_store.define_chain(hash(ns), item.id.index, parent, nodes)
+                continue
+
+            # --- shadows --------------------------------------------------
+            if isinstance(item, PushShadowItem):
+                if shadow is None:
+                    shadow = _ShadowState()
+                sh = item.shadow
+                shadow.shadows.append(sh)
+                spatial = self._spatial(ns, item.common.spatial_id)
+                chain = self._resolve_chain(ns, item.common.clip_chain_id)
+                # each shadow gets its own picture, blurred at composite time
+                pic = PicturePrim(
+                    common=PrimCommon(Rect(-1e9, -1e9, 2e9, 2e9),
+                                      Rect(-1e9, -1e9, 2e9, 2e9), spatial,
+                                      clip_chain=chain + top.extra_clips),
+                    composite=CompositeOps(),
+                    shadow=sh,
+                )
+                shadow.shadow_pics.append(pic)
+                continue
+
+            if isinstance(item, PopAllShadowsItem):
+                if shadow is not None:
+                    for pic in shadow.shadow_pics:
+                        if pic.children:
+                            top.picture.children.append(pic)
+                    top.picture.children.extend(shadow.originals)
+                    shadow = None
+                continue
+
+            # --- iframe ---------------------------------------------------
+            if isinstance(item, IframeItem):
+                self._build_iframe(item, ns, top)
+                continue
+
+            # --- primitives -----------------------------------------------
+            prim = self._build_prim(item, ns, top)
+            if prim is None:
+                continue
+            if shadow is not None and shadow.shadows:
+                if isinstance(prim, self.SHADOWABLE):
+                    for sh, pic in zip(shadow.shadows, shadow.shadow_pics):
+                        pic.children.append(self._shadow_copy(prim, sh))
+                shadow.originals.append(prim)
+            else:
+                top.picture.children.append(prim)
+
+    # ------------------------------------------------------------------
+    def _build_iframe(self, item: IframeItem, ns: Tuple[int, int],
+                      top: _StackingContext) -> None:
+        """scene_building.rs build_iframe: nested pipeline becomes a child
+        reference frame + scroll frame, clipped to the iframe rect."""
+        key = (item.pipeline_id.namespace, item.pipeline_id.id)
+        dl = self.scene.pipelines.get(key)
+        if dl is None:
+            assert item.ignore_missing_pipeline, f"missing pipeline {key}"
+            return
+        parent = self._spatial(ns, item.spatial_id)
+        bounds = item.bounds.translate(top.offset.x, top.offset.y)
+        clip_rect = item.clip_rect.translate(top.offset.x, top.offset.y)
+
+        rf = self._alloc_spatial_index()
+        self.spatial_tree.add_reference_frame(
+            rf, parent, bounds.origin, Transform.identity())
+        scroll = self._alloc_spatial_index()
+        self.spatial_tree.add_scroll_frame(
+            scroll, rf, frame_rect=Rect(0, 0, bounds.w, bounds.h),
+            content_rect=Rect(0, 0, bounds.w, bounds.h),
+            external_id=0, external_scroll_offset=Point2D(0, 0))
+        self.spatial_map[(key, 0)] = rf
+        self.spatial_map[(key, 1)] = scroll
+
+        clip = self.clip_store.add_node(ClipNode(
+            ClipKind.RECT, parent,
+            clip_rect.intersection(bounds) or Rect(0, 0, 0, 0)))
+        self._build_pipeline(dl, key, top.picture, Point2D(0, 0),
+                             top.extra_clips + (clip,))
+
+    # ------------------------------------------------------------------
+    def _composite_ops(self, item: PushStackingContextItem) -> CompositeOps:
+        return CompositeOps(
+            filters=item.filters,
+            filter_datas=item.filter_datas,
+            mix_blend_mode=item.mix_blend_mode,
+            is_blend_container=bool(
+                item.flags & StackingContextFlags.IS_BLEND_CONTAINER),
+            preserve_3d=item.transform_style == TransformStyle.PRESERVE_3D,
+        )
+
+    def _spatial(self, ns: Tuple[int, int], sid: SpatialId) -> int:
+        return self.spatial_map[(ns, sid.index)]
+
+    def _resolve_chain(self, ns: Tuple[int, int], chain_id) -> Tuple[int, ...]:
+        if chain_id is None or chain_id.index < 0:
+            return ()
+        return self.clip_store.resolve_chain(hash(ns), chain_id.index)
+
+    def _common(self, item_common: CommonItemProperties, ns: Tuple[int, int],
+                top: _StackingContext, bounds: Rect) -> PrimCommon:
+        return PrimCommon(
+            local_rect=bounds.translate(top.offset.x, top.offset.y),
+            clip_rect=item_common.clip_rect.translate(top.offset.x, top.offset.y),
+            spatial_node=self._spatial(ns, item_common.spatial_id),
+            clip_chain=self._resolve_chain(ns, item_common.clip_chain_id)
+            + top.extra_clips,
+            is_backface_visible=bool(item_common.flags
+                                     & PrimitiveFlags.IS_BACKFACE_VISIBLE),
+        )
+
+    def _shadow_copy(self, prim, sh: Shadow):
+        """Tinted, offset copy of a prim for a shadow pass
+        (scene_building.rs push_shadow :2879 semantics)."""
+        c = prim.common
+        moved = dataclasses.replace(
+            c, local_rect=c.local_rect.translate(sh.offset.x, sh.offset.y),
+            clip_rect=c.clip_rect.translate(sh.offset.x, sh.offset.y))
+        copy = dataclasses.replace(prim, common=moved)
+        if isinstance(copy, TextRunPrim):
+            copy = dataclasses.replace(
+                copy, color=sh.color, shadow=True,
+                glyphs=tuple((g, x + sh.offset.x, y + sh.offset.y)
+                             for (g, x, y) in prim.glyphs))
+        elif hasattr(copy, "color"):
+            copy = dataclasses.replace(copy, color=sh.color)
+        return copy
+
+    # ------------------------------------------------------------------
+    def _build_prim(self, item, ns: Tuple[int, int], top: _StackingContext):
+        """build_item (:1370): one display item → one scene primitive."""
+        if isinstance(item, RectangleItem):
+            return RectanglePrim(self._common(item.common, ns, top, item.bounds),
+                                 item.color)
+        if isinstance(item, ClearRectangleItem):
+            return ClearPrim(self._common(item.common, ns, top, item.bounds))
+        if isinstance(item, HitTestItem):
+            self.hit_test_items.append(HitTestEntry(
+                self._common(item.common, ns, top, item.bounds), item.tag))
+            return None
+        if isinstance(item, LineItem):
+            return LineDecorationPrim(
+                self._common(item.common, ns, top, item.area),
+                item.orientation, item.style, item.color,
+                item.wavy_line_thickness)
+        if isinstance(item, TextItem):
+            common = self._common(item.common, ns, top, item.bounds)
+            glyphs = tuple((g, x + top.offset.x, y + top.offset.y)
+                           for (g, x, y) in item.glyphs)
+            return TextRunPrim(common, item.font_instance_key, glyphs,
+                               item.color)
+        if isinstance(item, ImageItem):
+            common = self._common(item.common, ns, top, item.bounds)
+            return ImagePrim(common, item.image_key,
+                             stretch_size=item.bounds.size,
+                             image_rendering=item.image_rendering,
+                             alpha_type=item.alpha_type, color=item.color)
+        if isinstance(item, RepeatingImageItem):
+            common = self._common(item.common, ns, top, item.bounds)
+            return ImagePrim(common, item.image_key,
+                             stretch_size=item.stretch_size,
+                             tile_spacing=item.tile_spacing,
+                             image_rendering=item.image_rendering,
+                             alpha_type=item.alpha_type, color=item.color)
+        if isinstance(item, YuvImageItem):
+            common = self._common(item.common, ns, top, item.bounds)
+            return YuvImagePrim(common, item.yuv_keys, item.format,
+                                item.color_depth, item.color_space,
+                                item.color_range, item.image_rendering)
+        if isinstance(item, GradientItem):
+            common = self._common(item.common, ns, top, item.bounds)
+            return LinearGradientPrim(common, item.gradient, item.stops,
+                                      item.tile_size, item.tile_spacing)
+        if isinstance(item, RadialGradientItem):
+            common = self._common(item.common, ns, top, item.bounds)
+            return RadialGradientPrim(common, item.gradient, item.stops,
+                                      item.tile_size, item.tile_spacing)
+        if isinstance(item, ConicGradientItem):
+            common = self._common(item.common, ns, top, item.bounds)
+            return ConicGradientPrim(common, item.gradient, item.stops,
+                                     item.tile_size, item.tile_spacing)
+        if isinstance(item, BorderItem):
+            common = self._common(item.common, ns, top, item.bounds)
+            if item.details_normal is not None:
+                return NormalBorderPrim(common, item.details_normal, item.widths)
+            return NinePatchBorderPrim(common, item.details_nine_patch,
+                                       item.widths)
+        if isinstance(item, BoxShadowItem):
+            common = self._common(item.common, ns, top, item.box_bounds)
+            return BoxShadowPrim(common, common.local_rect, item.offset,
+                                 item.color, item.blur_radius,
+                                 item.spread_radius, item.border_radius,
+                                 item.clip_mode)
+        if isinstance(item, BackdropFilterItem):
+            common = self._common(item.common, ns, top, item.common.clip_rect)
+            return BackdropFilterPrim(common, item.filters, item.filter_datas)
+        raise NotImplementedError(f"display item {type(item).__name__}")
+
+
+def build_scene(scene: Scene,
+                background_color: Optional[ColorF] = None) -> BuiltScene:
+    return SceneBuilder(scene, background_color).build()
