@@ -129,8 +129,11 @@ def blend_src_over_dst(xp, op: int, src, dst):
     cs, a_s = _unpremult(xp, src)
     cb, a_b = _unpremult(xp, dst)
     b = mix_blend_rgb(xp, mode, cb, cs)
-    # W3C compositing: Cs' = (1 - ab)*Cs + ab*B(Cb, Cs), then src-over
-    cs2 = (1.0 - a_b) * cs + a_b * b
+    # W3C compositing in premultiplied form:
+    #   Co = (1-ab)·(as·Cs) + ab·as·B(Cb,Cs) + (1-as)·(ab·Cb)
+    # using src_rgb = as·Cs and dst_rgb = ab·Cb directly keeps the
+    # ab == 0 case bit-exact (no unpremultiply round-trip), matching the
+    # reference's invalid-backdrop fallback to normal blending.
     a_out = a_s + a_b * (1.0 - a_s)
-    rgb = cs2 * a_s + cb * a_b * (1.0 - a_s)
+    rgb = (1.0 - a_b) * src[:3] + a_b * a_s * b + (1.0 - a_s) * dst[:3]
     return xp.stack([rgb[0], rgb[1], rgb[2], a_out], 0)

@@ -53,7 +53,10 @@ class SoftwareRenderer:
             elif p.kind in (PASS_BLUR_H, PASS_BLUR_V):
                 self._blur(p)
         rgba = np.transpose(fb, (1, 2, 0))
-        return np.clip(np.rint(rgba * 255.0), 0, 255).astype(np.uint8)
+        # unorm8 conversion in f64: GL's float->u8 rounds the exact product,
+        # not an f32 intermediate (f32*255 can round 229.49999 up to 229.5)
+        return np.clip(np.rint(rgba.astype(np.float64) * 255.0), 0,
+                       255).astype(np.uint8)
 
     # ------------------------------------------------------------------
     def _raster(self, frame: Frame, p, target: np.ndarray) -> None:

@@ -109,7 +109,10 @@ class Renderer:
 
         img = np.asarray(framebuffer)  # [4, H, W]
         rgba = np.transpose(img, (1, 2, 0))
-        return np.clip(np.rint(rgba * 255.0), 0, 255).astype(np.uint8)
+        # unorm8 conversion in f64: GL's float->u8 rounds the exact product,
+        # not an f32 intermediate (f32*255 can round 229.49999 up to 229.5)
+        return np.clip(np.rint(rgba.astype(np.float64) * 255.0), 0,
+                       255).astype(np.uint8)
 
     # ------------------------------------------------------------------
     def _pass_dispatch_sets(self, p: RenderPass, frame: Frame):

@@ -75,10 +75,10 @@ def _to_premult_rgba_f32(desc: ImageDescriptor, data: ImageData) -> np.ndarray:
         arr = px.reshape(h, w, 4).astype(np.float32)
     else:
         raise NotImplementedError(f"image format {fmt}")
-    # premultiply (uploads are premultiplied; wrench PNGs arrive straight)
-    out = arr.copy()
-    out[..., :3] *= out[..., 3:4]
-    return out
+    # Texel data arrives already premultiplied (wrench premultiplies PNGs at
+    # load — yaml_frame_reader.rs:569 — and Gecko supplies premultiplied
+    # BGRA); AlphaType::Alpha images are premultiplied at sample time.
+    return arr
 
 
 class FontContext:
