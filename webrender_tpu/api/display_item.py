@@ -618,6 +618,8 @@ class ScrollFrameItem:
     content_rect: Rect                 # scrollable content bounds
     external_id: int = 0
     external_scroll_offset: Point2D = field(default_factory=Point2D)
+    scroll_generation: int = 0
+    has_scroll_linked_effect: bool = False
 
 
 @dataclass(frozen=True)

@@ -13,7 +13,7 @@ from .color import ColorF
 from .display_item import (
     AlphaType, BackdropFilterItem, BorderItem, BorderRadius, BoxShadowClipMode,
     BoxShadowItem, ClearRectangleItem, ClipChainId, ClipChainItem, ClipId,
-    ClipMode, ColorDepth, ColorRange, CommonItemProperties, ConicGradient,
+    ClipMode, ColorDepth, ColorRange, CommonItemProperties, ConicGradient, ExtendMode,
     ConicGradientItem, FilterData, FilterOp, Gradient, GradientItem,
     GradientStop, HitTestItem, IframeItem, ImageItem, ImageMaskClipItem,
     ImageRendering, LineItem, LineOrientation, LineStyle, MixBlendMode,
@@ -97,6 +97,60 @@ class DisplayListBuilder:
         cid = ClipChainId(self._next_clip_chain_index, self.pipeline_id)
         self._next_clip_chain_index += 1
         return cid
+
+    # --- gradient creation (gradient_builder.rs normalization) --------------
+    @staticmethod
+    def _normalize_stops(stops: List[GradientStop],
+                         extend_mode: ExtendMode) -> Tuple[List[GradientStop], float, float]:
+        """gradient_builder.rs normalize (:127): map stops into [0,1] and
+        return (start_offset, end_offset) adjustments for the gradient line."""
+        assert len(stops) >= 2, "gradient needs at least two stops"
+        first, last = stops[0], stops[-1]
+        delta = last.offset - first.offset
+        if delta != delta:  # NaN
+            return ([GradientStop(0.0, last.color),
+                     GradientStop(1.0, last.color)], 0.0, 1.0)
+        if delta > 1e-6:
+            out = [GradientStop((s.offset - first.offset) / delta, s.color)
+                   for s in stops]
+            return out, first.offset, last.offset
+        if extend_mode == ExtendMode.CLAMP:
+            out = [GradientStop(0.0, first.color),
+                   GradientStop(0.5, first.color),
+                   GradientStop(0.5, last.color),
+                   GradientStop(1.0, last.color)]
+            return out, last.offset - 0.5, last.offset + 0.5
+        return ([GradientStop(0.0, last.color),
+                 GradientStop(1.0, last.color)], 0.0, 1.0)
+
+    def create_gradient(self, start: Point2D, end: Point2D,
+                        stops: List[GradientStop],
+                        extend_mode: ExtendMode) -> Tuple[Gradient, List[GradientStop]]:
+        """display_list.rs create_gradient → GradientBuilder::gradient."""
+        stops, s_off, e_off = self._normalize_stops(list(stops), extend_mode)
+        dx, dy = end.x - start.x, end.y - start.y
+        g = Gradient(Point2D(start.x + dx * s_off, start.y + dy * s_off),
+                     Point2D(start.x + dx * e_off, start.y + dy * e_off),
+                     extend_mode)
+        return g, stops
+
+    def create_radial_gradient(self, center: Point2D, radius: Size2D,
+                               stops: List[GradientStop],
+                               extend_mode: ExtendMode):
+        """GradientBuilder::radial_gradient (:63): non-positive radius →
+        solid last color."""
+        if radius.width <= 0.0 or radius.height <= 0.0:
+            last = stops[-1].color
+            g = RadialGradient(center, Size2D(1.0, 1.0), 0.0, 1.0, extend_mode)
+            return g, [GradientStop(0.0, last), GradientStop(1.0, last)]
+        stops, s_off, e_off = self._normalize_stops(list(stops), extend_mode)
+        return RadialGradient(center, radius, s_off, e_off, extend_mode), stops
+
+    def create_conic_gradient(self, center: Point2D, angle: float,
+                              stops: List[GradientStop],
+                              extend_mode: ExtendMode):
+        stops, s_off, e_off = self._normalize_stops(list(stops), extend_mode)
+        return ConicGradient(center, angle, s_off, e_off, extend_mode), stops
 
     # --- primitives ---------------------------------------------------------
     def push_rect(self, common: CommonItemProperties, bounds: Rect, color: ColorF) -> None:
@@ -259,12 +313,16 @@ class DisplayListBuilder:
                             external_id: int, content_rect: Rect,
                             frame_rect: Rect,
                             external_scroll_offset: Point2D = Point2D(),
+                            scroll_generation: int = 0,
+                            has_scroll_linked_effect: bool = False,
                             ) -> SpatialId:
         """display_list.rs:2040"""
         sid = self._alloc_spatial()
         self.items.append(ScrollFrameItem(parent_spatial_id, sid, frame_rect,
                                           content_rect, external_id,
-                                          external_scroll_offset))
+                                          external_scroll_offset,
+                                          scroll_generation,
+                                          has_scroll_linked_effect))
         return sid
 
     def define_sticky_frame(self, parent_spatial_id: SpatialId, bounds: Rect,

@@ -43,7 +43,7 @@ from .gpu import (BLEND_CLEAR, BLEND_MIX_BASE, BLEND_NORMAL, CLIP_STRIDE,
                   GRAD_LUT_SIZE, GpuBufferBuilder, KIND_BOX_SHADOW,
                   KIND_CLEAR, KIND_CONIC_GRAD, KIND_GLYPH, KIND_IMAGE,
                   KIND_LINEAR_GRAD, KIND_PICTURE, KIND_RADIAL_GRAD,
-                  KIND_SOLID, build_gradient_lut, identity_color_matrix,
+                  KIND_SOLID, gradient_stops_records, identity_color_matrix,
                   pad_pow2, pad_pow2_rows)
 from .tiles import TILE_H, TILE_W, bin_instances
 from .transforms import (build_transform_palette, device_bounds_of_rect,
@@ -310,45 +310,51 @@ class FrameBuilder:
         out.append(idx)
 
     # ------------------------------------------------------------------
+    # snapping (spatial_node.rs snapping_transform / util.rs snap:
+    # axis-aligned rects snap to whole device pixels)
+    # ------------------------------------------------------------------
+    def _snap_rect(self, rect: Rect, spatial: int) -> Rect:
+        if not self.resolved[spatial].is_2d_axis_aligned:
+            return rect
+        H = self.H_dev[spatial]
+        sx, sy = H[0, 0], H[1, 1]
+        tx, ty = H[2, 0], H[2, 1]
+        if abs(sx) < 1e-9 or abs(sy) < 1e-9:
+            return rect
+        if not all(math.isfinite(v) for v in (rect.x0, rect.y0, rect.x1,
+                                              rect.y1, sx, sy, tx, ty)):
+            return rect
+        dx0 = round(rect.x0 * sx + tx)
+        dy0 = round(rect.y0 * sy + ty)
+        dx1 = round(rect.x1 * sx + tx)
+        dy1 = round(rect.y1 * sy + ty)
+        return Rect.from_bounds((dx0 - tx) / sx, (dy0 - ty) / sy,
+                                (dx1 - tx) / sx, (dy1 - ty) / sy)
+
+    # ------------------------------------------------------------------
     # clips
     # ------------------------------------------------------------------
-    def _viewport_clips(self, spatial: int) -> Tuple[ClipNode, ...]:
-        """Implicit scroll-frame viewport clips for a node's ancestors
-        (the reference's clip-tree handling of ScrollFrame viewports)."""
-        cached = self._viewport_clip_cache.get(spatial)
-        if cached is not None:
-            return cached
-        chain: List[ClipNode] = []
-        tree = self.scene.spatial_tree
-        idx = spatial
-        while idx is not None and idx < len(tree.nodes):
-            node = tree.nodes[idx]
-            if node is None:
-                break
-            if node.kind == SpatialNodeKind.SCROLL_FRAME and node.parent is not None:
-                if node.frame_rect.w < 1e8:  # skip the infinite root scroll
-                    chain.append(ClipNode(ClipKind.RECT, node.parent,
-                                          node.frame_rect))
-            idx = node.parent
-        out = tuple(chain)
-        self._viewport_clip_cache[spatial] = out
-        return out
-
     def _serialize_clips(self, chain: Tuple[int, ...], prim_spatial: int
                          ) -> Tuple[int, int, Optional[Tuple]]:
-        """Write clip records; returns (addr, count, device clip AABB)."""
+        """Write clip records; returns (addr, count, device clip AABB).
+
+        Note: scroll frames do NOT implicitly clip their content — the
+        embedder defines explicit clips (wrench's `clip-to-frame` creates a
+        rect clip; Gecko emits its own clip nodes)."""
         key = (chain, prim_spatial)
         cached = self._clip_cache.get(key)
         if cached is not None:
             return cached
         nodes = [self.scene.clip_store.nodes[i] for i in chain]
-        nodes.extend(self._viewport_clips(prim_spatial))
         records: List[float] = []
         bbox = None
         count = 0
         for node in nodes:
             rec = [0.0] * CLIP_STRIDE
-            rec[0:4] = [node.rect.x0, node.rect.y0, node.rect.x1, node.rect.y1]
+            nrect = node.rect
+            if node.kind in (ClipKind.RECT, ClipKind.ROUNDED_RECT):
+                nrect = self._snap_rect(nrect, node.spatial_node)
+            rec[0:4] = [nrect.x0, nrect.y0, nrect.x1, nrect.y1]
             r = node.radii
             rec[4:12] = [r.top_left.width, r.top_left.height,
                          r.top_right.width, r.top_right.height,
@@ -373,8 +379,8 @@ class FrameBuilder:
             count += 1
             if node.mode == ClipMode.CLIP and node.kind != ClipKind.IMAGE_MASK:
                 db = device_bounds_of_rect(self.H_dev[node.spatial_node],
-                                           node.rect.x0, node.rect.y0,
-                                           node.rect.x1, node.rect.y1)
+                                           nrect.x0, nrect.y0,
+                                           nrect.x1, nrect.y1)
                 bbox = db if bbox is None else (
                     max(bbox[0], db[0]), max(bbox[1], db[1]),
                     min(bbox[2], db[2]), min(bbox[3], db[3]))
@@ -445,10 +451,17 @@ class FrameBuilder:
 
     # --- helpers -----------------------------------------------------------
     def _emit_common(self, c: PrimCommon, axis_aligned: bool,
-                     pattern_rect: Rect, draw_rect: Rect,
+                     pattern_rect: Rect, draw_rect: Rect, snap: bool = True,
                      ) -> Optional[Tuple[List[float], int, int, int, Tuple]]:
         """Shared geometry prep: coverage rect, edge AA mask, clips, culling.
         Returns (payload_prefix, edge_aa, clip_addr, clip_count, bbox)."""
+        if snap and axis_aligned:
+            snapped = self._snap_rect(draw_rect, c.spatial_node)
+            if pattern_rect == draw_rect:
+                pattern_rect = snapped
+            else:
+                pattern_rect = self._snap_rect(pattern_rect, c.spatial_node)
+            draw_rect = snapped
         cov = draw_rect.intersection(c.clip_rect)
         if cov is None:
             return None
@@ -477,6 +490,8 @@ class FrameBuilder:
         vp = self.viewport
         bbox = (max(bbox[0], vp.x0 - 4096), max(bbox[1], vp.y0 - 4096),
                 min(bbox[2], vp.x1 + 4096), min(bbox[3], vp.y1 + 4096))
+        if not all(math.isfinite(v) for v in bbox):
+            return None  # NaN geometry: cull (crash-safety, gradient/linear-nan)
         if bbox[2] <= bbox[0] or bbox[3] <= bbox[1]:
             return None
         prefix = [pattern_rect.x0, pattern_rect.y0,
@@ -498,38 +513,42 @@ class FrameBuilder:
         self.metas.append(_InstanceMeta(bbox))
         out.append(idx)
 
-    def _gradient_lut_addr(self, stops, extend_mode) -> int:
-        key = (tuple((s.offset, s.color.r, s.color.g, s.color.b, s.color.a)
-                     for s in stops), extend_mode)
-        addr = self._lut_cache.get(key)
-        if addr is None:
-            lut = build_gradient_lut(stops, extend_mode)
-            addr = self.gb.push_f32(lut.reshape(-1))
-            self._lut_cache[key] = addr
-        return addr
+    def _gradient_stops_addr(self, stops) -> Tuple[int, int]:
+        key = tuple((s.offset, s.color.r, s.color.g, s.color.b, s.color.a)
+                    for s in stops)
+        hit = self._lut_cache.get(key)
+        if hit is None:
+            recs = gradient_stops_records(stops)
+            hit = (self.gb.push_f32(recs.reshape(-1)), recs.shape[0])
+            self._lut_cache[key] = hit
+        return hit
 
     def _prepare_gradient(self, prim, c: PrimCommon, axis_aligned: bool,
                           out: List[int]) -> None:
-        lut_addr = self._gradient_lut_addr(prim.stops, prim.gradient.extend_mode)
+        """Payload layouts (see frame/gpu.py):
+        LINEAR [8:12] p0,p1  RADIAL [8:10] c [10:12] r  CONIC [8:10] c [10] angle
+        then [12] stops_addr [13] extend [14] nstops [15] pad
+        [16/18] start/end offsets (radial/conic) and tile size + spacing."""
+        addr, n = self._gradient_stops_addr(prim.stops)
         ts = prim.tile_size
         sp = prim.tile_spacing
         tile = [ts.width or c.local_rect.w, ts.height or c.local_rect.h,
                 sp.width, sp.height]
         ext = float(prim.gradient.extend_mode.value)
+        g = prim.gradient
         if isinstance(prim, LinearGradientPrim):
-            g = prim.gradient
             tail = [g.start_point.x, g.start_point.y, g.end_point.x,
-                    g.end_point.y, float(lut_addr), ext] + tile
+                    g.end_point.y, float(addr), ext, float(n), 0.0] + tile
             kind = KIND_LINEAR_GRAD
         elif isinstance(prim, RadialGradientPrim):
-            g = prim.gradient
             tail = [g.center.x, g.center.y, g.radius.width, g.radius.height,
-                    float(lut_addr), ext, g.start_offset, g.end_offset] + tile
+                    float(addr), ext, float(n), 0.0,
+                    g.start_offset, g.end_offset] + tile
             kind = KIND_RADIAL_GRAD
         else:
-            g = prim.gradient
             tail = [g.center.x, g.center.y, g.angle, 0.0,
-                    float(lut_addr), ext, g.start_offset, g.end_offset] + tile
+                    float(addr), ext, float(n), 0.0,
+                    g.start_offset, g.end_offset] + tile
             kind = KIND_CONIC_GRAD
         self._emit_rect_like(prim, c, axis_aligned, out, kind, tail,
                              BLEND_NORMAL)

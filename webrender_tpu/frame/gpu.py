@@ -150,6 +150,27 @@ def pad_pow2_rows(a: np.ndarray, min_rows: int = 8) -> np.ndarray:
     return out
 
 
+def gradient_stops_records(stops) -> np.ndarray:
+    """Serialize normalized gradient stops as 8-float records
+    [offset, r, g, b, a, 0, 0, 0] (straight alpha) for direct in-kernel
+    evaluation (gradient.glsl sample_gradient role, exact)."""
+    n = len(stops)
+    out = np.zeros((max(n, 2), 8), np.float32)
+    for i, s in enumerate(stops):
+        out[i, 0] = min(max(s.offset, 0.0), 1.0)
+        out[i, 1:5] = [s.color.r, s.color.g, s.color.b, s.color.a]
+    if n == 0:
+        out[1, 0] = 1.0
+    elif n == 1:
+        out[1] = out[0]
+        out[1, 0] = 1.0
+    # enforce non-decreasing offsets (gradient_builder.rs guarantees this
+    # post-normalization; guard anyway)
+    for i in range(1, out.shape[0]):
+        out[i, 0] = max(out[i, 0], out[i - 1, 0])
+    return out
+
+
 def build_gradient_lut(stops, extend_mode) -> np.ndarray:
     """Evaluate gradient stops into a GRAD_LUT_SIZE premultiplied-RGBA LUT.
 

@@ -168,26 +168,42 @@ def sample_alpha(xp, atlas, u, v, u0, v0, u1, v1):
 
 
 # ---------------------------------------------------------------------------
-# gradient LUT
+# gradient stop evaluation
 
-def lut_sample(xp, f32_buf, lut_addr, t, extend_repeat, lut_size=256):
-    """Sample a premultiplied gradient LUT stored in the flat f32 buffer
-    (the GpuCache gradient rows)."""
-    t = xp.where(extend_repeat > 0.5, t - xp.floor(t), xp.clip(t, 0.0, 1.0))
-    tf = t * lut_size - 0.5
-    i0 = xp.floor(tf)
-    fr = tf - i0
-    i0i = xp.clip(i0.astype("int32"), 0, lut_size - 1)
-    i1i = xp.clip(i0i + 1, 0, lut_size - 1)
-    base = int(lut_addr) if not hasattr(lut_addr, "dtype") else lut_addr.astype("int32")
-    a0 = base + i0i * 4
-    a1 = base + i1i * 4
-    out = []
-    for c in range(4):
-        v0 = f32_buf[a0 + c]
-        v1 = f32_buf[a1 + c]
-        out.append(v0 * (1.0 - fr) + v1 * fr)
-    return xp.stack(out, 0)
+def eval_gradient_stops(xp, fori, f32_buf, addr, nstops, t, extend_repeat):
+    """Evaluate normalized gradient stops directly (exact hard stops).
+
+    The reference bakes stops into a 128-entry LUT (`gradient.glsl`
+    sample_gradient); direct evaluation is exact for arbitrary stop
+    positions and avoids LUT resolution fuzz. Stops are stored in the flat
+    f32 buffer as 8-float records [offset, r, g, b, a, 0, 0, 0]
+    (straight alpha); output is premultiplied.
+    `fori(lo, hi, body, init)` abstracts lax.fori_loop vs a python loop.
+    """
+    t = xp.where(extend_repeat > 0.5, t - xp.floor(t), t)
+    c0 = xp.stack([f32_buf[addr + 1], f32_buf[addr + 2],
+                   f32_buf[addr + 3], f32_buf[addr + 4]], 0)
+    out0 = xp.broadcast_to(c0[:, None, None],
+                           (4,) + t.shape) + xp.zeros((4,) + t.shape, "float32")
+
+    def body(i, out):
+        base = addr + i * 8
+        o0 = f32_buf[base - 8]
+        o1 = f32_buf[base]
+        c1 = xp.stack([f32_buf[base + 1], f32_buf[base + 2],
+                       f32_buf[base + 3], f32_buf[base + 4]], 0)
+        denom = o1 - o0
+        # hard stop (o1 == o0): step at the shared offset
+        w = xp.where(denom > 1e-9,
+                     xp.clip((t - o0) / xp.where(denom > 1e-9, denom, 1.0),
+                             0.0, 1.0),
+                     xp.where(t >= o1, 1.0, 0.0))
+        return out + (c1[:, None, None] - out) * w[None]
+
+    out = fori(1, nstops, body, out0)
+    # premultiply (stops interpolate in straight-alpha space)
+    a = out[3]
+    return xp.stack([out[0] * a, out[1] * a, out[2] * a, a], 0)
 
 
 # ---------------------------------------------------------------------------
@@ -237,51 +253,62 @@ def pattern_glyph(xp, p, lx, ly, alpha_atlas):
     return col[:, None, None] * a[None]
 
 
-def pattern_linear_gradient(xp, p, lx, ly, f32_buf):
-    tx, ty, _ = _tile_coords(xp, p, lx, ly,
-                             xp.maximum(p[14], 1e-6), xp.maximum(p[15], 1e-6),
-                             p[16], p[17])
+def pattern_linear_gradient(xp, fori, p, lx, ly, f32_buf):
+    """brush_linear_gradient.glsl / cs_linear_gradient.glsl."""
+    tx, ty, in_tile = _tile_coords(xp, p, lx, ly,
+                                   xp.maximum(p[16], 1e-6),
+                                   xp.maximum(p[17], 1e-6), p[18], p[19])
     dx = p[10] - p[8]
     dy = p[11] - p[9]
     denom = dx * dx + dy * dy
     denom = xp.where(denom > 1e-9, denom, 1e-9)
     t = ((tx - p[8]) * dx + (ty - p[9]) * dy) / denom
-    return lut_sample(xp, f32_buf, p[12].astype("int32") if hasattr(p, "dtype")
-                      else int(p[12]), t, p[13])
+    return _grad(xp, fori, p, f32_buf, t) * in_tile[None]
 
 
-def pattern_radial_gradient(xp, p, lx, ly, f32_buf):
-    tx, ty, _ = _tile_coords(xp, p, lx, ly,
-                             xp.maximum(p[16], 1e-6), xp.maximum(p[17], 1e-6),
-                             p[18], p[19])
+def _grad(xp, fori, p, f32_buf, t):
+    # No pre-clamping: stop evaluation saturates naturally below the first /
+    # above the last stop (gradient.glsl clamp_gradient_entry: offsets < 0
+    # take the *first* color even when a hard stop sits exactly at 0).
+    addr = p[12].astype("int32") if hasattr(p, "dtype") else int(p[12])
+    n = p[14].astype("int32") if hasattr(p, "dtype") else int(p[14])
+    return eval_gradient_stops(xp, fori, f32_buf, addr, n, t, p[13])
+
+
+def pattern_radial_gradient(xp, fori, p, lx, ly, f32_buf):
+    """cs_radial_gradient.glsl: elliptical distance scaled by radius.x,
+    then (d - start_offset) / (end_offset - start_offset)."""
+    tx, ty, in_tile = _tile_coords(xp, p, lx, ly,
+                                   xp.maximum(p[18], 1e-6),
+                                   xp.maximum(p[19], 1e-6), p[20], p[21])
     rx = xp.where(p[10] > 1e-6, p[10], 1e-6)
     ry = xp.where(p[11] > 1e-6, p[11], rx)
-    # cs_radial_gradient.glsl: aspect-scale y, distance relative to radius.x
-    dx = (tx - p[8])
+    dx = tx - p[8]
     dy = (ty - p[9]) * (rx / ry)
     d = xp.sqrt(dx * dx + dy * dy) / rx
-    denom = p[15] - p[14]
-    denom = xp.where(xp.abs(denom) > 1e-9, denom, 1e-9)
-    t = (d - p[14]) / denom
-    return lut_sample(xp, f32_buf, p[12].astype("int32") if hasattr(p, "dtype")
-                      else int(p[12]), t, p[13])
+    denom = p[17] - p[16]
+    scale = xp.where(xp.abs(denom) > 1e-9, 1.0 / xp.where(
+        xp.abs(denom) > 1e-9, denom, 1.0), 0.0)
+    t = (d - p[16]) * scale
+    return _grad(xp, fori, p, f32_buf, t) * in_tile[None]
 
 
-def pattern_conic_gradient(xp, p, lx, ly, f32_buf):
-    tx, ty, _ = _tile_coords(xp, p, lx, ly,
-                             xp.maximum(p[16], 1e-6), xp.maximum(p[17], 1e-6),
-                             p[18], p[19])
+def pattern_conic_gradient(xp, fori, p, lx, ly, f32_buf):
+    """cs_conic_gradient.glsl: angle = atan(dy, dx) + (pi/2 - aAngle);
+    offset = fract(angle / 2pi) / d - start/d."""
+    tx, ty, in_tile = _tile_coords(xp, p, lx, ly,
+                                   xp.maximum(p[18], 1e-6),
+                                   xp.maximum(p[19], 1e-6), p[20], p[21])
     dx = tx - p[8]
     dy = ty - p[9]
-    # CSS conic: 0 at 12 o'clock, clockwise; device y grows down.
-    theta = xp.arctan2(dx, -dy)
-    t = (theta - p[10]) / 6.283185307179586
-    t = t - xp.floor(t)
-    denom = p[15] - p[14]
-    denom = xp.where(xp.abs(denom) > 1e-9, denom, 1e-9)
-    t = (t - p[14]) / denom
-    return lut_sample(xp, f32_buf, p[12].astype("int32") if hasattr(p, "dtype")
-                      else int(p[12]), t, p[13])
+    theta = xp.arctan2(dy, dx) + (1.5707963267948966 - p[10])
+    tr = theta / 6.283185307179586
+    tr = tr - xp.floor(tr)
+    denom = p[17] - p[16]
+    scale = xp.where(xp.abs(denom) > 1e-9, 1.0 / xp.where(
+        xp.abs(denom) > 1e-9, denom, 1.0), 0.0)
+    t = (tr - p[16]) * scale
+    return _grad(xp, fori, p, f32_buf, t) * in_tile[None]
 
 
 def _blurred_rect_coverage(xp, x0, y0, x1, y1, sigma, lx, ly):

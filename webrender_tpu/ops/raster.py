@@ -42,13 +42,16 @@ def _pattern_branch(kind: int):
             pk.pattern_image(jnp, p, lx, ly, ctx["color_atlas"])
     if kind == KIND_LINEAR_GRAD:
         return lambda p, lx, ly, px, py, sx, sy, ctx: \
-            pk.pattern_linear_gradient(jnp, p, lx, ly, ctx["f32_buf"])
+            pk.pattern_linear_gradient(jnp, jax.lax.fori_loop, p, lx, ly,
+                                       ctx["f32_buf"])
     if kind == KIND_RADIAL_GRAD:
         return lambda p, lx, ly, px, py, sx, sy, ctx: \
-            pk.pattern_radial_gradient(jnp, p, lx, ly, ctx["f32_buf"])
+            pk.pattern_radial_gradient(jnp, jax.lax.fori_loop, p, lx, ly,
+                                       ctx["f32_buf"])
     if kind == KIND_CONIC_GRAD:
         return lambda p, lx, ly, px, py, sx, sy, ctx: \
-            pk.pattern_conic_gradient(jnp, p, lx, ly, ctx["f32_buf"])
+            pk.pattern_conic_gradient(jnp, jax.lax.fori_loop, p, lx, ly,
+                                      ctx["f32_buf"])
     if kind == KIND_GLYPH:
         return lambda p, lx, ly, px, py, sx, sy, ctx: \
             pk.pattern_glyph(jnp, p, lx, ly, ctx["alpha_atlas"])

@@ -27,6 +27,13 @@ from ..ops import patterns as pk
 from ..ops.raster import gaussian_weights
 
 
+def _py_fori(lo, hi, body, init):
+    val = init
+    for i in range(int(lo), int(hi)):
+        val = body(i, val)
+    return val
+
+
 class SoftwareRenderer:
     """Executes a Frame on the host. Atlas mirrors come from the Renderer
     (color_atlas_host / alpha_atlas_host) or are owned standalone."""
@@ -103,11 +110,11 @@ class SoftwareRenderer:
             elif kind == KIND_IMAGE:
                 color = pk.pattern_image(np, pl, lx, ly, self.color_atlas)
             elif kind == KIND_LINEAR_GRAD:
-                color = pk.pattern_linear_gradient(np, pl, lx, ly, f32)
+                color = pk.pattern_linear_gradient(np, _py_fori, pl, lx, ly, f32)
             elif kind == KIND_RADIAL_GRAD:
-                color = pk.pattern_radial_gradient(np, pl, lx, ly, f32)
+                color = pk.pattern_radial_gradient(np, _py_fori, pl, lx, ly, f32)
             elif kind == KIND_CONIC_GRAD:
-                color = pk.pattern_conic_gradient(np, pl, lx, ly, f32)
+                color = pk.pattern_conic_gradient(np, _py_fori, pl, lx, ly, f32)
             elif kind == KIND_GLYPH:
                 color = pk.pattern_glyph(np, pl, lx, ly, self.alpha_atlas)
             elif kind == KIND_PICTURE:

@@ -183,7 +183,9 @@ class SceneBuilder:
                     frame_rect=item.frame_rect.translate(top.offset.x, top.offset.y),
                     content_rect=item.content_rect.translate(top.offset.x, top.offset.y),
                     external_id=item.external_id,
-                    external_scroll_offset=item.external_scroll_offset)
+                    external_scroll_offset=item.external_scroll_offset,
+                    scroll_generation=item.scroll_generation,
+                    has_scroll_linked_effect=item.has_scroll_linked_effect)
                 self.spatial_map[(ns, item.id.index)] = gidx
                 continue
 

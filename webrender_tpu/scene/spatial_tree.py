@@ -43,6 +43,8 @@ class SpatialNode:
     content_rect: Rect = field(default_factory=Rect)
     external_id: int = 0
     external_scroll_offset: Point2D = field(default_factory=Point2D)
+    scroll_generation: int = 0
+    has_scroll_linked_effect: bool = False
     # sticky frame:
     sticky: Optional[StickyFrameItem] = None
 
@@ -81,12 +83,16 @@ class SceneSpatialTree:
 
     def add_scroll_frame(self, index: int, parent: int, frame_rect: Rect,
                          content_rect: Rect, external_id: int,
-                         external_scroll_offset: Point2D) -> None:
+                         external_scroll_offset: Point2D,
+                         scroll_generation: int = 0,
+                         has_scroll_linked_effect: bool = False) -> None:
         self._insert(SpatialNode(index, parent, SpatialNodeKind.SCROLL_FRAME,
                                  frame_rect=frame_rect,
                                  content_rect=content_rect,
                                  external_id=external_id,
-                                 external_scroll_offset=external_scroll_offset))
+                                 external_scroll_offset=external_scroll_offset,
+                                 scroll_generation=scroll_generation,
+                                 has_scroll_linked_effect=has_scroll_linked_effect))
 
     def add_sticky_frame(self, index: int, parent: int,
                          item: StickyFrameItem) -> None:
@@ -116,16 +122,24 @@ class SceneSpatialTree:
         scroll_offsets = scroll_offsets or {}
         transform_properties = transform_properties or {}
         resolved: List[Optional[ResolvedSpatialNode]] = [None] * len(self.nodes)
+        # per-node sticky state: (viewport_rect, viewport_scroll_offset)
+        # mirrors TransformUpdateState.nearest_scrolling_ancestor_*
+        # (spatial_node.rs:538-541, :710-721)
+        scroll_state: List[Tuple[Optional[Rect], Point2D]] = \
+            [(None, Point2D(0, 0))] * len(self.nodes)
 
         for node in self.nodes:
             if node is None:
                 continue
             if node.parent is None:
                 parent_world = Transform.identity()
+                parent_state = (viewport, Point2D(0, 0))
             else:
                 parent_res = resolved[node.parent]
                 assert parent_res is not None, "parent resolved before child"
                 parent_world = parent_res.world
+                parent_state = scroll_state[node.parent]
+            state = parent_state
 
             if node.kind == SpatialNodeKind.REFERENCE_FRAME:
                 t = node.transform
@@ -135,15 +149,25 @@ class SceneSpatialTree:
                 # translation (scene_building.rs push_reference_frame: the
                 # frame's content is positioned at `origin` in the parent).
                 local = t.post_translate(node.origin.x, node.origin.y)
+                # translate the sticky viewport into this frame's space
+                # (spatial_node.rs:728 — origin only, not the transform)
+                if state[0] is not None:
+                    state = (state[0].translate(-node.origin.x, -node.origin.y),
+                             state[1])
             elif node.kind == SpatialNodeKind.SCROLL_FRAME:
-                cur = scroll_offsets.get(node.external_id,
-                                         node.external_scroll_offset)
-                dx = -(cur.x - node.external_scroll_offset.x)
-                dy = -(cur.y - node.external_scroll_offset.y)
+                stored = self._stored_scroll_offset(node, scroll_offsets)
+                # content translation = stored + external (spatial_node.rs:
+                # the sampled offsets are -(position) - external, and the DL
+                # coordinates already include the external offset)
+                dx = stored.x + node.external_scroll_offset.x
+                dy = stored.y + node.external_scroll_offset.y
                 local = Transform.translation(dx, dy)
+                state = (node.frame_rect, stored)
             else:  # STICKY_FRAME
-                off = self._sticky_offset(node, parent_world, viewport)
+                off = self._sticky_offset(node, state[0], state[1])
                 local = Transform.translation(off.x, off.y)
+                st0 = state[1]
+                state = (state[0], Point2D(st0.x + off.x, st0.y + off.y))
 
             world = local.then(parent_world)
             resolved[node.index] = ResolvedSpatialNode(
@@ -151,43 +175,81 @@ class SceneSpatialTree:
                 is_2d_axis_aligned=world.is_2d_axis_aligned,
                 is_invertible=world.inverse() is not None,
             )
+            scroll_state[node.index] = state
         # Fill gaps (defensive) with identity
         for i, r in enumerate(resolved):
             if r is None:
                 resolved[i] = ResolvedSpatialNode(Transform.identity(), True, True)
         return resolved  # type: ignore
 
-    def _sticky_offset(self, node: SpatialNode, parent_world: Transform,
-                       viewport: Optional[Rect]) -> Point2D:
-        """Sticky positioning (spatial_node.rs StickyFrameInfo semantics,
-        simplified): keep `bounds` within `margins` of the nearest scrollport.
-        """
+    @staticmethod
+    def _stored_scroll_offset(node: SpatialNode, scroll_offsets) -> Point2D:
+        """ScrollFrameInfo::offset (spatial_node.rs:861): sampled offsets are
+        stored as -(position) - external; default sample = -external."""
+        e = node.external_scroll_offset
+        samples = scroll_offsets.get(node.external_id)
+        if not samples:
+            return Point2D(-e.x, -e.y)
+        if isinstance(samples, Point2D):  # plain API offset
+            samples = [(samples, node.scroll_generation)]
+        stored = [(Point2D(-o.x - e.x, -o.y - e.y), gen) for (o, gen) in samples]
+        if not node.has_scroll_linked_effect:
+            return stored[0][0]
+        for off, gen in stored:
+            if gen == node.scroll_generation:
+                return off
+        return stored[0][0]
+
+    def _sticky_offset(self, node: SpatialNode, viewport: Optional[Rect],
+                       viewport_scroll_offset: Point2D) -> Point2D:
+        """spatial_node.rs calculate_sticky_offset (:581-691), exact port."""
         st = node.sticky
         if st is None or viewport is None:
             return Point2D(0, 0)
-        # Find nearest ancestor scroll frame's viewport in world space.
-        scroll = node.parent
-        while scroll is not None and self.nodes[scroll] is not None and \
-                self.nodes[scroll].kind != SpatialNodeKind.SCROLL_FRAME:
-            scroll = self.nodes[scroll].parent
-        if scroll is None or self.nodes[scroll] is None:
-            return Point2D(0, 0)
-        sf = self.nodes[scroll]
-        # bounds in world space under current (pre-sticky) transform
-        world_bounds = parent_world.transform_rect_bounds(st.bounds)
-        vp = parent_world.transform_rect_bounds(sf.frame_rect)
         top, right, bottom, left = st.margins
+        if top is None and bottom is None and left is None and right is None:
+            return Point2D(0, 0)
+        prev = st.previously_applied_offset
+        sx0 = st.bounds.x0 + viewport_scroll_offset.x
+        sy0 = st.bounds.y0 + viewport_scroll_offset.y
+        sx1 = st.bounds.x1 + viewport_scroll_offset.x
+        sy1 = st.bounds.y1 + viewport_scroll_offset.y
         ox = oy = 0.0
-        if top is not None and world_bounds.y0 < vp.y0 + top:
-            oy = (vp.y0 + top) - world_bounds.y0
-        elif bottom is not None and world_bounds.y1 > vp.y1 - bottom:
-            oy = (vp.y1 - bottom) - world_bounds.y1
-        if left is not None and world_bounds.x0 < vp.x0 + left:
-            ox = (vp.x0 + left) - world_bounds.x0
-        elif right is not None and world_bounds.x1 > vp.x1 - right:
-            ox = (vp.x1 - right) - world_bounds.x1
+
+        if top is not None:
+            edge = viewport.y0 + top
+            if sy0 < edge:
+                oy = edge - sy0
+            elif prev.y > 0.0 and sy0 > edge:
+                oy = max(edge - sy0, -prev.y)
+        if oy + prev.y <= 0.0 and bottom is not None:
+            sy0 += oy
+            sy1 += oy
+            edge = viewport.y1 - bottom
+            if sy1 > edge:
+                oy += edge - sy1
+            elif prev.y < 0.0 and sy1 < edge:
+                oy += edge - sy1
+                oy = min(oy, -prev.y)
+
+        if left is not None:
+            edge = viewport.x0 + left
+            if sx0 < edge:
+                ox = edge - sx0
+            elif prev.x > 0.0 and sx0 > edge:
+                ox = max(edge - sx0, -prev.x)
+        if ox + prev.x <= 0.0 and right is not None:
+            sx0 += ox
+            sx1 += ox
+            edge = viewport.x1 - right
+            if sx1 > edge:
+                ox += edge - sx1
+            elif prev.x < 0.0 and sx1 < edge:
+                ox += edge - sx1
+                ox = min(ox, -prev.x)
+
         lo_y, hi_y = st.vertical_offset_bounds
         lo_x, hi_x = st.horizontal_offset_bounds
-        oy = min(max(oy, lo_y), hi_y)
-        ox = min(max(ox, lo_x), hi_x)
+        oy = min(max(oy + prev.y, lo_y), hi_y) - prev.y
+        ox = min(max(ox + prev.x, lo_x), hi_x) - prev.x
         return Point2D(ox, oy)

@@ -64,14 +64,14 @@ def parse_reftest_manifest(path: Path) -> List[ReftestCase]:
             if func == "fuzzy" and len(args) == 2:
                 case.fuzziness.append(Fuzzy(int(args[0]), int(args[1])))
             elif func == "fuzzy-range":
-                # fuzzy-range(<=a,*b) style; take loosest budget
+                # fuzzy-range(<=N,*C) — N max channel diff, C pixel count;
+                # multiple pairs accumulate (reftest.rs parse_range)
+                nums = re.findall(r"\d+", ",".join(args))
                 mx = 0
                 cnt = 0
-                for a in args:
-                    nums = re.findall(r"\d+", a)
-                    if len(nums) >= 2:
-                        mx = max(mx, int(nums[0]))
-                        cnt += int(nums[1])
+                for i in range(0, len(nums) - 1, 2):
+                    mx = max(mx, int(nums[i]))
+                    cnt += int(nums[i + 1])
                 case.fuzziness.append(Fuzzy(mx, cnt))
             elif func == "fuzzy-if":
                 # condition references gl/swgl/android targets; our platform

@@ -788,16 +788,20 @@ class YamlFrameReader:
         external_id = self.next_external_scroll_id
         self.next_external_scroll_id += 1
         if item.get("scroll-offset") is not None:
-            self.scroll_offsets[external_id] = as_point(item["scroll-offset"])
-        if item.get("scroll-offsets"):
-            last = item["scroll-offsets"][-1]
             self.scroll_offsets[external_id] = \
-                as_point(last.get("offset")) or Point2D(0, 0)
+                [(as_point(item["scroll-offset"]), 0)]
+        if item.get("scroll-offsets"):
+            self.scroll_offsets[external_id] = [
+                (as_point(e.get("offset")) or Point2D(0, 0),
+                 int(e.get("generation", 0)))
+                for e in item["scroll-offsets"]]
         clip_id = None
         if item.get("clip-to-frame", False):
             clip_id = dl.define_clip_rect(self._top_space(), clip_rect)
-        sid = dl.define_scroll_frame(self._top_space(), external_id,
-                                     content_rect, clip_rect, ext_offset)
+        sid = dl.define_scroll_frame(
+            self._top_space(), external_id, content_rect, clip_rect,
+            ext_offset, int(item.get("scroll-generation", 0)),
+            bool(item.get("has-scroll-linked-effect", False)))
         if numeric_id is not None:
             self.user_spatial_id_map[numeric_id] = sid
             if clip_id is not None:
@@ -907,32 +911,31 @@ class YamlFrameReader:
 
     def _handle_gradient(self, dl, item, info):
         bounds = as_rect(item[self._bounds_key(item, "gradient")])
-        g = Gradient(as_point(item["start"]), as_point(item["end"]),
-                     ExtendMode.REPEAT if item.get("repeat") else ExtendMode.CLAMP)
-        stops = as_gradient_stops(item["stops"])
+        mode = ExtendMode.REPEAT if item.get("repeat") else ExtendMode.CLAMP
+        g, stops = dl.create_gradient(as_point(item["start"]),
+                                      as_point(item["end"]),
+                                      as_gradient_stops(item["stops"]), mode)
         tile_size = as_size(item.get("tile-size")) or bounds.size
         tile_spacing = as_size(item.get("tile-spacing")) or Size2D(0, 0)
         dl.push_gradient(info, bounds, g, stops, tile_size, tile_spacing)
 
     def _handle_radial_gradient(self, dl, item, info):
         bounds = as_rect(item[self._bounds_key(item, "radial-gradient")])
-        g = RadialGradient(as_point(item["center"]), as_size(item["radius"]),
-                           0.0, 1.0,
-                           ExtendMode.REPEAT if item.get("repeat")
-                           else ExtendMode.CLAMP)
-        stops = as_gradient_stops(item["stops"])
+        mode = ExtendMode.REPEAT if item.get("repeat") else ExtendMode.CLAMP
+        g, stops = dl.create_radial_gradient(as_point(item["center"]),
+                                             as_size(item["radius"]),
+                                             as_gradient_stops(item["stops"]),
+                                             mode)
         tile_size = as_size(item.get("tile-size")) or bounds.size
         tile_spacing = as_size(item.get("tile-spacing")) or Size2D(0, 0)
         dl.push_radial_gradient(info, bounds, g, stops, tile_size, tile_spacing)
 
     def _handle_conic_gradient(self, dl, item, info):
         bounds = as_rect(item[self._bounds_key(item, "conic-gradient")])
-        g = ConicGradient(as_point(item["center"]),
-                          math.radians(float(as_f32(item["angle"]))),
-                          0.0, 1.0,
-                          ExtendMode.REPEAT if item.get("repeat")
-                          else ExtendMode.CLAMP)
-        stops = as_gradient_stops(item["stops"])
+        mode = ExtendMode.REPEAT if item.get("repeat") else ExtendMode.CLAMP
+        g, stops = dl.create_conic_gradient(
+            as_point(item["center"]), float(as_f32(item["angle"])),
+            as_gradient_stops(item["stops"]), mode)
         tile_size = as_size(item.get("tile-size")) or bounds.size
         tile_spacing = as_size(item.get("tile-spacing")) or Size2D(0, 0)
         dl.push_conic_gradient(info, bounds, g, stops, tile_size, tile_spacing)
@@ -1016,7 +1019,7 @@ class YamlFrameReader:
         if item.get("blend-container", False):
             flags |= StackingContextFlags.IS_BLEND_CONTAINER
         if is_root and item.get("scroll-offset") is not None:
-            self.scroll_offsets[0] = as_point(item["scroll-offset"])
+            self.scroll_offsets[0] = [(as_point(item["scroll-offset"]), 0)]
         filters = as_vec_filter_op(item.get("filters"))
 
         dl.push_stacking_context(
