@@ -52,9 +52,18 @@ from .transforms import (build_transform_palette, device_bounds_of_rect,
 PASS_RASTER = 0
 PASS_BLUR_H = 1
 PASS_BLUR_V = 2
+PASS_COPY = 3          # copy src_region (src_target) → region (surface atlas)
+PASS_CHANNEL_LUT = 4   # per-channel 256-entry LUT on straight-alpha values
+PASS_DOWNSCALE = 5     # 2x2 box downscale src_region → region (half size)
 
 TARGET_ROOT = -1
 TARGET_SURFACE = 2  # matches resources.ATLAS_SURFACE
+
+# WR clamps per-pass blur std dev and downscales instead
+# (render_task.rs MAX_BLUR_STD_DEVIATION=4.0; we allow more per pass since a
+# wide separable kernel is cheap on the VPU, but bound it to keep surface
+# allocations small)
+MAX_BLUR_SIGMA = 32.0
 
 
 @dataclass
@@ -68,9 +77,11 @@ class RenderPass:
     tile_counts: Optional[np.ndarray] = None
     nx: int = 0
     ny: int = 0
-    # blur passes:
+    # blur/copy/lut/downscale passes:
     src_region: Tuple[int, int, int, int] = (0, 0, 0, 0)
+    src_target: int = TARGET_SURFACE
     sigma: float = 0.0
+    lut: Optional[np.ndarray] = None      # [4, 256] channel LUT
 
 
 @dataclass
@@ -107,6 +118,7 @@ class FrameBuilder:
         w, h = device_size
         self.viewport = Rect(0, 0, w, h)
 
+        self._properties = properties or {}
         self.resolved = scene.spatial_tree.resolve(
             scroll_offsets=scroll_offsets,
             transform_properties=properties,
@@ -133,15 +145,9 @@ class FrameBuilder:
         root_insts: List[int] = []
         self._process_picture(scene.root, root_insts)
 
-        tile_insts, tile_counts, nx, ny = bin_instances(
-            root_insts, [self.metas[i].bbox for i in root_insts],
-            (0.0, 0.0), (w, h))
         bg = scene.background_color or ColorF.WHITE
-        root_pass = RenderPass(PASS_RASTER, TARGET_ROOT, (0, 0, w, h),
-                               (0.0, 0.0), clear=bg.premultiplied(),
-                               tile_insts=tile_insts, tile_counts=tile_counts,
-                               nx=nx, ny=ny)
-        self.passes.append(root_pass)
+        self._emit_target_passes(root_insts, TARGET_ROOT, (0, 0, w, h),
+                                 (0.0, 0.0), bg.premultiplied())
 
         f32_buf, instances = self.gb.finish()
         bboxes = np.zeros((instances.shape[0], 4), np.float32)
@@ -154,7 +160,13 @@ class FrameBuilder:
     # picture traversal / surfaces
     # ------------------------------------------------------------------
     def _process_picture(self, pic: PicturePrim, out: List[int]) -> None:
-        for child in pic.children:
+        if pic.composite.preserve_3d:
+            # children of a preserve-3d context are individual 3D planes,
+            # depth-sorted (plane splitting simplified; BSP TODO)
+            children = sorted(pic.children, key=self._child_depth)
+        else:
+            children = pic.children
+        for child in children:
             if isinstance(child, PicturePrim):
                 if child.composite.needs_surface or child.shadow is not None:
                     self._build_surface(child, out)
@@ -163,40 +175,196 @@ class FrameBuilder:
             else:
                 self._prepare_prim(child, out)
 
-    def _build_surface(self, pic: PicturePrim, out: List[int]) -> None:
-        """Render `pic` into a surface-atlas region, then emit composite
-        instance(s) into the parent (`picture.rs` PictureCompositeMode)."""
-        child_insts: List[int] = []
-        self._process_picture(pic, child_insts)
-        if not child_insts:
-            return
+    def _child_depth(self, child) -> float:
+        m = self.resolved[child.common.spatial_node].world.m
+        w = m[15] if abs(m[15]) > 1e-9 else 1e-9
+        return m[14] / w
 
-        # accumulate filter state
+    def _sc_backface_culled(self, spatial: Optional[int]) -> bool:
+        """SC-level backface: own plane orientation, no 3D-context
+        requirement (backface-sc.yaml vs backface-both-sides.yaml)."""
+        if spatial is None:
+            return False
+        return self.scene.spatial_tree.orientation_normal_z(
+            spatial, self._properties) < 0
+
+    def _emit_target_passes(self, insts: List, target: int,
+                            region: Tuple[int, int, int, int],
+                            origin: Tuple[float, float],
+                            clear) -> None:
+        """Bin instances into raster passes over one target, splitting at
+        backdrop-filter markers (the Readback / BackdropCapture role of
+        render_task.rs re-designed: the backdrop is just the target array)."""
+        segments: List[List[int]] = [[]]
+        markers: List = []
+        for e in insts:
+            if isinstance(e, tuple) and e[0] == "backdrop":
+                markers.append(e[1])
+                segments.append([])
+            else:
+                segments[-1].append(e)
+        x, y, w, h = region
+        ox, oy = origin
+        for i, seg in enumerate(segments):
+            if i > 0:
+                inst = self._emit_backdrop_instance(markers[i - 1], target,
+                                                    region, origin)
+                if inst is not None:
+                    seg.insert(0, inst)
+            if seg or i == 0:
+                tile_insts, tile_counts, nx, ny = bin_instances(
+                    seg, [self.metas[j].bbox for j in seg], (ox, oy), (w, h))
+                self.passes.append(RenderPass(
+                    PASS_RASTER, target, region, (float(ox), float(oy)),
+                    clear=clear if i == 0 else None,
+                    tile_insts=tile_insts, tile_counts=tile_counts,
+                    nx=nx, ny=ny))
+
+    def _emit_backdrop_instance(self, prim, target: int,
+                                region: Tuple[int, int, int, int],
+                                origin: Tuple[float, float]) -> Optional[int]:
+        """Copy the backdrop region out of the target, filter it, and return
+        a PICTURE instance that composites the result back."""
+        c = prim.common
+        clip_addr, clip_count, clip_bbox = self._serialize_clips(
+            c.clip_chain, c.spatial_node)
+        db = device_bounds_of_rect(self.H_dev[c.spatial_node],
+                                   c.clip_rect.x0, c.clip_rect.y0,
+                                   c.clip_rect.x1, c.clip_rect.y1)
+        bbox = list(db)
+        if clip_bbox is not None:
+            bbox = [max(bbox[0], clip_bbox[0]), max(bbox[1], clip_bbox[1]),
+                    min(bbox[2], clip_bbox[2]), min(bbox[3], clip_bbox[3])]
+        x, y, w, h = region
+        ox, oy = origin
+        bbox = [max(bbox[0], ox), max(bbox[1], oy),
+                min(bbox[2], ox + w), min(bbox[3], oy + h)]
+        if bbox[2] <= bbox[0] or bbox[3] <= bbox[1]:
+            return None
+        bx0 = int(math.floor(bbox[0]))
+        by0 = int(math.floor(bbox[1]))
+        bw = int(math.ceil(bbox[2])) - bx0
+        bh = int(math.ceil(bbox[3])) - by0
+        dst = self.surface_atlas.alloc(bw, bh)
+        assert dst is not None, "surface atlas full (backdrop)"
+        # src coords: device → target-array coords
+        sx = x + int(bx0 - ox)
+        sy = y + int(by0 - oy)
+        self.passes.append(RenderPass(
+            PASS_COPY, TARGET_SURFACE, (dst.x, dst.y, bw, bh),
+            src_region=(sx, sy, bw, bh), src_target=target))
+        dst = AtlasRegion(dst.x, dst.y, bw, bh)
+
+        fs = self._accumulate_filters(prim.filters, prim.filter_datas,
+                                      c.spatial_node)
+        if fs["channel_lut"] is not None:
+            lut_dst = self.surface_atlas.alloc(bw, bh)
+            assert lut_dst is not None, "surface atlas full (backdrop lut)"
+            self.passes.append(RenderPass(
+                PASS_CHANNEL_LUT, TARGET_SURFACE,
+                (lut_dst.x, lut_dst.y, bw, bh),
+                src_region=(dst.x, dst.y, bw, bh), lut=fs["channel_lut"]))
+            dst = AtlasRegion(lut_dst.x, lut_dst.y, bw, bh)
+        scale = 1
+        blur_sx, blur_sy = fs["blur"]
+        if blur_sx > 0 or blur_sy > 0:
+            dst, scale = self._push_blur(dst, blur_sx, blur_sy)
+
+        rect = [float(bx0), float(by0), float(bx0 + bw), float(by0 + bh)]
+        payload = rect + rect
+        payload += [dst.x, dst.y, dst.x + bw / scale, dst.y + bh / scale]
+        op = fs["opacity"]
+        payload += [op, op, op, op]
+        cm = fs["color_matrix"]
+        if cm is None:
+            payload += list(identity_color_matrix().reshape(-1)) + [0.0]
+        else:
+            payload += list(np.asarray(cm, np.float32).reshape(-1)) + [1.0]
+        addr = self.gb.push_f32(payload)
+        idx = self.gb.push_instance(KIND_PICTURE, self.device_spatial, addr,
+                                    clip_addr, clip_count, BLEND_NORMAL,
+                                    edge_aa=0)
+        self.metas.append(_InstanceMeta(tuple(bbox)))
+        return idx
+
+    def _accumulate_filters(self, filters, filter_datas, spatial: int):
+        """Fold a CSS filter chain into blur sigmas (device px), a color
+        matrix, a channel LUT, opacity, and drop shadows
+        (picture.rs PictureCompositeMode::Filter handling)."""
+        pal = self.palette[spatial]
+        dev_sx, dev_sy = float(pal[9]), float(pal[10])
         blur_sx = blur_sy = 0.0
         color_matrix: Optional[np.ndarray] = None
         opacity = 1.0
         drop_shadows: List = []
-        for f in pic.composite.filters:
+        channel_lut: Optional[np.ndarray] = None
+        fd_iter = iter(filter_datas)
+        for f in filters:
             k = f.kind
             if k == FilterOpKind.OPACITY:
                 opacity *= f.value
             elif k == FilterOpKind.BLUR:
-                blur_sx += f.value
-                blur_sy += f.value2
+                # picture.rs MAX_BLUR_RADIUS (=100) clamps scaled blur radii
+                blur_sx = min(blur_sx + f.value * dev_sx, 100.0)
+                blur_sy = min(blur_sy + f.value2 * dev_sy, 100.0)
             elif k == FilterOpKind.DROP_SHADOW:
                 drop_shadows.append(f.shadow)
             elif k == FilterOpKind.IDENTITY:
                 pass
+            elif k == FilterOpKind.COMPONENT_TRANSFER:
+                fd = next(fd_iter, None)
+                if fd is not None:
+                    lut = _component_transfer_lut(fd)
+                    channel_lut = lut if channel_lut is None else \
+                        _compose_channel_lut(lut, channel_lut)
+            elif k == FilterOpKind.SRGB_TO_LINEAR:
+                lut = _srgb_lut(to_linear=True)
+                channel_lut = lut if channel_lut is None else \
+                    _compose_channel_lut(lut, channel_lut)
+            elif k == FilterOpKind.LINEAR_TO_SRGB:
+                lut = _srgb_lut(to_linear=False)
+                channel_lut = lut if channel_lut is None else \
+                    _compose_channel_lut(lut, channel_lut)
+            elif k == FilterOpKind.FLOOD:
+                c = f.shadow.color if f.shadow else ColorF.BLACK
+                color_matrix = np.zeros((4, 5), np.float32)
+                color_matrix[0, 4] = c.r
+                color_matrix[1, 4] = c.g
+                color_matrix[2, 4] = c.b
+                color_matrix[3, 4] = c.a
             else:
                 m = _filter_color_matrix(k, f)
                 if m is not None:
                     color_matrix = m if color_matrix is None \
                         else _compose_color_matrix(m, color_matrix)
+        return {"blur": (blur_sx, blur_sy), "color_matrix": color_matrix,
+                "opacity": opacity, "drop_shadows": drop_shadows,
+                "channel_lut": channel_lut, "dev_scale": (dev_sx, dev_sy)}
+
+    def _build_surface(self, pic: PicturePrim, out: List[int]) -> None:
+        """Render `pic` into a surface-atlas region, then emit composite
+        instance(s) into the parent (`picture.rs` PictureCompositeMode)."""
+        if self._sc_backface_culled(pic.common.backface_cull_spatial):
+            return
+        child_insts: List[int] = []
+        self._process_picture(pic, child_insts)
+        if not child_insts:
+            return
+
+        fs = self._accumulate_filters(pic.composite.filters,
+                                      pic.composite.filter_datas,
+                                      pic.common.spatial_node)
+        blur_sx, blur_sy = fs["blur"]
+        color_matrix = fs["color_matrix"]
+        opacity = fs["opacity"]
+        drop_shadows = fs["drop_shadows"]
+        channel_lut = fs["channel_lut"]
+        dev_sx, dev_sy = fs["dev_scale"]
         if pic.shadow is not None:
             # text/box shadow picture: std dev = blur_radius / 2
             # (scene_building.rs push_shadow semantics)
-            blur_sx += pic.shadow.blur_radius * 0.5
-            blur_sy += pic.shadow.blur_radius * 0.5
+            blur_sx += pic.shadow.blur_radius * 0.5 * dev_sx
+            blur_sy += pic.shadow.blur_radius * 0.5 * dev_sy
 
         inflate = int(math.ceil(3.0 * max(blur_sx, blur_sy)))
         for sh in drop_shadows:
@@ -205,10 +373,14 @@ class FrameBuilder:
 
         bbox = None
         for i in child_insts:
+            if isinstance(i, tuple):
+                continue
             b = self.metas[i].bbox
             bbox = b if bbox is None else (
                 min(bbox[0], b[0]), min(bbox[1], b[1]),
                 max(bbox[2], b[2]), max(bbox[3], b[3]))
+        if bbox is None:
+            return
         # the picture's own clips restrict what we must rasterize
         clip_addr, clip_count, clip_bbox = self._serialize_clips(
             pic.common.clip_chain, pic.common.spatial_node)
@@ -226,32 +398,48 @@ class FrameBuilder:
         sh_ = int(math.ceil(bbox[3]) - y0) + inflate
         region = self.surface_atlas.alloc(sw, sh_)
         assert region is not None, "surface atlas full"
+        # content size (the atlas allocator rounds regions up to its
+        # alignment; compositing must hug the content or filters would
+        # process the transparent padding)
+        cw, ch = sw, sh_
 
-        tile_insts, tile_counts, nx, ny = bin_instances(
-            child_insts, [self.metas[i].bbox for i in child_insts],
-            (x0, y0), (region.w, region.h))
-        self.passes.append(RenderPass(
-            PASS_RASTER, TARGET_SURFACE,
-            (region.x, region.y, region.w, region.h), (float(x0), float(y0)),
-            clear=(0.0, 0.0, 0.0, 0.0), tile_insts=tile_insts,
-            tile_counts=tile_counts, nx=nx, ny=ny))
+        self._emit_target_passes(
+            child_insts, TARGET_SURFACE,
+            (region.x, region.y, region.w, region.h), (x0, y0),
+            (0.0, 0.0, 0.0, 0.0))
 
         content_region = region
+        content_scale = 1
+        if channel_lut is not None:
+            dst = self.surface_atlas.alloc(region.w, region.h)
+            assert dst is not None, "surface atlas full (lut)"
+            self.passes.append(RenderPass(
+                PASS_CHANNEL_LUT, TARGET_SURFACE,
+                (dst.x, dst.y, region.w, region.h),
+                src_region=(region.x, region.y, region.w, region.h),
+                lut=channel_lut))
+            content_region = AtlasRegion(dst.x, dst.y, region.w, region.h)
         if blur_sx > 0 or blur_sy > 0:
-            content_region = self._push_blur(region, blur_sx, blur_sy)
+            content_region, content_scale = self._push_blur(
+                content_region, blur_sx, blur_sy)
 
         # drop shadows: blurred+tinted copies behind the content
         for sh in drop_shadows:
-            sigma = sh.blur_radius * 0.5
-            shadow_region = self._push_blur(region, sigma, sigma) \
-                if sigma > 0 else region
+            sigma = sh.blur_radius * 0.5 * dev_sx
+            if sigma > 0:
+                shadow_region, shadow_scale = self._push_blur(region, sigma,
+                                                              sigma)
+            else:
+                shadow_region, shadow_scale = region, 1
             m = np.zeros((4, 5), np.float32)
             m[0, 4], m[1, 4], m[2, 4] = sh.color.r, sh.color.g, sh.color.b
             m[3, 3] = sh.color.a
-            self._emit_composite(shadow_region, (x0 + sh.offset.x,
-                                                 y0 + sh.offset.y),
-                                 (region.w, region.h), pic, 1.0, m,
-                                 clip_addr, clip_count, clip_bbox, out)
+            self._emit_composite(shadow_region,
+                                 (x0 + sh.offset.x * dev_sx,
+                                  y0 + sh.offset.y * dev_sy),
+                                 (cw, ch), pic, 1.0, m,
+                                 clip_addr, clip_count, clip_bbox, out,
+                                 scale=shadow_scale)
 
         cm = color_matrix
         tint = None
@@ -261,36 +449,53 @@ class FrameBuilder:
             tint[0, 4], tint[1, 4], tint[2, 4] = c.r, c.g, c.b
             tint[3, 3] = c.a
             cm = tint if cm is None else _compose_color_matrix(tint, cm)
-        self._emit_composite(content_region, (x0, y0), (region.w, region.h),
+        self._emit_composite(content_region, (x0, y0), (cw, ch),
                              pic, opacity, cm, clip_addr, clip_count,
-                             clip_bbox, out)
+                             clip_bbox, out, scale=content_scale)
 
-    def _push_blur(self, src: AtlasRegion, sx: float, sy: float) -> AtlasRegion:
-        """Separable blur: H pass into a temp region, V pass into a final
-        region (`render_task.rs` VerticalBlur/HorizontalBlur)."""
-        tmp = self.surface_atlas.alloc(src.w, src.h)
-        dst = self.surface_atlas.alloc(src.w, src.h)
+    def _push_blur(self, src: AtlasRegion, sx: float, sy: float
+                   ) -> Tuple[AtlasRegion, int]:
+        """Separable blur: optional downscale chain for large radii
+        (`render_task.rs` MAX_BLUR_STD_DEVIATION + cs_scale), then an H pass
+        into a temp region and a V pass into the final region.
+        Returns (region, scale): the result is 1/scale the source size."""
+        scale = 1
+        cur = src
+        while max(sx, sy) / scale > MAX_BLUR_SIGMA and \
+                cur.w > 16 and cur.h > 16:
+            hw = (cur.w + 1) // 2
+            hh = (cur.h + 1) // 2
+            half = self.surface_atlas.alloc(hw, hh)
+            assert half is not None, "surface atlas full (downscale)"
+            self.passes.append(RenderPass(
+                PASS_DOWNSCALE, TARGET_SURFACE, (half.x, half.y, hw, hh),
+                src_region=(cur.x, cur.y, cur.w, cur.h)))
+            cur = AtlasRegion(half.x, half.y, hw, hh)
+            scale *= 2
+        tmp = self.surface_atlas.alloc(cur.w, cur.h)
+        dst = self.surface_atlas.alloc(cur.w, cur.h)
         assert tmp is not None and dst is not None, "surface atlas full (blur)"
         self.passes.append(RenderPass(
             PASS_BLUR_H, TARGET_SURFACE,
-            (tmp.x, tmp.y, src.w, src.h),
-            src_region=(src.x, src.y, src.w, src.h), sigma=sx))
+            (tmp.x, tmp.y, cur.w, cur.h),
+            src_region=(cur.x, cur.y, cur.w, cur.h), sigma=sx / scale))
         self.passes.append(RenderPass(
             PASS_BLUR_V, TARGET_SURFACE,
-            (dst.x, dst.y, src.w, src.h),
-            src_region=(tmp.x, tmp.y, src.w, src.h), sigma=sy))
-        return AtlasRegion(dst.x, dst.y, src.w, src.h)
+            (dst.x, dst.y, cur.w, cur.h),
+            src_region=(tmp.x, tmp.y, cur.w, cur.h), sigma=sy / scale))
+        return AtlasRegion(dst.x, dst.y, cur.w, cur.h), scale
 
     def _emit_composite(self, region: AtlasRegion, origin: Tuple[float, float],
                         size: Tuple[int, int], pic: PicturePrim,
                         opacity: float, color_matrix: Optional[np.ndarray],
                         clip_addr: int, clip_count: int,
-                        clip_bbox, out: List[int]) -> None:
+                        clip_bbox, out: List[int], scale: int = 1) -> None:
         x0, y0 = origin
         w, h = size
         rect = [x0, y0, x0 + w, y0 + h]
         payload = list(rect) + list(rect)
-        payload += [region.x, region.y, region.x + w, region.y + h]
+        payload += [region.x, region.y,
+                    region.x + w / scale, region.y + h / scale]
         payload += [opacity, opacity, opacity, opacity]  # premult color mod
         if color_matrix is None:
             payload += list(identity_color_matrix().reshape(-1)) + [0.0]
@@ -308,6 +513,28 @@ class FrameBuilder:
                     min(bbox[2], clip_bbox[2]), min(bbox[3], clip_bbox[3]))
         self.metas.append(_InstanceMeta(bbox))
         out.append(idx)
+
+    # ------------------------------------------------------------------
+    # snapping (spatial_node.rs snapping_transform / util.rs snap:
+    # axis-aligned rects snap to whole device pixels)
+    # ------------------------------------------------------------------
+    def _snap_rect(self, rect: Rect, spatial: int) -> Rect:
+        if not self.resolved[spatial].is_2d_axis_aligned:
+            return rect
+        H = self.H_dev[spatial]
+        sx, sy = H[0, 0], H[1, 1]
+        tx, ty = H[2, 0], H[2, 1]
+        if abs(sx) < 1e-9 or abs(sy) < 1e-9:
+            return rect
+        if not all(math.isfinite(v) for v in (rect.x0, rect.y0, rect.x1,
+                                              rect.y1, sx, sy, tx, ty)):
+            return rect
+        dx0 = round(rect.x0 * sx + tx)
+        dy0 = round(rect.y0 * sy + ty)
+        dx1 = round(rect.x1 * sx + tx)
+        dy1 = round(rect.y1 * sy + ty)
+        return Rect.from_bounds((dx0 - tx) / sx, (dy0 - ty) / sy,
+                                (dx1 - tx) / sx, (dy1 - ty) / sy)
 
     # ------------------------------------------------------------------
     # snapping (spatial_node.rs snapping_transform / util.rs snap:
@@ -367,12 +594,16 @@ class FrameBuilder:
             elif node.kind == ClipKind.ROUNDED_RECT:
                 rec[14] = 1.0
             elif node.kind == ClipKind.IMAGE_MASK:
-                rec[14] = 2.0
                 req = self.resources.request_image(node.image_key)
                 if req is not None:
+                    rec[14] = 2.0
                     reg, desc = req
                     rec[16:20] = [reg.x, reg.y, reg.x + desc.width,
                                   reg.y + desc.height]
+                else:
+                    # invalid image key: mask degrades to its placement rect
+                    # (mask/missing-mask.yaml behavior)
+                    rec[14] = 0.0
             elif node.kind == ClipKind.BOX_SHADOW:
                 rec[14] = 1.0
             records.extend(rec)
@@ -406,7 +637,9 @@ class FrameBuilder:
         if int(flags) & 1:
             return  # non-invertible transform
         if (int(flags) & 2) and not c.is_backface_visible:
-            return  # backface culled
+            return  # backface culled (preserve-3d context)
+        if self._sc_backface_culled(c.backface_cull_spatial):
+            return  # enclosing SC declared backface-visible: false
         axis_aligned = self.resolved[c.spatial_node].is_2d_axis_aligned
 
         if isinstance(prim, RectanglePrim):
@@ -446,7 +679,9 @@ class FrameBuilder:
         if isinstance(prim, NinePatchBorderPrim):
             return  # TODO: nine-patch borders
         if isinstance(prim, BackdropFilterPrim):
-            return  # TODO: backdrop filters
+            # pass break: the target content so far becomes this prim's input
+            out.append(("backdrop", prim))
+            return
         raise NotImplementedError(type(prim).__name__)
 
     # --- helpers -----------------------------------------------------------
@@ -481,12 +716,15 @@ class FrameBuilder:
             c.clip_chain, c.spatial_node)
         db = device_bounds_of_rect(self.H_dev[c.spatial_node],
                                    cov.x0, cov.y0, cov.x1, cov.y1)
-        bbox = (db[0] - 1, db[1] - 1, db[2] + 1, db[3] + 1)
+        # tight bbox: AA spill (±1) is added at binning / span evaluation,
+        # NOT here — surface regions must hug the content or filters would
+        # process the transparent border (filter-component-transfer)
+        bbox = db
         if clip_bbox is not None:
-            bbox = (max(bbox[0], clip_bbox[0] - 1),
-                    max(bbox[1], clip_bbox[1] - 1),
-                    min(bbox[2], clip_bbox[2] + 1),
-                    min(bbox[3], clip_bbox[3] + 1))
+            bbox = (max(bbox[0], clip_bbox[0]),
+                    max(bbox[1], clip_bbox[1]),
+                    min(bbox[2], clip_bbox[2]),
+                    min(bbox[3], clip_bbox[3]))
         vp = self.viewport
         bbox = (max(bbox[0], vp.x0 - 4096), max(bbox[1], vp.y0 - 4096),
                 min(bbox[2], vp.x1 + 4096), min(bbox[3], vp.y1 + 4096))
@@ -620,12 +858,12 @@ class FrameBuilder:
                                         clip_addr, clip_count, BLEND_NORMAL, 0)
             db = device_bounds_of_rect(self.H_dev[c.spatial_node],
                                        cov.x0, cov.y0, cov.x1, cov.y1)
-            bbox = (db[0] - 1, db[1] - 1, db[2] + 1, db[3] + 1)
+            bbox = db
             if clip_bbox is not None:
-                bbox = (max(bbox[0], clip_bbox[0] - 1),
-                        max(bbox[1], clip_bbox[1] - 1),
-                        min(bbox[2], clip_bbox[2] + 1),
-                        min(bbox[3], clip_bbox[3] + 1))
+                bbox = (max(bbox[0], clip_bbox[0]),
+                        max(bbox[1], clip_bbox[1]),
+                        min(bbox[2], clip_bbox[2]),
+                        min(bbox[3], clip_bbox[3]))
             if bbox[2] <= bbox[0] or bbox[3] <= bbox[1]:
                 continue
             self.metas.append(_InstanceMeta(bbox))
@@ -750,10 +988,76 @@ def _filter_color_matrix(kind: FilterOpKind, f) -> Optional[np.ndarray]:
         m[0, 4] = m[1, 4] = m[2, 4] = 0.5 - 0.5 * v
         m[3, 3] = 1.0
     elif kind == FilterOpKind.COLOR_MATRIX:
-        m = np.asarray(f.matrix, np.float32).reshape(4, 5)
+        # FilterOp::ColorMatrix is column-major 5x4: groups of 4 are the
+        # output coefficients of inputs (r, g, b, a, offset)
+        # (filter-color-matrix.yaml expectations)
+        m = np.asarray(f.matrix, np.float32).reshape(5, 4).T
     else:
         return None
     return m
+
+
+def _component_transfer_lut(fd) -> np.ndarray:
+    """Bake SVG feComponentTransfer functions into a [4, 256] LUT
+    (display_item.rs FilterData / cs_svg_filter ComponentTransfer)."""
+    from ..api.display_item import ComponentTransferFuncType as F
+    x = np.linspace(0.0, 1.0, 256, dtype=np.float64)
+    out = np.zeros((4, 256), np.float32)
+    chans = [(fd.func_r, fd.values_r), (fd.func_g, fd.values_g),
+             (fd.func_b, fd.values_b), (fd.func_a, fd.values_a)]
+    for i, (func, vals) in enumerate(chans):
+        v = [float(t) for t in vals]
+        if func == F.IDENTITY or (func in (F.TABLE, F.DISCRETE) and not v):
+            y = x
+        elif func == F.TABLE:
+            if len(v) == 1:
+                y = np.full_like(x, v[0])
+            else:
+                n = len(v) - 1
+                k = np.clip(np.floor(x * n).astype(int), 0, n - 1)
+                y = np.array(v)[k] + (x * n - k) * (np.array(v)[k + 1] -
+                                                    np.array(v)[k])
+        elif func == F.DISCRETE:
+            n = len(v)
+            k = np.clip(np.floor(x * n).astype(int), 0, n - 1)
+            y = np.array(v)[k]
+        elif func == F.LINEAR:
+            slope = v[0] if len(v) > 0 else 1.0
+            intercept = v[1] if len(v) > 1 else 0.0
+            y = slope * x + intercept
+        elif func == F.GAMMA:
+            amp = v[0] if len(v) > 0 else 1.0
+            exp = v[1] if len(v) > 1 else 1.0
+            off = v[2] if len(v) > 2 else 0.0
+            y = amp * np.power(x, exp) + off
+        else:
+            y = x
+        out[i] = np.clip(y, 0.0, 1.0).astype(np.float32)
+    return out
+
+
+def _srgb_lut(to_linear: bool) -> np.ndarray:
+    """srgb-to-linear / linear-to-srgb filters as channel LUTs."""
+    x = np.linspace(0.0, 1.0, 256, dtype=np.float64)
+    if to_linear:
+        y = np.where(x <= 0.04045, x / 12.92,
+                     np.power((x + 0.055) / 1.055, 2.4))
+    else:
+        y = np.where(x <= 0.0031308, x * 12.92,
+                     1.055 * np.power(x, 1.0 / 2.4) - 0.055)
+    lut = np.zeros((4, 256), np.float32)
+    lut[:3] = np.clip(y, 0.0, 1.0)
+    lut[3] = x
+    return lut
+
+
+def _compose_channel_lut(l2: np.ndarray, l1: np.ndarray) -> np.ndarray:
+    """Apply l1 then l2."""
+    idx = np.clip(np.rint(l1 * 255.0).astype(int), 0, 255)
+    out = np.zeros_like(l1)
+    for c in range(4):
+        out[c] = l2[c][idx[c]]
+    return out
 
 
 def _compose_color_matrix(m2: np.ndarray, m1: np.ndarray) -> np.ndarray:

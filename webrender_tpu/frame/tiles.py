@@ -41,10 +41,11 @@ def bin_instances(inst_indices: Sequence[int],
     nt = nx * ny
     lists: List[List[int]] = [[] for _ in range(nt)]
     for idx, (x0, y0, x1, y1) in zip(inst_indices, bboxes):
-        tx0 = int(np.floor((x0 - ox) / TILE_W))
-        ty0 = int(np.floor((y0 - oy) / TILE_H))
-        tx1 = int(np.ceil((x1 - ox) / TILE_W))
-        ty1 = int(np.ceil((y1 - oy) / TILE_H))
+        # ±1 covers anti-aliasing spill beyond the tight bbox
+        tx0 = int(np.floor((x0 - 1 - ox) / TILE_W))
+        ty0 = int(np.floor((y0 - 1 - oy) / TILE_H))
+        tx1 = int(np.ceil((x1 + 1 - ox) / TILE_W))
+        ty1 = int(np.ceil((y1 + 1 - oy) / TILE_H))
         tx0 = max(tx0, 0)
         ty0 = max(ty0, 0)
         tx1 = min(tx1, nx)

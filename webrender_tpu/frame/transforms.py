@@ -52,9 +52,8 @@ def build_transform_palette(resolved: List[ResolvedSpatialNode],
         # AA scale: norms of the forward 2D jacobian columns at the origin
         sx = float(np.hypot(m[0], m[1]) * dpr)
         sy = float(np.hypot(m[4], m[5]) * dpr)
-        # backface: z of cross(e1, e2) for transformed basis vectors
-        normal_z = m[0] * m[5] - m[1] * m[4]
-        if normal_z < 0:
+        # backface only within a preserve-3d context (spatial_tree.resolve)
+        if node.backface:
             flags += 2.0
         out[i, 0:9] = Hinv.reshape(-1).astype(np.float32)
         out[i, 9] = sx if sx > 1e-9 else 1.0

@@ -360,9 +360,14 @@ def apply_color_matrix(xp, color, m20, flag):
 
 def pattern_picture(xp, p, px, py, surface_atlas):
     """Composite a rendered surface region (the `composite.glsl` /
-    ps_split_composite role): device-space 1:1 with optional color matrix."""
-    u = p[8] + (px - p[0])
-    v = p[9] + (py - p[1])
+    ps_split_composite role): device-space mapping (1:1 or scaled when the
+    surface was rendered through a downscale chain), optional color matrix."""
+    w = xp.maximum(p[2] - p[0], 1e-6)
+    h = xp.maximum(p[3] - p[1], 1e-6)
+    su = (p[10] - p[8]) / w
+    sv = (p[11] - p[9]) / h
+    u = p[8] + (px - p[0]) * su
+    v = p[9] + (py - p[1]) * sv
     texel = sample_rgba(xp, surface_atlas, u, v, p[8], p[9], p[10], p[11], 0.0)
     mod = xp.stack([p[12], p[13], p[14], p[15]], 0)
     texel = texel * mod[:, None, None]
@@ -375,8 +380,9 @@ def pattern_picture(xp, p, px, py, surface_atlas):
 def clip_coverage(xp, rec, transforms, px, py, mask_plane, gather_row):
     """Coverage multiplier of one clip record (frame/gpu.py layout).
     `gather_row(transforms, idx)` fetches a palette row (backend-specific);
-    `mask_plane` is the color atlas's alpha plane [H, W] (image masks are
-    regular images; their alpha channel is the mask — `clip.rs` ImageMask).
+    `mask_plane` is the color atlas's RED plane [H, W]: image masks render
+    via ps_quad_textured into an R8 mask target, so the premultiplied red
+    channel is the mask value (renderer/mod.rs:2336).
     The mask rect maps the image onto rec[0:4] (scaled)."""
     spatial = rec[13].astype("int32") if hasattr(rec, "dtype") else int(rec[13])
     trow = gather_row(transforms, spatial)

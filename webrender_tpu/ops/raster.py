@@ -72,7 +72,10 @@ def _pattern_branch(kind: int):
 def render_tiles(f32_buf, instances, transforms, tile_insts, tile_origins,
                  clear_color, color_atlas, alpha_atlas, surface_atlas,
                  *, kinds: Tuple[int, ...], blends: Tuple[int, ...]):
-    """Render all tiles of one pass → [nt, 4, TILE_H, TILE_W] premult f32."""
+    """Render all tiles of one pass → [nt, 4, TILE_H, TILE_W] premult f32.
+
+    `clear_color` is either a [4] clear color or [nt, 4, TH, TW] initial tile
+    contents (continuation passes after a backdrop-filter break)."""
     nt, slots = tile_insts.shape
     kinds = tuple(kinds) or (KIND_SOLID,)
     blends = tuple(blends) or (blend_mod.BLEND_NORMAL,)
@@ -89,7 +92,9 @@ def render_tiles(f32_buf, instances, transforms, tile_insts, tile_origins,
 
     col_iota = jax.lax.broadcasted_iota(jnp.float32, (TILE_H, TILE_W), 1)
     row_iota = jax.lax.broadcasted_iota(jnp.float32, (TILE_H, TILE_W), 0)
-    mask_plane = color_atlas[3]
+    # image masks are drawn with ps_quad_textured into an R8 mask target:
+    # the mask value is the premultiplied RED channel (renderer/mod.rs:2336)
+    mask_plane = color_atlas[0]
     ctx = {"f32_buf": f32_buf, "color_atlas": color_atlas,
            "alpha_atlas": alpha_atlas, "surface_atlas": surface_atlas}
     pattern_fns = [_pattern_branch(k) for k in kinds]
@@ -97,10 +102,14 @@ def render_tiles(f32_buf, instances, transforms, tile_insts, tile_origins,
         (lambda op: lambda src, dst: blend_mod.blend_src_over_dst(
             jnp, op, src, dst))(b) for b in blends]
 
-    init = jnp.broadcast_to(clear_color.reshape(4, 1, 1),
-                            (4, TILE_H, TILE_W)).astype(jnp.float32)
+    if clear_color.ndim == 1:
+        init_tiles = jnp.broadcast_to(
+            clear_color.reshape(1, 4, 1, 1),
+            (nt, 4, TILE_H, TILE_W)).astype(jnp.float32)
+    else:
+        init_tiles = clear_color
 
-    def tile_fn(origin, slots_row):
+    def tile_fn(origin, slots_row, init):
         px = origin[0] + col_iota + 0.5
         py = origin[1] + row_iota + 0.5
 
@@ -144,7 +153,7 @@ def render_tiles(f32_buf, instances, transforms, tile_insts, tile_origins,
 
         return jax.lax.fori_loop(0, slots, body, init)
 
-    return jax.vmap(tile_fn)(tile_origins, tile_insts)
+    return jax.vmap(tile_fn)(tile_origins, tile_insts, init_tiles)
 
 
 def assemble_tiles(tiles, nx: int, ny: int, w: int, h: int):
@@ -153,6 +162,15 @@ def assemble_tiles(tiles, nx: int, ny: int, w: int, h: int):
     img = jnp.transpose(img, (2, 0, 3, 1, 4)).reshape(
         4, ny * TILE_H, nx * TILE_W)
     return img[:, :h, :w]
+
+
+def disassemble_tiles(img, nx: int, ny: int):
+    """[4, h, w] planar image → [nt, 4, TH, TW] (pad to the tile grid)."""
+    c, h, w = img.shape
+    img = jnp.pad(img, ((0, 0), (0, ny * TILE_H - h), (0, nx * TILE_W - w)))
+    img = img.reshape(4, ny, TILE_H, nx, TILE_W)
+    return jnp.transpose(img, (1, 3, 0, 2, 4)).reshape(
+        ny * nx, 4, TILE_H, TILE_W)
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "axis"),

@@ -15,7 +15,8 @@ from typing import Optional
 import numpy as np
 
 from ..frame.frame_builder import (Frame, PASS_BLUR_H, PASS_BLUR_V,
-                                   PASS_RASTER, TARGET_ROOT)
+                                   PASS_CHANNEL_LUT, PASS_COPY,
+                                   PASS_DOWNSCALE, PASS_RASTER, TARGET_ROOT)
 from ..frame.gpu import (CLIP_STRIDE, INST_BLEND, INST_CLIP_ADDR,
                          INST_CLIP_COUNT, INST_EDGE_AA, INST_KIND,
                          INST_PRIM_ADDR, INST_SPATIAL, KIND_BOX_SHADOW,
@@ -25,6 +26,12 @@ from ..frame.gpu import (CLIP_STRIDE, INST_BLEND, INST_CLIP_ADDR,
 from ..ops import blend as blend_mod
 from ..ops import patterns as pk
 from ..ops.raster import gaussian_weights
+
+
+def _quantize_unorm8(img):
+    """RGBA8 offscreen target quantization (see renderer.py)."""
+    return np.clip(np.floor(img * np.float32(255.0) + np.float32(0.5)),
+                   0.0, 255.0).astype(np.float32) * np.float32(1.0 / 255.0)
 
 
 def _py_fori(lo, hi, body, init):
@@ -49,20 +56,62 @@ class SoftwareRenderer:
         for p in frame.passes:
             if p.kind == PASS_RASTER:
                 x, y, rw, rh = p.region
-                target = np.empty((4, rh, rw), np.float32)
-                clear = np.asarray(p.clear or (0, 0, 0, 0), np.float32)
-                target[:] = clear.reshape(4, 1, 1)
+                if p.clear is not None:
+                    target = np.empty((4, rh, rw), np.float32)
+                    target[:] = np.asarray(p.clear,
+                                           np.float32).reshape(4, 1, 1)
+                elif p.target == TARGET_ROOT:
+                    target = fb
+                else:
+                    target = self.surface_atlas[:, y:y + rh, x:x + rw].copy()
                 self._raster(frame, p, target)
                 if p.target == TARGET_ROOT:
                     fb = target
                 else:
-                    self.surface_atlas[:, y:y + rh, x:x + rw] = target
+                    # offscreen targets are RGBA8 in the reference
+                    self.surface_atlas[:, y:y + rh, x:x + rw] = \
+                        _quantize_unorm8(target)
             elif p.kind in (PASS_BLUR_H, PASS_BLUR_V):
                 self._blur(p)
+            elif p.kind == PASS_COPY:
+                sx, sy, sw, sh = p.src_region
+                dx, dy, _, _ = p.region
+                src_arr = fb if p.src_target == TARGET_ROOT \
+                    else self.surface_atlas
+                self.surface_atlas[:, dy:dy + sh, dx:dx + sw] = \
+                    _quantize_unorm8(src_arr[:, sy:sy + sh, sx:sx + sw])
+            elif p.kind == PASS_CHANNEL_LUT:
+                sx, sy, sw, sh = p.src_region
+                dx, dy, _, _ = p.region
+                src = self.surface_atlas[:, sy:sy + sh, sx:sx + sw]
+                a = src[3]
+                safe = np.where(a > 1e-6, a, 1.0)
+                straight = np.stack([src[0] / safe, src[1] / safe,
+                                     src[2] / safe, a], 0)
+                idx = np.clip(np.rint(straight * np.float32(255.0))
+                              .astype(np.int32), 0, 255)
+                out = np.stack([p.lut[c][idx[c]] for c in range(4)], 0)
+                na = out[3]
+                out = np.stack([out[0] * na, out[1] * na, out[2] * na, na], 0)
+                self.surface_atlas[:, dy:dy + sh, dx:dx + sw] = \
+                    _quantize_unorm8(out.astype(np.float32))
+            elif p.kind == PASS_DOWNSCALE:
+                sx, sy, sw, sh = p.src_region
+                dx, dy, dw, dh = p.region
+                src = self.surface_atlas[:, sy:sy + sh, sx:sx + sw]
+                ph, pw = dh * 2 - sh, dw * 2 - sw
+                x = np.pad(src, ((0, 0), (0, max(0, ph)), (0, max(0, pw))),
+                           mode="edge")[:, : dh * 2, : dw * 2]
+                out = 0.25 * (x[:, 0::2, 0::2] + x[:, 1::2, 0::2] +
+                              x[:, 0::2, 1::2] + x[:, 1::2, 1::2])
+                self.surface_atlas[:, dy:dy + dh, dx:dx + dw] = \
+                    _quantize_unorm8(out.astype(np.float32))
         rgba = np.transpose(fb, (1, 2, 0))
         # unorm8 conversion in f64: GL's float->u8 rounds the exact product,
-        # not an f32 intermediate (f32*255 can round 229.49999 up to 229.5)
-        return np.clip(np.rint(rgba.astype(np.float64) * 255.0), 0,
+        # not an f32 intermediate (f32*255 can round 229.49999 up to 229.5);
+        # ties round half-up like GL unorm conversion
+        v = rgba.astype(np.float64) * 255.0
+        return np.clip(np.floor(np.nan_to_num(v) + 0.5), 0,
                        255).astype(np.uint8)
 
     # ------------------------------------------------------------------
@@ -77,10 +126,10 @@ class SoftwareRenderer:
         for iid in order:
             rec = frame.instances[iid]
             bbox = frame.inst_bboxes[iid]
-            x0 = max(0, int(math.floor(bbox[0] - ox)))
-            y0 = max(0, int(math.floor(bbox[1] - oy)))
-            x1 = min(rw, int(math.ceil(bbox[2] - ox)))
-            y1 = min(rh, int(math.ceil(bbox[3] - oy)))
+            x0 = max(0, int(math.floor(bbox[0] - 1 - ox)))
+            y0 = max(0, int(math.floor(bbox[1] - 1 - oy)))
+            x1 = min(rw, int(math.ceil(bbox[2] + 1 - ox)))
+            y1 = min(rh, int(math.ceil(bbox[3] + 1 - oy)))
             if x1 <= x0 or y1 <= y0:
                 continue
             px = ox + np.arange(x0, x1, dtype=np.float32)[None, :] + 0.5
@@ -102,7 +151,7 @@ class SoftwareRenderer:
                 ca = int(rec[INST_CLIP_ADDR]) + j * CLIP_STRIDE
                 crec = f32[ca:ca + CLIP_STRIDE]
                 cov = cov * pk.clip_coverage(np, crec, frame.transforms,
-                                             px, py, self.color_atlas[3],
+                                             px, py, self.color_atlas[0],
                                              lambda t, idx: t[int(idx)])
             kind = int(rec[INST_KIND])
             if kind == KIND_SOLID:
@@ -151,4 +200,4 @@ class SoftwareRenderer:
                 out += w[k] * x[:, k:k + sh, :]
             else:
                 out += w[k] * x[:, :, k:k + sw]
-        self.surface_atlas[:, dy:dy + sh, dx:dx + sw] = out
+        self.surface_atlas[:, dy:dy + sh, dx:dx + sw] = _quantize_unorm8(out)

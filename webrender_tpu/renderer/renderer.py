@@ -17,11 +17,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..frame.frame_builder import (Frame, RenderPass, PASS_BLUR_H,
-                                   PASS_BLUR_V, PASS_RASTER, TARGET_ROOT)
+                                   PASS_BLUR_V, PASS_CHANNEL_LUT, PASS_COPY,
+                                   PASS_DOWNSCALE, PASS_RASTER, TARGET_ROOT)
 from ..frame.gpu import INST_BLEND, INST_KIND
 from ..frame.tiles import TILE_H, TILE_W
-from ..ops.raster import (assemble_tiles, blur_region, gaussian_weights,
-                          render_tiles)
+from ..ops.raster import (assemble_tiles, blur_region, disassemble_tiles,
+                          gaussian_weights, render_tiles)
 from ..resources.resource_cache import (ATLAS_ALPHA, ATLAS_COLOR,
                                         PendingUpload, ResourceCache)
 
@@ -38,17 +39,60 @@ def _upload_alpha(atlas, texels, x: int, y: int):
     return jax.lax.dynamic_update_slice(atlas, texels, (y, x))
 
 
+def _quantize_unorm8(img):
+    """The reference's offscreen surfaces are RGBA8 render targets; quantize
+    intermediate results to 8-bit so filter/composite chains match exactly
+    (e.g. filter-saturate-red-alpha-1 expects the 127.5→128 round-trip)."""
+    return jnp.clip(jnp.floor(img * 255.0 + 0.5), 0.0, 255.0) * (1.0 / 255.0)
+
+
 @functools.partial(jax.jit, donate_argnums=(0,),
-                   static_argnames=("nx", "ny", "w", "h"))
+                   static_argnames=("nx", "ny", "w", "h", "quantize"))
 def _write_region(target, tiles, *, nx: int, ny: int, w: int, h: int,
-                  x: int = 0, y: int = 0):
+                  x: int = 0, y: int = 0, quantize: bool = False):
     img = assemble_tiles(tiles, nx, ny, w, h)
+    if quantize:
+        img = _quantize_unorm8(img)
     return jax.lax.dynamic_update_slice(target, img, (0, y, x))
+
+
+@functools.partial(jax.jit)
+def _apply_channel_lut(src, lut):
+    """Per-channel 256-entry LUT on straight-alpha values (component
+    transfer / srgb conversion filters)."""
+    a = src[3]
+    safe = jnp.where(a > 1e-6, a, 1.0)
+    straight = jnp.stack([src[0] / safe, src[1] / safe, src[2] / safe, a], 0)
+    # the unpremultiplied intermediate is quantized to u8 in the reference
+    # (SVG filter targets are RGBA8), so the LUT index is exact
+    idx = jnp.clip(jnp.rint(straight * 255.0).astype(jnp.int32), 0, 255)
+    out = jnp.stack([lut[c][idx[c]] for c in range(4)], 0)
+    na = out[3]
+    return jnp.stack([out[0] * na, out[1] * na, out[2] * na, na], 0)
+
+
+@functools.partial(jax.jit, static_argnames=("dw", "dh"))
+def _downscale2x(src, dw: int, dh: int):
+    """2x2 box filter downscale (cs_scale.glsl role)."""
+    c, h, w = src.shape
+    ph = dh * 2 - h
+    pw = dw * 2 - w
+    x = jnp.pad(src, ((0, 0), (0, max(0, ph)), (0, max(0, pw))),
+                mode="edge")
+    x = x[:, : dh * 2, : dw * 2]
+    return 0.25 * (x[:, 0::2, 0::2] + x[:, 1::2, 0::2] +
+                   x[:, 0::2, 1::2] + x[:, 1::2, 1::2])
+
+
+@functools.partial(jax.jit, static_argnames=("nx", "ny"))
+def _disassemble(img, *, nx: int, ny: int):
+    return disassemble_tiles(img, nx, ny)
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _copy_region(dst, src_img, x: int, y: int):
-    return jax.lax.dynamic_update_slice(dst, src_img, (0, y, x))
+    return jax.lax.dynamic_update_slice(dst, _quantize_unorm8(src_img),
+                                        (0, y, x))
 
 
 class Renderer:
@@ -104,14 +148,40 @@ class Renderer:
                     p, frame, f32_buf, instances, transforms, framebuffer)
             elif p.kind in (PASS_BLUR_H, PASS_BLUR_V):
                 self._run_blur(p)
+            elif p.kind == PASS_COPY:
+                sx, sy, sw, sh = p.src_region
+                dx, dy, _, _ = p.region
+                src_arr = framebuffer if p.src_target == TARGET_ROOT \
+                    else self.surface_atlas
+                src = jax.lax.dynamic_slice(src_arr, (0, sy, sx), (4, sh, sw))
+                self.surface_atlas = _copy_region(self.surface_atlas, src,
+                                                  dx, dy)
+            elif p.kind == PASS_CHANNEL_LUT:
+                sx, sy, sw, sh = p.src_region
+                dx, dy, _, _ = p.region
+                src = jax.lax.dynamic_slice(self.surface_atlas, (0, sy, sx),
+                                            (4, sh, sw))
+                out = _apply_channel_lut(src, jnp.asarray(p.lut))
+                self.surface_atlas = _copy_region(self.surface_atlas, out,
+                                                  dx, dy)
+            elif p.kind == PASS_DOWNSCALE:
+                sx, sy, sw, sh = p.src_region
+                dx, dy, dw, dh = p.region
+                src = jax.lax.dynamic_slice(self.surface_atlas, (0, sy, sx),
+                                            (4, sh, sw))
+                out = _downscale2x(src, dw, dh)
+                self.surface_atlas = _copy_region(self.surface_atlas, out,
+                                                  dx, dy)
             else:
                 raise ValueError(p.kind)
 
         img = np.asarray(framebuffer)  # [4, H, W]
         rgba = np.transpose(img, (1, 2, 0))
         # unorm8 conversion in f64: GL's float->u8 rounds the exact product,
-        # not an f32 intermediate (f32*255 can round 229.49999 up to 229.5)
-        return np.clip(np.rint(rgba.astype(np.float64) * 255.0), 0,
+        # not an f32 intermediate (f32*255 can round 229.49999 up to 229.5);
+        # ties round half-up like GL unorm conversion
+        v = rgba.astype(np.float64) * 255.0
+        return np.clip(np.floor(np.nan_to_num(v) + 0.5), 0,
                        255).astype(np.uint8)
 
     # ------------------------------------------------------------------
@@ -135,7 +205,15 @@ class Renderer:
                     transforms, framebuffer):
         kinds, blends = self._pass_dispatch_sets(p, frame)
         origins = jnp.asarray(self._tile_origins(p))
-        clear = jnp.asarray(np.asarray(p.clear or (0, 0, 0, 0), np.float32))
+        x_, y_, rw_, rh_ = p.region
+        if p.clear is not None:
+            clear = jnp.asarray(np.asarray(p.clear, np.float32))
+        else:
+            # continuation pass: start from the target's current content
+            src = framebuffer if p.target == TARGET_ROOT else \
+                jax.lax.dynamic_slice(self.surface_atlas, (0, y_, x_),
+                                      (4, rh_, rw_))
+            clear = _disassemble(src, nx=p.nx, ny=p.ny)
         tiles = render_tiles(
             f32_buf, instances, transforms, jnp.asarray(p.tile_insts),
             origins, clear, self.color_atlas, self.alpha_atlas,
@@ -147,7 +225,8 @@ class Renderer:
                 else framebuffer,
                 tiles, nx=p.nx, ny=p.ny, w=rw, h=rh, x=0, y=0)
         self.surface_atlas = _write_region(
-            self.surface_atlas, tiles, nx=p.nx, ny=p.ny, w=rw, h=rh, x=x, y=y)
+            self.surface_atlas, tiles, nx=p.nx, ny=p.ny, w=rw, h=rh, x=x, y=y,
+            quantize=True)
         return framebuffer
 
     def _run_blur(self, p: RenderPass) -> None:

@@ -32,6 +32,10 @@ class PrimCommon:
     spatial_node: int
     clip_chain: Tuple[int, ...] = ()   # clip node indices into ClipStore
     is_backface_visible: bool = True
+    # Set when an enclosing stacking context has backface-visible: false —
+    # the SC's own transform orientation culls its children
+    # (backface/backface-sc.yaml vs backface-leaf.yaml)
+    backface_cull_spatial: Optional[int] = None
 
 
 @dataclass
@@ -161,7 +165,13 @@ class CompositeOps:
                               or (f.kind.name == "OPACITY" and f.value >= 1.0))]
         return bool(nontrivial) or \
             self.mix_blend_mode != MixBlendMode.NORMAL or \
-            self.is_blend_container or self.preserve_3d
+            self.is_blend_container
+
+    @property
+    def needs_grouping(self) -> bool:
+        """Preserve-3d pictures stay grouped for depth sorting even when no
+        offscreen surface is required (plane_split / ps_split_composite)."""
+        return self.needs_surface or self.preserve_3d
 
 
 @dataclass

@@ -49,6 +49,7 @@ class _StackingContext:
     picture: PicturePrim
     offset: Point2D              # lexical offset inherited by children
     extra_clips: Tuple[int, ...]  # pass-through SC clips pushed onto children
+    backface_cull_spatial: Optional[int] = None  # SC backface-visible: false
 
 
 @dataclass
@@ -134,16 +135,24 @@ class SceneBuilder:
                     composite=composite,
                     raster_space=item.raster_space,
                 )
-                if composite.needs_surface:
+                sc_backface = top.backface_cull_spatial
+                if not (item.prim_flags & PrimitiveFlags.IS_BACKFACE_VISIBLE):
+                    sc_backface = spatial
+                # direct children of a preserve-3d context stay grouped so
+                # flat subtrees sort as single planes (split/order-2.yaml)
+                if composite.needs_grouping or \
+                        top.picture.composite.preserve_3d:
+                    pic.common.backface_cull_spatial = sc_backface
                     top.picture.children.append(pic)
-                    sc_stack.append(_StackingContext(pic, new_offset, ()))
+                    sc_stack.append(_StackingContext(pic, new_offset, (),
+                                                     sc_backface))
                 else:
                     # pass-through: children flatten into parent picture with
                     # SC clips applied to each (scene_building.rs collapses
                     # no-op stacking contexts the same way).
                     sc_stack.append(_StackingContext(
                         top.picture, new_offset,
-                        top.extra_clips + chain))
+                        top.extra_clips + chain, sc_backface))
                 continue
 
             if isinstance(item, PopStackingContextItem):
@@ -167,7 +176,8 @@ class SceneBuilder:
                 # Inside the new reference frame the lexical offset restarts:
                 # it was consumed by the frame origin (rf_mapper semantics).
                 sc_stack.append(_StackingContext(top.picture, Point2D(0, 0),
-                                                 top.extra_clips))
+                                                 top.extra_clips,
+                                                 top.backface_cull_spatial))
                 continue
 
             if isinstance(item, PopReferenceFrameItem):
@@ -340,6 +350,7 @@ class SceneBuilder:
             + top.extra_clips,
             is_backface_visible=bool(item_common.flags
                                      & PrimitiveFlags.IS_BACKFACE_VISIBLE),
+            backface_cull_spatial=top.backface_cull_spatial,
         )
 
     def _shadow_copy(self, prim, sh: Shadow):

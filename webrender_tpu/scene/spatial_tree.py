@@ -55,6 +55,10 @@ class ResolvedSpatialNode:
     world: Transform                 # local → world (layout px)
     is_2d_axis_aligned: bool
     is_invertible: bool
+    # Backface within the node's preserve-3d context (None when the node is
+    # not in a 3D rendering context — flat transforms never cull backfaces;
+    # see backface/backface-leaf.yaml).
+    backface: bool = False
 
 
 class SceneSpatialTree:
@@ -174,6 +178,8 @@ class SceneSpatialTree:
                 world=world,
                 is_2d_axis_aligned=world.is_2d_axis_aligned,
                 is_invertible=world.inverse() is not None,
+                backface=self._backface_in_3d_context(node.index,
+                                                      transform_properties),
             )
             scroll_state[node.index] = state
         # Fill gaps (defensive) with identity
@@ -181,6 +187,57 @@ class SceneSpatialTree:
             if r is None:
                 resolved[i] = ResolvedSpatialNode(Transform.identity(), True, True)
         return resolved  # type: ignore
+
+    def _nearest_rf(self, index: Optional[int]) -> Optional[int]:
+        idx = index
+        while idx is not None and idx < len(self.nodes):
+            node = self.nodes[idx]
+            if node is None:
+                return None
+            if node.kind == SpatialNodeKind.REFERENCE_FRAME:
+                return idx
+            idx = node.parent
+        return None
+
+    def orientation_normal_z(self, index: int, transform_properties) -> float:
+        """Normal-z of the plane orientation of a node's reference frame:
+        the product of its transform with ancestors *while the parent frame
+        is preserve-3d* (CSS 3D rendering context; backface-both-sides)."""
+        rf = self._nearest_rf(index)
+        if rf is None:
+            return 1.0
+        combined = Transform.identity()
+        while rf is not None:
+            node = self.nodes[rf]
+            t = node.transform
+            if node.transform_binding is not None:
+                t = transform_properties.get(node.transform_binding, t)
+            combined = combined.then(t)
+            parent_rf = self._nearest_rf(node.parent)
+            if parent_rf is None or not self.nodes[parent_rf].preserves_3d:
+                break
+            rf = parent_rf
+        m = combined.m
+        return m[0] * m[5] - m[1] * m[4]
+
+    def in_3d_context(self, index: int) -> bool:
+        """A node is in a 3D rendering context when its reference frame is
+        preserve-3d or its parent frame is (backface-leaf vs vis-3d)."""
+        rf = self._nearest_rf(index)
+        if rf is None:
+            return False
+        node = self.nodes[rf]
+        if node.preserves_3d:
+            return True
+        parent_rf = self._nearest_rf(node.parent)
+        return parent_rf is not None and self.nodes[parent_rf].preserves_3d
+
+    def _backface_in_3d_context(self, index: int,
+                                transform_properties) -> bool:
+        """Prim-level backface culling: only inside a 3D context."""
+        if not self.in_3d_context(index):
+            return False
+        return self.orientation_normal_z(index, transform_properties) < 0
 
     @staticmethod
     def _stored_scroll_offset(node: SpatialNode, scroll_offsets) -> Point2D:

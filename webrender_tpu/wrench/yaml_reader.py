@@ -313,6 +313,33 @@ def as_filter_op(v) -> Optional[FilterOp]:
     return None
 
 
+def as_filter_data(v):
+    """yaml_helper.rs as_filter_data:935 — [func_types x4, values_r, values_g,
+    values_b, values_a]."""
+    from ..api.display_item import ComponentTransferFuncType as F, FilterData
+    if not isinstance(v, list) or len(v) < 5:
+        return None
+    name_map = {"Identity": F.IDENTITY, "Table": F.TABLE,
+                "Discrete": F.DISCRETE, "Linear": F.LINEAR, "Gamma": F.GAMMA}
+    funcs = [name_map.get(str(t), F.IDENTITY) for t in v[0]]
+    while len(funcs) < 4:
+        funcs.append(F.IDENTITY)
+    vals = [tuple(float(x) for x in (v[i] or [])) for i in range(1, 5)]
+    return FilterData(funcs[0], funcs[1], funcs[2], funcs[3],
+                      vals[0], vals[1], vals[2], vals[3])
+
+
+def as_vec_filter_data(v):
+    if v is None:
+        return []
+    out = []
+    for item in (v if isinstance(v, list) else [v]):
+        fd = as_filter_data(item)
+        if fd is not None:
+            out.append(fd)
+    return out
+
+
 def as_vec_filter_op(v) -> List[FilterOp]:
     if v is None:
         return []
@@ -841,8 +868,13 @@ class YamlFrameReader:
         mask = item.get("image-mask")
         if isinstance(mask, dict):
             assert clip_id is None
-            key, dims = self._add_or_get_image(
-                self._rsrc_path(mask["image"]), mask.get("tile-size"))
+            if mask.get("image") == "invalid":
+                # ImageKey::DUMMY (yaml_frame_reader.rs:774): missing image,
+                # mask resolves to nothing → clips everything out
+                key, dims = -1, Size2D(100.0, 100.0)
+            else:
+                key, dims = self._add_or_get_image(
+                    self._rsrc_path(mask["image"]), mask.get("tile-size"))
             rect = as_rect(mask.get("rect")) or Rect(0, 0, dims.width,
                                                      dims.height)
             clip_id = dl.define_clip_image_mask(spatial_id, rect, key)
@@ -1021,10 +1053,12 @@ class YamlFrameReader:
         if is_root and item.get("scroll-offset") is not None:
             self.scroll_offsets[0] = [(as_point(item["scroll-offset"]), 0)]
         filters = as_vec_filter_op(item.get("filters"))
+        filter_datas = as_vec_filter_data(item.get("filter-datas"))
 
         dl.push_stacking_context(
             bounds.origin, self._top_space(), info_flags, clip_chain_id,
-            transform_style, mix_blend_mode, filters, (), raster_space, flags)
+            transform_style, mix_blend_mode, filters, filter_datas,
+            raster_space, flags)
         self._add_items(dl, item.get("items"))
         dl.pop_stacking_context()
         if pushed_rf:
@@ -1039,6 +1073,12 @@ class YamlFrameReader:
                        Shadow(offset, color, blur_radius))
 
     def _handle_backdrop_filter(self, dl, item, info):
+        # bounds intersect into the clip rect (handle_backdrop_filter :2059)
+        import dataclasses
+        bounds = as_rect(item["bounds"])
+        clip = bounds.intersection(info.clip_rect) or Rect(0, 0, 0, 0)
+        info = dataclasses.replace(info, clip_rect=clip)
         filters = as_vec_filter_op(item.get("filters"))
-        dl.push_backdrop_filter(info, filters)
+        filter_datas = as_vec_filter_data(item.get("filter-datas"))
+        dl.push_backdrop_filter(info, filters, filter_datas)
 
