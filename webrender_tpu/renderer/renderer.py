@@ -130,18 +130,17 @@ class Renderer:
                                       r.x:r.x + tex.shape[1]] = tex
 
     # ------------------------------------------------------------------
-    def render(self, frame: Frame,
-               resources: Optional[ResourceCache] = None) -> np.ndarray:
-        """Execute all passes; returns premultiplied RGBA8 (h, w, 4)."""
+    def render_device(self, frame: Frame,
+                      resources: Optional[ResourceCache] = None):
+        """Execute all passes; returns the HBM-resident framebuffer
+        [4, h, w] f32 premultiplied (no host readback — production
+        compositing stays on device)."""
         if resources is not None:
             self.apply_uploads(resources.take_uploads())
-
-        w, h = frame.fb_size
         f32_buf = jnp.asarray(frame.f32_buf)
         instances = jnp.asarray(frame.instances)
         transforms = jnp.asarray(frame.transforms)
         framebuffer = None
-
         for p in frame.passes:
             if p.kind == PASS_RASTER:
                 framebuffer = self._run_raster(
@@ -174,7 +173,15 @@ class Renderer:
                                                   dx, dy)
             else:
                 raise ValueError(p.kind)
+        return framebuffer
 
+    def render(self, frame: Frame,
+               resources: Optional[ResourceCache] = None) -> np.ndarray:
+        """Execute all passes; returns premultiplied RGBA8 (h, w, 4)."""
+        if resources is not None:
+            self.apply_uploads(resources.take_uploads())
+
+        framebuffer = self.render_device(frame)
         img = np.asarray(framebuffer)  # [4, H, W]
         rgba = np.transpose(img, (1, 2, 0))
         # unorm8 conversion in f64: GL's float->u8 rounds the exact product,
