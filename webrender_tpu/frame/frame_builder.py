@@ -40,11 +40,11 @@ from ..scene.prims import (BackdropFilterPrim, BoxShadowPrim, ClearPrim,
 from ..scene.scene import BuiltScene
 from ..scene.spatial_tree import SpatialNodeKind
 from .gpu import (BLEND_CLEAR, BLEND_MIX_BASE, BLEND_NORMAL, CLIP_STRIDE,
-                  GRAD_LUT_SIZE, GpuBufferBuilder, KIND_BOX_SHADOW,
-                  KIND_CLEAR, KIND_CONIC_GRAD, KIND_GLYPH, KIND_IMAGE,
-                  KIND_LINEAR_GRAD, KIND_PICTURE, KIND_RADIAL_GRAD,
-                  KIND_SOLID, gradient_stops_records, identity_color_matrix,
-                  pad_pow2, pad_pow2_rows)
+                  GRAD_LUT_SIZE, GpuBufferBuilder, KIND_BORDER,
+                  KIND_BOX_SHADOW, KIND_CLEAR, KIND_CONIC_GRAD, KIND_GLYPH,
+                  KIND_IMAGE, KIND_LINEAR_GRAD, KIND_PICTURE,
+                  KIND_RADIAL_GRAD, KIND_SOLID, gradient_stops_records,
+                  identity_color_matrix, pad_pow2, pad_pow2_rows)
 from .tiles import TILE_H, TILE_W, bin_instances
 from .transforms import (build_transform_palette, device_bounds_of_rect,
                          node_homography)
@@ -677,7 +677,8 @@ class FrameBuilder:
             self._prepare_border(prim, c, axis_aligned, out)
             return
         if isinstance(prim, NinePatchBorderPrim):
-            return  # TODO: nine-patch borders
+            self._prepare_nine_patch(prim, c, axis_aligned, out)
+            return
         if isinstance(prim, BackdropFilterPrim):
             # pass break: the target content so far becomes this prim's input
             out.append(("backdrop", prim))
@@ -910,29 +911,94 @@ class FrameBuilder:
 
     def _prepare_border(self, prim: NormalBorderPrim, c: PrimCommon,
                         axis_aligned: bool, out: List[int]) -> None:
-        """v0 border: per-side solid rects (no radius mitering yet —
-        full border_segment patterns TODO; `border.rs`)."""
+        """Normal borders as one analytic instance (border.rs
+        create_border_segments + cs_border_segment collapsed into
+        pattern_border). Colors per side pre-modulated per border.rs
+        border_color (:247) and get_colors_for_side (cs_border_segment:134)."""
         from ..api.display_item import BorderStyle
         b = prim.border
-        r = c.local_rect
         w = prim.widths
-        sides = [
-            (Rect(r.x0, r.y0, r.w, w.top), b.top),
-            (Rect(r.x0, r.y1 - w.bottom, r.w, w.bottom), b.bottom),
-            (Rect(r.x0, r.y0 + w.top, w.left, r.h - w.top - w.bottom), b.left),
-            (Rect(r.x1 - w.right, r.y0 + w.top, w.right,
-                  r.h - w.top - w.bottom), b.right),
-        ]
-        for rect, side in sides:
-            if rect.is_empty or side.style in (BorderStyle.NONE,
-                                               BorderStyle.HIDDEN):
-                continue
-            sub = RectanglePrim(
-                PrimCommon(rect, c.clip_rect, c.spatial_node, c.clip_chain,
-                           c.is_backface_visible), side.color)
-            self._emit_rect_like(sub, sub.common, axis_aligned, out,
-                                 KIND_SOLID, list(_premult(side.color)),
-                                 BLEND_NORMAL)
+        r = prim.border.radius
+        res = self._emit_common(c, axis_aligned, c.local_rect, c.local_rect)
+        if res is None:
+            return
+        prefix, edge_aa, clip_addr, clip_count, bbox = res
+
+        def mod_color(color, lighter):
+            if color.r != 0.0 or color.g != 0.0 or color.b != 0.0:
+                s = 1.0 if lighter else 2.0 / 3.0
+                return ColorF(color.r * s, color.g * s, color.b * s, color.a)
+            v = 0.7 if lighter else 0.3
+            return ColorF(v, v, v, color.a)
+
+        def side_colors(side, flip):
+            st = side.style
+            col = side.color
+            if st in (BorderStyle.INSET, BorderStyle.OUTSET):
+                lighter = flip if st == BorderStyle.INSET else not flip
+                col = mod_color(col, lighter)
+                return col, col
+            if st == BorderStyle.GROOVE:
+                # top/left: dark outer half; right/bottom: light outer half
+                return mod_color(col, flip), mod_color(col, not flip)
+            if st == BorderStyle.RIDGE:
+                return mod_color(col, not flip), mod_color(col, flip)
+            return col, col
+
+        # flips per border.rs build_border_instances (:1253):
+        # left/top = false, right/bottom = true ("is inner border")
+        sides = [(b.top, False), (b.right, True), (b.bottom, True),
+                 (b.left, False)]
+        outer_cols: List[float] = []
+        inner_cols: List[float] = []
+        styles: List[float] = []
+        for side, flip in sides:
+            co, ci = side_colors(side, flip)
+            outer_cols += list(_premult(co))
+            inner_cols += list(_premult(ci))
+            styles.append(float(side.style.value))
+        payload = prefix + [w.top, w.right, w.bottom, w.left] + [
+            r.top_left.width, r.top_left.height,
+            r.top_right.width, r.top_right.height,
+            r.bottom_right.width, r.bottom_right.height,
+            r.bottom_left.width, r.bottom_left.height,
+        ] + outer_cols + inner_cols + styles
+        addr = self.gb.push_f32(payload)
+        idx = self.gb.push_instance(KIND_BORDER, c.spatial_node, addr,
+                                    clip_addr, clip_count, BLEND_NORMAL,
+                                    edge_aa)
+        self.metas.append(_InstanceMeta(bbox))
+        out.append(idx)
+
+    def _prepare_nine_patch(self, prim: NinePatchBorderPrim, c: PrimCommon,
+                            axis_aligned: bool, out: List[int]) -> None:
+        """Nine-patch borders with gradient/image sources — the border ring
+        is the prim rect minus the widths-inset inner rect (a CLIP_OUT rect
+        record); the source pattern fills the ring."""
+        b = prim.border
+        w = prim.widths
+        rect = c.local_rect
+        inner = Rect(rect.x0 + w.left, rect.y0 + w.top,
+                     rect.w - w.left - w.right, rect.h - w.top - w.bottom)
+        extra = ()
+        if not b.fill and not inner.is_empty:
+            node = ClipNode(ClipKind.RECT, c.spatial_node, inner,
+                            mode=ClipMode.CLIP_OUT)
+            extra = (self.scene.clip_store.add_node(node),)
+        import dataclasses as dc
+        c2 = dc.replace(c, clip_chain=c.clip_chain + extra)
+        if b.source_kind == "gradient" and b.gradient is not None:
+            sub = LinearGradientPrim(c2, b.gradient, b.stops, rect.size)
+            self._prepare_gradient(sub, c2, axis_aligned, out)
+        elif b.source_kind == "radial-gradient" and b.radial_gradient is not None:
+            sub = RadialGradientPrim(c2, b.radial_gradient, b.stops, rect.size)
+            self._prepare_gradient(sub, c2, axis_aligned, out)
+        elif b.source_kind == "conic-gradient" and b.conic_gradient is not None:
+            sub = ConicGradientPrim(c2, b.conic_gradient, b.stops, rect.size)
+            self._prepare_gradient(sub, c2, axis_aligned, out)
+        elif b.source_kind == "image":
+            sub = ImagePrim(c2, b.image_key, stretch_size=rect.size)
+            self._prepare_image(sub, c2, axis_aligned, out)
 
 
 def _premult(color: ColorF) -> Tuple[float, float, float, float]:

@@ -55,8 +55,9 @@ KIND_GLYPH = 5
 KIND_PICTURE = 6
 KIND_CLEAR = 7
 KIND_BOX_SHADOW = 8
+KIND_BORDER = 9
 
-N_KINDS = 9
+N_KINDS = 10
 
 # instance record fields
 INST_KIND = 0
@@ -123,9 +124,10 @@ class GpuBufferBuilder:
             inst = np.asarray(self._instances, dtype=np.int32)
         else:
             inst = np.zeros((1, INST_FIELDS), np.int32)
-        # pad f32 to a bucketed size to bound recompiles (SURVEY.md §7
-        # "fixed shapes vs dynamic batching")
-        f32 = pad_pow2(f32, min_size=64)
+        # tail pad so fixed-size payload reads never run off the end,
+        # then bucket to bound recompiles (SURVEY.md §7)
+        f32 = np.concatenate([f32, np.zeros(64, np.float32)])
+        f32 = pad_pow2(f32, min_size=128)
         inst = pad_pow2_rows(inst, min_rows=8)
         return f32, inst
 

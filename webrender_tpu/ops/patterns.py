@@ -18,7 +18,7 @@ Conventions:
 from __future__ import annotations
 
 # payload slice length fetched per instance (see frame/gpu.py layouts)
-PAYLOAD_LEN = 48
+PAYLOAD_LEN = 64
 
 
 # ---------------------------------------------------------------------------
@@ -338,6 +338,91 @@ def pattern_box_shadow(xp, p, lx, ly, sx, sy):
                    blurred * (1.0 - box_cov))
     col = xp.stack([p[34], p[35], p[36], p[37]], 0)
     return col[:, None, None] * cov[None]
+
+
+def pattern_border(xp, p, lx, ly, sx, sy):
+    """Full normal-border evaluation (cs_border_segment.glsl re-designed as
+    one analytic kernel): ring coverage = outer rounded rect minus inner,
+    mitered side assignment by normalized edge depth (argmin of depth/width
+    — equivalent to the corner color line of border.rs), two-tone halves for
+    groove/ridge, thirds for double, dot/dash modulation.
+
+    Payload: [8:12] widths (t,r,b,l)  [12:20] radii  [20:36] outer-half
+    premult colors (t,r,b,l)  [36:52] inner-half colors  [52:56] styles."""
+    x0, y0, x1, y1 = p[0], p[1], p[2], p[3]
+    w_t, w_r, w_b, w_l = p[8], p[9], p[10], p[11]
+    radii = p[12:20]
+    outer = rounded_rect_coverage(xp, p[0:4], radii, lx, ly, sx, sy)
+    ix0 = x0 + w_l
+    iy0 = y0 + w_t
+    ix1 = x1 - w_r
+    iy1 = y1 - w_b
+    inner_rect = xp.stack([ix0, iy0, ix1, iy1], 0)
+    inner_radii = xp.stack([
+        xp.maximum(radii[0] - w_l, 0.0), xp.maximum(radii[1] - w_t, 0.0),
+        xp.maximum(radii[2] - w_r, 0.0), xp.maximum(radii[3] - w_t, 0.0),
+        xp.maximum(radii[4] - w_r, 0.0), xp.maximum(radii[5] - w_b, 0.0),
+        xp.maximum(radii[6] - w_l, 0.0), xp.maximum(radii[7] - w_b, 0.0)], 0)
+    valid_inner = (ix1 > ix0) & (iy1 > iy0)
+    inner = rounded_rect_coverage(xp, inner_rect, inner_radii, lx, ly, sx, sy)
+    inner = xp.where(valid_inner, inner, 0.0)
+    ring = outer * (1.0 - inner)
+
+    eps = 1e-6
+    big = 1e9
+
+    def active(i):
+        st = p[52 + i]
+        return (st != 0.0) & (st != 5.0)  # none / hidden sides don't own
+    d_t = xp.where((w_t > eps) & active(0), (ly - y0) / xp.maximum(w_t, eps), big)
+    d_r = xp.where((w_r > eps) & active(1), (x1 - lx) / xp.maximum(w_r, eps), big)
+    d_b = xp.where((w_b > eps) & active(2), (y1 - ly) / xp.maximum(w_b, eps), big)
+    d_l = xp.where((w_l > eps) & active(3), (lx - x0) / xp.maximum(w_l, eps), big)
+    depths = xp.stack([d_t, d_r, d_b, d_l], 0)
+    # mitered side ownership: smallest normalized depth
+    owner = xp.argmin(depths, 0)
+    depth = xp.minimum(xp.minimum(d_t, d_r), xp.minimum(d_b, d_l))
+    depth = xp.clip(depth, 0.0, 1.0)
+
+    color = xp.zeros((4,) + lx.shape, "float32")
+    for side in range(4):
+        c_out = p[20 + side * 4: 24 + side * 4]
+        c_in = p[36 + side * 4: 40 + side * 4]
+        style = p[52 + side]
+        w_side = (w_t, w_r, w_b, w_l)[side]
+        sc = xp.where(depth < 0.5,
+                      xp.stack([xp.broadcast_to(c_out[i], lx.shape)
+                                for i in range(4)], 0),
+                      xp.stack([xp.broadcast_to(c_in[i], lx.shape)
+                                for i in range(4)], 0))
+        # double: keep outer and inner thirds
+        scale = (sx, sy, sy, sx)[side] * w_side  # device px per depth unit
+        third = xp.clip((1.0 / 3.0 - depth) * scale + 0.5, 0.0, 1.0) +             xp.clip((depth - 2.0 / 3.0) * scale + 0.5, 0.0, 1.0)
+        third = xp.clip(third, 0.0, 1.0)
+        # cs_border_segment.glsl: the double gap only applies when the
+        # device partial width (w/3) is at least one pixel
+        dbl = xp.where((style == 2.0) & (scale / 3.0 >= 1.0), third, 1.0)
+        # dotted: circular dots of diameter w along the edge center line
+        along = (lx - x0, y1 - ly, x1 - lx, lx - x0)[side]             if side in (0, 2) else (ly - y0, ly - y0, ly - y0, ly - y0)[side]
+        along = xp.where(side in (0, 2), lx - x0, ly - y0)
+        period = 2.0 * xp.maximum(w_side, eps)
+        tm = along - xp.floor(along / period) * period - period * 0.5
+        across = (depth - 0.5) * w_side
+        dot_d = xp.sqrt(tm * tm + across * across) - 0.5 * w_side
+        dot_cov = xp.clip(0.5 - dot_d * (sx + sy) * 0.5, 0.0, 1.0)
+        dotted = xp.where(style == 3.0, dot_cov, 1.0)
+        # dashed: dash length 3w on a 6w period... WR uses ~2x dash/gap
+        dash_on = (along - xp.floor(along / (2.0 * period)) *
+                   (2.0 * period)) < period
+        dashed = xp.where(style == 4.0, xp.where(dash_on, 1.0, 0.0), 1.0)
+        visible = xp.where((style == 0.0) | (style == 5.0), 0.0, 1.0)
+        # restrict to the owner's band: inactive neighbours leave their ring
+        # area empty (border-none.yaml)
+        band = xp.clip((1.0 - depth) * scale + 0.5, 0.0, 1.0)
+        band = xp.where(depth >= 1.0, 0.0, xp.where(depth <= 0.999, 1.0, band))
+        contrib = sc * (dbl * dotted * dashed * visible * band)[None]
+        color = xp.where((owner == side)[None], contrib, color)
+    return color * ring[None]
 
 
 def apply_color_matrix(xp, color, m20, flag):

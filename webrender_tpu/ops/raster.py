@@ -23,10 +23,10 @@ import numpy as np
 
 from ..frame.gpu import (CLIP_STRIDE, INST_BLEND, INST_CLIP_ADDR,
                          INST_CLIP_COUNT, INST_EDGE_AA, INST_KIND,
-                         INST_PRIM_ADDR, INST_SPATIAL, KIND_BOX_SHADOW,
-                         KIND_CLEAR, KIND_CONIC_GRAD, KIND_GLYPH, KIND_IMAGE,
-                         KIND_LINEAR_GRAD, KIND_PICTURE, KIND_RADIAL_GRAD,
-                         KIND_SOLID, N_KINDS)
+                         INST_PRIM_ADDR, INST_SPATIAL, KIND_BORDER,
+                         KIND_BOX_SHADOW, KIND_CLEAR, KIND_CONIC_GRAD,
+                         KIND_GLYPH, KIND_IMAGE, KIND_LINEAR_GRAD,
+                         KIND_PICTURE, KIND_RADIAL_GRAD, KIND_SOLID, N_KINDS)
 from ..frame.tiles import TILE_H, TILE_W
 from . import blend as blend_mod
 from . import patterns as pk
@@ -64,6 +64,9 @@ def _pattern_branch(kind: int):
     if kind == KIND_BOX_SHADOW:
         return lambda p, lx, ly, px, py, sx, sy, ctx: \
             pk.pattern_box_shadow(jnp, p, lx, ly, sx, sy)
+    if kind == KIND_BORDER:
+        return lambda p, lx, ly, px, py, sx, sy, ctx: \
+            pk.pattern_border(jnp, p, lx, ly, sx, sy)
     raise ValueError(kind)
 
 

@@ -22,7 +22,7 @@ from ..frame.gpu import (CLIP_STRIDE, INST_BLEND, INST_CLIP_ADDR,
                          INST_PRIM_ADDR, INST_SPATIAL, KIND_BOX_SHADOW,
                          KIND_CLEAR, KIND_CONIC_GRAD, KIND_GLYPH, KIND_IMAGE,
                          KIND_LINEAR_GRAD, KIND_PICTURE, KIND_RADIAL_GRAD,
-                         KIND_SOLID)
+                         KIND_SOLID, KIND_BORDER)
 from ..ops import blend as blend_mod
 from ..ops import patterns as pk
 from ..ops.raster import gaussian_weights
@@ -172,6 +172,8 @@ class SoftwareRenderer:
                 color = np.ones((4,) + lx.shape, np.float32)
             elif kind == KIND_BOX_SHADOW:
                 color = pk.pattern_box_shadow(np, pl, lx, ly, sx, sy)
+            elif kind == KIND_BORDER:
+                color = pk.pattern_border(np, pl, lx, ly, sx, sy)
             else:
                 continue
             src = (color * cov[None]).astype(np.float32)

@@ -913,7 +913,8 @@ class YamlFrameReader:
         so = SideOffsets(widths[0], widths[3], widths[2], widths[1])
         btype = item.get("border-type", "normal")
         if btype != "normal":
-            return  # TODO: image/gradient nine-patch borders
+            self._handle_nine_patch_border(dl, item, info, bounds, so, btype)
+            return
         radius = as_border_radius(item.get("radius")) or BorderRadius()
         colors = item.get("color")
         styles = item.get("style")
@@ -940,6 +941,40 @@ class YamlFrameReader:
             left=BorderSide(cols[3], stys[3]),
             radius=radius)
         dl.push_border(info, bounds, so, details_normal=border)
+
+    def _handle_nine_patch_border(self, dl, item, info, bounds, widths,
+                                  btype):
+        """Nine-patch borders (handle_border :1069): image / gradient /
+        radial-gradient / conic-gradient sources."""
+        mode = ExtendMode.REPEAT if item.get("repeat") else ExtendMode.CLAMP
+        np_border = None
+        if btype == "gradient":
+            g, stops = dl.create_gradient(as_point(item["start"]),
+                                          as_point(item["end"]),
+                                          as_gradient_stops(item["stops"]),
+                                          mode)
+            np_border = NinePatchBorder(source_kind="gradient", gradient=g,
+                                        stops=tuple(stops))
+        elif btype == "radial-gradient":
+            g, stops = dl.create_radial_gradient(
+                as_point(item["center"]), as_size(item["radius"]),
+                as_gradient_stops(item["stops"]), mode)
+            np_border = NinePatchBorder(source_kind="radial-gradient",
+                                        radial_gradient=g, stops=tuple(stops))
+        elif btype == "conic-gradient":
+            g, stops = dl.create_conic_gradient(
+                as_point(item["center"]), float(as_f32(item["angle"])),
+                as_gradient_stops(item["stops"]), mode)
+            np_border = NinePatchBorder(source_kind="conic-gradient",
+                                        conic_gradient=g, stops=tuple(stops))
+        elif btype == "image":
+            key, dims = self._add_or_get_image(
+                self._rsrc_path(item["image-source"]))
+            np_border = NinePatchBorder(source_kind="image", image_key=key,
+                                        fill=bool(item.get("fill", False)))
+        if np_border is not None:
+            dl.push_border(info, bounds, widths,
+                           details_nine_patch=np_border)
 
     def _handle_gradient(self, dl, item, info):
         bounds = as_rect(item[self._bounds_key(item, "gradient")])
