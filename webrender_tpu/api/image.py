@@ -55,9 +55,12 @@ class ImageData:
     `pixels` is an (h, w, c) uint8/uint16/float32 numpy array in the channel
     order implied by the format (BGRA8 stays byte-order BGRA like the
     reference; internally the renderer converts to RGBA float).
+    `solid` stores a single texel for constant images (huge solid-color
+    test images are not materialized).
     """
     pixels: Optional[np.ndarray] = None
     blob: Optional[bytes] = None  # serialized blob commands (BlobImageData)
+    solid: Optional[tuple] = None  # single texel, same channel order
 
 
 @dataclass(frozen=True)

@@ -363,8 +363,8 @@ class FrameBuilder:
         if pic.shadow is not None:
             # text/box shadow picture: std dev = blur_radius / 2
             # (scene_building.rs push_shadow semantics)
-            blur_sx += pic.shadow.blur_radius * 0.5 * dev_sx
-            blur_sy += pic.shadow.blur_radius * 0.5 * dev_sy
+            blur_sx = min(blur_sx + pic.shadow.blur_radius * 0.5 * dev_sx, 100.0)
+            blur_sy = min(blur_sy + pic.shadow.blur_radius * 0.5 * dev_sy, 100.0)
 
         inflate = int(math.ceil(3.0 * max(blur_sx, blur_sy)))
         for sh in drop_shadows:
@@ -381,12 +381,17 @@ class FrameBuilder:
                 max(bbox[2], b[2]), max(bbox[3], b[3]))
         if bbox is None:
             return
-        # the picture's own clips restrict what we must rasterize
+        # the picture's clips restrict what we must rasterize — but only up
+        # to the blur inflation: blurs must see the unclipped content near
+        # the clip edge (text/shadow-clip.yaml), the clip itself applies at
+        # composite time only
         clip_addr, clip_count, clip_bbox = self._serialize_clips(
             pic.common.clip_chain, pic.common.spatial_node)
         if clip_bbox is not None:
-            bbox = (max(bbox[0], clip_bbox[0]), max(bbox[1], clip_bbox[1]),
-                    min(bbox[2], clip_bbox[2]), min(bbox[3], clip_bbox[3]))
+            bbox = (max(bbox[0], clip_bbox[0] - inflate),
+                    max(bbox[1], clip_bbox[1] - inflate),
+                    min(bbox[2], clip_bbox[2] + inflate),
+                    min(bbox[3], clip_bbox[3] + inflate))
         vp = self.viewport.inflate(inflate + 2, inflate + 2)
         bbox = (max(bbox[0], vp.x0), max(bbox[1], vp.y0),
                 min(bbox[2], vp.x1), min(bbox[3], vp.y1))
@@ -441,14 +446,10 @@ class FrameBuilder:
                                  clip_addr, clip_count, clip_bbox, out,
                                  scale=shadow_scale)
 
+        # NOTE: shadow pictures are NOT tinted here — the scene builder
+        # already substituted the shadow color into the copied prims
+        # (_shadow_copy), tinting again would square the alpha
         cm = color_matrix
-        tint = None
-        if pic.shadow is not None:
-            c = pic.shadow.color
-            tint = np.zeros((4, 5), np.float32)
-            tint[0, 4], tint[1, 4], tint[2, 4] = c.r, c.g, c.b
-            tint[3, 3] = c.a
-            cm = tint if cm is None else _compose_color_matrix(tint, cm)
         self._emit_composite(content_region, (x0, y0), (cw, ch),
                              pic, opacity, cm, clip_addr, clip_count,
                              clip_bbox, out, scale=content_scale)
@@ -794,17 +795,67 @@ class FrameBuilder:
 
     def _prepare_image(self, prim: ImagePrim, c: PrimCommon,
                        axis_aligned: bool, out: List[int]) -> None:
-        req = self.resources.request_image(prim.image_key)
+        tpl = self.resources.images.get(prim.image_key)
+        if tpl is None:
+            return
+        desc = tpl.descriptor
+        stretch_w = prim.stretch_size.width or c.local_rect.w
+        stretch_h = prim.stretch_size.height or c.local_rect.h
+        lim = self.resources.MAX_DIRECT_DIM
+        if desc.width <= lim and desc.height <= lim:
+            req = self.resources.request_image(prim.image_key)
+            if req is None:
+                return
+            region, desc = req
+            self._emit_image_instance(
+                prim, c, axis_aligned, out, region.x, region.y,
+                desc.width, desc.height, stretch_w, stretch_h,
+                prim.tile_spacing.width, prim.tile_spacing.height,
+                prim.image_rendering, prim.color)
+            return
+        # huge image: upload only the visible sub-rect (image_tiling.rs role)
+        r = c.local_rect
+        vis = r.intersection(c.clip_rect) or r
+        # map the device viewport into local space to bound the crop
+        H = self.H_dev[c.spatial_node]
+        try:
+            Hinv = np.linalg.inv(H)
+            corners = [np.array([x, y, 1.0]) @ Hinv
+                       for (x, y) in ((0, 0), (self.viewport.x1, 0),
+                                      (0, self.viewport.y1),
+                                      (self.viewport.x1, self.viewport.y1))]
+            pts = [(p[0] / p[2], p[1] / p[2]) for p in corners]
+            lx0 = min(p[0] for p in pts)
+            lx1 = max(p[0] for p in pts)
+            ly0 = min(p[1] for p in pts)
+            ly1 = max(p[1] for p in pts)
+            vis = vis.intersection(Rect.from_bounds(lx0, ly0, lx1, ly1)) or vis
+        except np.linalg.LinAlgError:
+            pass
+        ox0 = max(0.0, vis.x0 - r.x0)
+        oy0 = max(0.0, vis.y0 - r.y0)
+        ox1 = max(ox0, vis.x1 - r.x0)
+        oy1 = max(oy0, vis.y1 - r.y0)
+        period_x = stretch_w + prim.tile_spacing.width
+        period_y = stretch_h + prim.tile_spacing.height
+        if ox1 <= period_x and oy1 <= period_y:
+            img_rect = (ox0 / stretch_w * desc.width,
+                        oy0 / stretch_h * desc.height,
+                        ox1 / stretch_w * desc.width,
+                        oy1 / stretch_h * desc.height)
+        else:
+            img_rect = (0, 0, desc.width, desc.height)  # repeating: best effort
+        req = self.resources.request_image_sub(prim.image_key, img_rect)
         if req is None:
             return
-        region, desc = req
-        self._emit_image_instance(prim, c, axis_aligned, out, region.x,
-                                  region.y, desc.width, desc.height,
-                                  prim.stretch_size.width or c.local_rect.w,
-                                  prim.stretch_size.height or c.local_rect.h,
-                                  prim.tile_spacing.width,
-                                  prim.tile_spacing.height,
-                                  prim.image_rendering, prim.color)
+        region, desc, crop_origin = req
+        self._emit_image_instance(
+            prim, c, axis_aligned, out, region.x, region.y,
+            region.w, region.h, stretch_w, stretch_h,
+            prim.tile_spacing.width, prim.tile_spacing.height,
+            prim.image_rendering, prim.color,
+            img_scale=(desc.width / stretch_w, desc.height / stretch_h),
+            crop_origin=crop_origin)
 
     def _prepare_yuv(self, prim: YuvImagePrim, c: PrimCommon,
                      axis_aligned: bool, out: List[int]) -> None:
@@ -821,11 +872,15 @@ class FrameBuilder:
 
     def _emit_image_instance(self, prim, c, axis_aligned, out, ux, uy, uw, uh,
                              stretch_w, stretch_h, spacing_w, spacing_h,
-                             rendering, color) -> None:
+                             rendering, color, img_scale=None,
+                             crop_origin=(0.0, 0.0)) -> None:
         nearest = 1.0 if rendering in (ImageRendering.PIXELATED,
                                        ImageRendering.CROSP_EDGES) else 0.0
+        if img_scale is None:
+            img_scale = (uw / max(stretch_w, 1e-6), uh / max(stretch_h, 1e-6))
         tail = [ux, uy, ux + uw, uy + uh] + list(_premult(color)) + \
-            [nearest, 0.0, stretch_w, stretch_h, spacing_w, spacing_h, 0.0, 0.0]
+            [nearest, 0.0, stretch_w, stretch_h, spacing_w, spacing_h,
+             img_scale[0], img_scale[1], crop_origin[0], crop_origin[1]]
         self._emit_rect_like(prim, c, axis_aligned, out, KIND_IMAGE, tail,
                              BLEND_NORMAL)
 
@@ -839,24 +894,27 @@ class FrameBuilder:
         clip_addr, clip_count, clip_bbox = self._serialize_clips(
             c.clip_chain, c.spatial_node)
         col = list(_premult(prim.color))
+        H = self.H_dev[c.spatial_node]
+        axis_aligned = self.resolved[c.spatial_node].is_2d_axis_aligned
+        sx_, sy_ = H[0, 0], H[1, 1]
+        tx_, ty_ = H[2, 0], H[2, 1]
+        snap_dev = axis_aligned and abs(sx_) > 1e-9 and abs(sy_) > 1e-9
         for (gi, gx, gy) in prim.glyphs:
             cg = glyphs.get(gi)
             if cg is None or cg.region is None:
                 continue
-            # snap pen to whole device pixels (glyph raster is grid-fitted)
-            px = round(gx) + cg.left
-            py = round(gy) - cg.top
+            # snap the pen to whole device pixels *after* the transform
+            # (glyph raster is grid-fitted; text/snap-text-offset.yaml)
+            if snap_dev:
+                px = (round(gx * sx_ + tx_) - tx_) / sx_ + cg.left
+                py = (round(gy * sy_ + ty_) - ty_) / sy_ - cg.top
+            else:
+                px = round(gx) + cg.left
+                py = round(gy) - cg.top
             rect = Rect(px, py, cg.width, cg.height)
             cov = rect.intersection(c.clip_rect)
             if cov is None:
                 continue
-            payload = [rect.x0, rect.y0, rect.x1, rect.y1,
-                       cov.x0, cov.y0, cov.x1, cov.y1,
-                       cg.region.x, cg.region.y,
-                       cg.region.x + cg.width, cg.region.y + cg.height] + col
-            addr = self.gb.push_f32(payload)
-            idx = self.gb.push_instance(KIND_GLYPH, c.spatial_node, addr,
-                                        clip_addr, clip_count, BLEND_NORMAL, 0)
             db = device_bounds_of_rect(self.H_dev[c.spatial_node],
                                        cov.x0, cov.y0, cov.x1, cov.y1)
             bbox = db
@@ -867,6 +925,13 @@ class FrameBuilder:
                         min(bbox[3], clip_bbox[3]))
             if bbox[2] <= bbox[0] or bbox[3] <= bbox[1]:
                 continue
+            payload = [rect.x0, rect.y0, rect.x1, rect.y1,
+                       cov.x0, cov.y0, cov.x1, cov.y1,
+                       cg.region.x, cg.region.y,
+                       cg.region.x + cg.width, cg.region.y + cg.height] + col
+            addr = self.gb.push_f32(payload)
+            idx = self.gb.push_instance(KIND_GLYPH, c.spatial_node, addr,
+                                        clip_addr, clip_count, BLEND_NORMAL, 0)
             self.metas.append(_InstanceMeta(bbox))
             out.append(idx)
 

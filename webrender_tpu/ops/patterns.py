@@ -233,13 +233,16 @@ def _tile_coords(xp, p, lx, ly, stretch_w, stretch_h, spacing_w, spacing_h):
 
 
 def pattern_image(xp, p, lx, ly, color_atlas):
+    """brush_image.glsl: [8:12] atlas uv rect, [18:20] stretch size,
+    [20:22] tile spacing, [22:24] image-px per local-px scale, [24:26]
+    crop origin in image px (huge-image sub-rect residency)."""
     u0, v0, u1, v1 = p[8], p[9], p[10], p[11]
     stretch_w = xp.maximum(p[18], 1e-6)
     stretch_h = xp.maximum(p[19], 1e-6)
     tx, ty, in_tile = _tile_coords(xp, p, lx, ly, stretch_w, stretch_h,
                                    p[20], p[21])
-    u = u0 + tx / stretch_w * (u1 - u0)
-    v = v0 + ty / stretch_h * (v1 - v0)
+    u = u0 + tx * p[22] - p[24]
+    v = v0 + ty * p[23] - p[25]
     texel = sample_rgba(xp, color_atlas, u, v, u0, v0, u1, v1, p[16])
     mod = xp.stack([p[12], p[13], p[14], p[15]], 0)
     return texel * mod[:, None, None] * in_tile[None]

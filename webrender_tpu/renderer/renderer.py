@@ -99,7 +99,7 @@ class Renderer:
     """Owns the HBM atlas arrays + framebuffer (`device/gl.rs` Device role)."""
 
     def __init__(self,
-                 color_atlas_size=(2048, 2048),
+                 color_atlas_size=(4096, 4096),
                  alpha_atlas_size=(2048, 2048),
                  surface_atlas_size=(2048, 4096)):
         self.color_atlas = jnp.zeros((4,) + color_atlas_size, jnp.float32)

@@ -53,8 +53,18 @@ class CachedGlyph:
     height: int
 
 
-def _to_premult_rgba_f32(desc: ImageDescriptor, data: ImageData) -> np.ndarray:
-    """Convert template pixels to premultiplied RGBA float32 (h, w, 4)."""
+def _to_premult_rgba_f32(desc: ImageDescriptor, data: ImageData,
+                         crop=None) -> np.ndarray:
+    """Convert template pixels to premultiplied RGBA float32 (h, w, 4);
+    `crop` = (x0, y0, w, h) extracts an image-space sub-rect (huge-image
+    path, the image_tiling.rs role)."""
+    if data.solid is not None:
+        ch, cw = (crop[3], crop[2]) if crop else (desc.height, desc.width)
+        texel = np.asarray(data.solid, np.float32) / 255.0
+        if desc.format == ImageFormat.BGRA8:
+            texel = texel[[2, 1, 0, 3]]
+            texel[3] = np.float32(data.solid[3]) / 255.0
+        return np.broadcast_to(texel, (ch, cw, 4)).copy()
     px = data.pixels
     assert px is not None, "image template has no pixel data"
     h, w = desc.height, desc.width
@@ -75,6 +85,9 @@ def _to_premult_rgba_f32(desc: ImageDescriptor, data: ImageData) -> np.ndarray:
         arr = px.reshape(h, w, 4).astype(np.float32)
     else:
         raise NotImplementedError(f"image format {fmt}")
+    if crop is not None:
+        x0, y0, cw, ch = crop
+        arr = arr[y0:y0 + ch, x0:x0 + cw]
     # Texel data arrives already premultiplied (wrench premultiplies PNGs at
     # load — yaml_frame_reader.rs:569 — and Gecko supplies premultiplied
     # BGRA); AlphaType::Alpha images are premultiplied at sample time.
@@ -109,11 +122,14 @@ class FontContext:
         return face.get_char_index(ord(ch))
 
     def rasterize(self, key: FontKey, size: float, glyph_index: int,
-                  subpixel_offset: float = 0.0):
+                  mono: bool = False, synthetic_bold: float = 0.0,
+                  synthetic_italics_deg: float = 0.0):
         """Render one glyph → (alpha f32 (h, w), left, top, advance).
 
         left/top: FreeType bitmap bearings — bitmap origin is at
-        (pen_x + left, pen_y - top), y-down device space.
+        (pen_x + left, pen_y - top), y-down device space. `mono` renders
+        1-bit (FontRenderMode::Mono); synthetic bold/italics emulate the
+        wr_glyph_rasterizer embolden/oblique transforms.
         """
         face = self.faces[(key.namespace, key.key)]
         face.set_size(size, 72)  # size in px when dpi=72
@@ -124,18 +140,40 @@ class FontContext:
         if w <= 1 or h <= 1 or glyph.width == 0:
             return (np.zeros((0, 0), np.float32), 0.0, 0.0,
                     glyph.linearHoriAdvance / 65536.0)
-        img = self._ft.FT2Image(w, h)
+        bold_px = int(round(synthetic_bold)) if synthetic_bold > 0 else 0
+        shear = float(np.tan(np.radians(synthetic_italics_deg)))             if synthetic_italics_deg else 0.0
+        extra_w = bold_px + int(np.ceil(abs(shear) * h))
+        img = self._ft.FT2Image(w + extra_w, h)
         # draw_glyph_to_bitmap at (0,0) places the bitmap aligned to the
         # glyph bbox corner: bitmap top-left = pen + (bbox.x0, -bbox.y1)/64.
-        face.draw_glyph_to_bitmap(img, 0, 0, glyph, antialiased=True)
+        face.draw_glyph_to_bitmap(img, 0, 0, glyph, antialiased=not mono)
         bitmap = np.asarray(img, dtype=np.uint8)
-        # crop trailing blank row/col introduced by the +1 padding
-        nz = np.nonzero(bitmap)
+        alpha = bitmap.astype(np.float32) / 255.0
+        if mono:
+            alpha = (alpha >= 0.5).astype(np.float32)
+        if bold_px:
+            out = alpha.copy()
+            for dx in range(1, bold_px + 1):
+                out[:, dx:] = np.maximum(out[:, dx:], alpha[:, :-dx])
+            alpha = out
+        if shear:
+            out = np.zeros_like(alpha)
+            hh = alpha.shape[0]
+            for row in range(hh):
+                off = shear * (hh - 1 - row)
+                i = int(np.floor(off))
+                fr = off - i
+                shifted = np.roll(alpha[row], i) * (1 - fr) +                     np.roll(alpha[row], i + 1) * fr
+                if i >= 0:
+                    shifted[:i + 1] = alpha[row][:i + 1] * 0
+                out[row] = shifted
+            alpha = out
+        # crop trailing blank row/col introduced by the padding
+        nz = np.nonzero(alpha)
         if len(nz[0]) == 0:
             return (np.zeros((0, 0), np.float32), 0.0, 0.0,
                     glyph.linearHoriAdvance / 65536.0)
-        bitmap = bitmap[: nz[0].max() + 1, : nz[1].max() + 1]
-        alpha = bitmap.astype(np.float32) / 255.0
+        alpha = alpha[: nz[0].max() + 1, : nz[1].max() + 1]
         advance = glyph.linearHoriAdvance / 65536.0
         return alpha, x0 / 64.0, y1 / 64.0, advance
 
@@ -143,7 +181,7 @@ class FontContext:
 class ResourceCache:
     """resource_cache.rs ResourceCache analog (images + fonts + glyphs)."""
 
-    def __init__(self, color_atlas_size=(2048, 2048),
+    def __init__(self, color_atlas_size=(4096, 4096),
                  alpha_atlas_size=(2048, 2048)):
         self.color_atlas_size = color_atlas_size
         self.alpha_atlas_size = alpha_atlas_size
@@ -187,7 +225,9 @@ class ResourceCache:
         self.font_instances.pop((key.namespace, key.key), None)
 
     # --- prepare-time requests (resource_cache.rs request_image :926) ------
-    def request_image(self, key: int) -> Optional[Tuple[AtlasRegion, ImageDescriptor]]:
+    MAX_DIRECT_DIM = 2048  # larger images upload only their visible sub-rect
+
+    def request_image(self, key: int):
         tpl = self.images.get(key)
         if tpl is None:
             return None
@@ -204,6 +244,37 @@ class ResourceCache:
             tpl.uploaded_generation = tpl.generation
         return tpl.region, tpl.descriptor
 
+    def request_image_sub(self, key: int, img_rect):
+        """Upload only the visible image-space sub-rect of a huge image
+        (the image_tiling.rs 512px-tile decomposition re-designed as lazy
+        sub-rect residency). img_rect = (x0, y0, x1, y1) in image px.
+        Returns (AtlasRegion of the crop, descriptor, crop_origin)."""
+        tpl = self.images.get(key)
+        if tpl is None:
+            return None
+        desc = tpl.descriptor
+        x0 = max(0, int(np.floor(img_rect[0])) - 1)
+        y0 = max(0, int(np.floor(img_rect[1])) - 1)
+        x1 = min(desc.width, int(np.ceil(img_rect[2])) + 1)
+        y1 = min(desc.height, int(np.ceil(img_rect[3])) + 1)
+        cw = max(1, min(x1 - x0, self.MAX_DIRECT_DIM))
+        ch = max(1, min(y1 - y0, self.MAX_DIRECT_DIM))
+        crops = getattr(self, "_crop_cache", None)
+        if crops is None:
+            crops = self._crop_cache = {}
+        ck = (key, x0, y0, cw, ch, tpl.generation)
+        hit = crops.get(ck)
+        if hit is not None:
+            return hit
+        region = self.color_alloc.alloc(cw, ch)
+        assert region is not None, "color atlas full (crop)"
+        region = AtlasRegion(region.x, region.y, cw, ch)
+        texels = _to_premult_rgba_f32(desc, tpl.data, crop=(x0, y0, cw, ch))
+        self.pending_uploads.append(PendingUpload(ATLAS_COLOR, region, texels))
+        result = (region, desc, (x0, y0))
+        crops[ck] = result
+        return result
+
     def request_glyphs(self, font_instance_key: int,
                        glyph_indices, subpixel_quantize: bool = True
                        ) -> Dict[int, CachedGlyph]:
@@ -212,12 +283,20 @@ class ResourceCache:
         if fi is None:
             return {}
         font_key, size, options = fi
+        from ..api.font import FontInstanceFlags
+        mono = options.render_mode == FontRenderMode.MONO
+        bold = size / 16.0 if (options.flags &
+                               FontInstanceFlags.SYNTHETIC_BOLD) else 0.0
+        italics = options.synthetic_italics.angle_deg
         out = {}
         for gi in set(glyph_indices):
-            cache_key = (font_key.namespace, font_key.key, size, gi)
+            cache_key = (font_key.namespace, font_key.key, size, gi,
+                         mono, bold, italics)
             cached = self.glyphs.get(cache_key)
             if cached is None:
-                alpha, left, top, _adv = self.fonts.rasterize(font_key, size, gi)
+                alpha, left, top, _adv = self.fonts.rasterize(
+                    font_key, size, gi, mono=mono, synthetic_bold=bold,
+                    synthetic_italics_deg=italics)
                 h, w = alpha.shape
                 if h == 0 or w == 0:
                     cached = CachedGlyph(None, left, top, w, h)

@@ -366,6 +366,14 @@ class SceneBuilder:
                 copy, color=sh.color, shadow=True,
                 glyphs=tuple((g, x + sh.offset.x, y + sh.offset.y)
                              for (g, x, y) in prim.glyphs))
+        elif isinstance(copy, NormalBorderPrim):
+            from ..api.display_item import BorderSide, NormalBorder
+            b = copy.border
+            def tint(side):
+                return BorderSide(sh.color, side.style)
+            copy = dataclasses.replace(copy, border=NormalBorder(
+                tint(b.left), tint(b.right), tint(b.top), tint(b.bottom),
+                b.radius, b.do_aa))
         elif hasattr(copy, "color"):
             copy = dataclasses.replace(copy, color=sh.color)
         return copy

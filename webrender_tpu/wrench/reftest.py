@@ -37,6 +37,7 @@ class ReftestCase:
     skip_reason: str = ""
     extra_checks: List[str] = field(default_factory=list)
     line: str = ""
+    font_render_mode: Optional[str] = None
 
 
 def parse_reftest_manifest(path: Path) -> List[ReftestCase]:
@@ -92,8 +93,12 @@ def parse_reftest_manifest(path: Path) -> List[ReftestCase]:
             elif func in ("draw_calls", "alpha_targets", "color_targets",
                           "max_surface_size"):
                 case.extra_checks.append(tok)
-            elif func in ("options", "zoom", "force_subpixel_aa_where_possible",
-                          "dpi"):
+            elif func == "options":
+                if "disable-aa" in args:
+                    case.font_render_mode = "mono"
+                if "disable-subpixel" in args:
+                    pass  # we default to grayscale AA already
+            elif func in ("zoom", "force_subpixel_aa_where_possible", "dpi"):
                 pass  # rendering options not yet supported; render as default
             else:
                 paths.append(base / tok)
@@ -136,9 +141,10 @@ class ReftestHarness:
         self.window_size = window_size
         self.engine = engine
 
-    def render_yaml(self, path: Path) -> np.ndarray:
+    def render_yaml(self, path: Path, font_render_mode=None) -> np.ndarray:
         backend = RenderBackend(self.window_size)
-        reader = YamlFrameReader(path, self.window_size)
+        reader = YamlFrameReader(path, self.window_size,
+                                 font_render_mode=font_render_mode)
         reader.build(backend)
         if self.engine == "oracle":
             return backend.render_software()
@@ -149,8 +155,10 @@ class ReftestHarness:
             return ReftestResult(case, True, skipped=True,
                                  detail=case.skip_reason)
         try:
-            images = [self.render_yaml(p) for p in case.tests]
-            reference = self.render_yaml(case.reference)
+            images = [self.render_yaml(p, case.font_render_mode)
+                      for p in case.tests]
+            reference = self.render_yaml(case.reference,
+                                         case.font_render_mode)
         except Exception as e:  # noqa: BLE001 — report, don't crash the run
             return ReftestResult(case, False, detail=f"error: {e!r}")
         test = images[-1]

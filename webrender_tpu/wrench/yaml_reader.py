@@ -390,11 +390,14 @@ def generate_checkerboard_image(border, tsx, tsy, cx, cy, transparent):
 
 
 def generate_solid_color_image(r, g, b, a, w, h):
+    flags = ImageDescriptorFlags.IS_OPAQUE if a == 255 else ImageDescriptorFlags.NONE
+    desc = ImageDescriptor(ImageFormat.BGRA8, w, h, flags=flags)
+    if w * h > 1 << 22:
+        # huge constant images stay symbolic (very-big.yaml is 100000x1000)
+        return desc, ImageData(solid=(b, g, r, a))
     img = np.zeros((h, w, 4), np.uint8)
     img[:, :] = [b, g, r, a]
-    flags = ImageDescriptorFlags.IS_OPAQUE if a == 255 else ImageDescriptorFlags.NONE
-    return (ImageDescriptor(ImageFormat.BGRA8, w, h, flags=flags),
-            ImageData(pixels=img))
+    return desc, ImageData(pixels=img)
 
 
 def generate_xy_gradient_image(w, h):
@@ -547,13 +550,21 @@ class YamlFrameReader:
         return key
 
     def _get_font_instance(self, font_key: FontKey, size: float,
-                           flags) -> int:
-        k = (font_key, size, int(flags))
+                           flags, synthetic_italics_deg: float = 0.0) -> int:
+        from ..api.font import (FontInstanceOptions, FontRenderMode,
+                                SyntheticItalics)
+        render_mode = FontRenderMode.MONO \
+            if self.font_render_mode == "mono" else FontRenderMode.ALPHA
+        k = (font_key, size, int(flags), synthetic_italics_deg, render_mode)
         if k in self.font_instance_map:
             return self.font_instance_map[k]
         key = self.next_font_instance_key
         self.next_font_instance_key += 1
-        self.txn.add_font_instance(FontInstanceKey(0, key), font_key, size)
+        opts = FontInstanceOptions(
+            render_mode=render_mode, flags=flags,
+            synthetic_italics=SyntheticItalics(synthetic_italics_deg))
+        self.txn.add_font_instance(FontInstanceKey(0, key), font_key, size,
+                                   opts)
         self.font_instance_map[k] = key
         return key
 
@@ -760,11 +771,21 @@ class YamlFrameReader:
                           ImageRendering.AUTO)
 
     def _handle_text(self, dl, item, info):
-        size = float(item.get("size", 16.0))
+        # yaml sizes are in points: 1 pt = 16/12 px (yaml_helper as_pt_to_f32)
+        size = float(item.get("size", 16.0)) * (16.0 / 12.0) \
+            if item.get("size") is not None else 16.0
         color = as_colorf(item.get("color")) or ColorF.BLACK
         flags = FontInstanceFlags.NONE
+        if item.get("synthetic-bold"):
+            flags |= FontInstanceFlags.SYNTHETIC_BOLD
+        si = item.get("synthetic-italics")
+        italics_deg = 0.0
+        if isinstance(si, bool) and si:
+            italics_deg = 14.0  # wr SyntheticItalics::enabled() default
+        elif si is not None and not isinstance(si, bool):
+            italics_deg = float(as_f32(si) or 0.0)
         font_key = self._get_font(item)
-        fi_key = self._get_font_instance(font_key, size, flags)
+        fi_key = self._get_font_instance(font_key, size, flags, italics_deg)
         if "text" not in item:
             origin = as_point(item.get("origin")) or Point2D(0, 0)
             indices = [int(g) for g in item["glyphs"]]
