@@ -1,0 +1,91 @@
+"""Component tests: hit testing, capture/replay, profiler, perf stats
+(the reference's rawtest.rs role for API-level integration)."""
+import numpy as np
+import pytest
+
+from webrender_tpu.api import (ColorF, CommonItemProperties, DisplayListBuilder,
+                               Epoch, PipelineId, Point2D, Rect, SpatialId,
+                               Transaction, PrimitiveFlags, ROOT_CLIP_CHAIN)
+from webrender_tpu.render_backend import RenderBackend
+
+
+def build_simple(backend, with_hit_test=True):
+    pid = PipelineId(0, 1)
+    b = DisplayListBuilder(pid)
+    b.begin()
+    root = SpatialId.root_scroll_node(pid)
+    common = CommonItemProperties(Rect(0, 0, 1000, 1000), root)
+    b.push_rect(common, Rect(10, 10, 100, 50), ColorF(0, 1, 0, 1))
+    if with_hit_test:
+        b.push_hit_test(Rect(10, 10, 100, 50), ROOT_CLIP_CHAIN, root,
+                        PrimitiveFlags.IS_BACKFACE_VISIBLE, (7, 3))
+        b.push_hit_test(Rect(50, 20, 100, 50), ROOT_CLIP_CHAIN, root,
+                        PrimitiveFlags.IS_BACKFACE_VISIBLE, (9, 1))
+    _, dl = b.end()
+    txn = Transaction()
+    txn.set_root_pipeline(pid)
+    txn.set_display_list(Epoch(0), dl)
+    txn.generate_frame()
+    backend.send_transaction(txn)
+
+
+def test_hit_test():
+    backend = RenderBackend((256, 128))
+    build_simple(backend)
+    hits = backend.hit_test(Point2D(60, 30))
+    assert [h.tag for h in hits] == [(9, 1), (7, 3)]  # front-to-back
+    assert backend.hit_test(Point2D(5, 5)) == []
+    only_first = backend.hit_test(Point2D(20, 15))
+    assert [h.tag for h in only_first] == [(7, 3)]
+    assert only_first[0].point_relative_to_item.x == pytest.approx(10.0)
+
+
+def test_capture_replay(tmp_path):
+    backend = RenderBackend((256, 128))
+    build_simple(backend, with_hit_test=False)
+    img1 = backend.render_software()
+    backend.save_capture(str(tmp_path / "cap"))
+    from webrender_tpu.util.capture import load_capture
+    restored = load_capture(str(tmp_path / "cap"))
+    img2 = restored.render_software()
+    assert np.array_equal(img1, img2)
+
+
+def test_profiler_counters():
+    backend = RenderBackend((256, 128))
+    build_simple(backend, with_hit_test=False)
+    backend.render_software()
+    assert backend.profiler.stats("scene_build_time") is not None
+    assert backend.profiler.stats("frame_build_time") is not None
+    report = backend.profiler.report()
+    assert "frame_build_time" in report
+
+
+def test_scroll_and_rerender():
+    """Scroll offsets change the frame without rebuilding the scene
+    (rawtest-style API flow)."""
+    backend = RenderBackend((128, 128))
+    pid = PipelineId(0, 1)
+    b = DisplayListBuilder(pid)
+    b.begin()
+    root = SpatialId.root_scroll_node(pid)
+    sf = b.define_scroll_frame(root, external_id=42,
+                               content_rect=Rect(0, 0, 128, 1000),
+                               frame_rect=Rect(0, 0, 128, 128))
+    common = CommonItemProperties(Rect(0, 0, 1000, 1000), sf)
+    b.push_rect(common, Rect(0, 100, 128, 28), ColorF(1, 0, 0, 1))
+    _, dl = b.end()
+    txn = Transaction()
+    txn.set_root_pipeline(pid)
+    txn.set_display_list(Epoch(0), dl)
+    txn.generate_frame()
+    backend.send_transaction(txn)
+    img = backend.render_software()
+    assert tuple(img[110, 64]) == (255, 0, 0, 255)
+    txn2 = Transaction()
+    txn2.set_scroll_offsets(42, [Point2D(0, 100)])
+    txn2.generate_frame()
+    backend.send_transaction(txn2)
+    img = backend.render_software()
+    assert tuple(img[5, 64]) == (255, 0, 0, 255)
+    assert tuple(img[110, 64]) == (255, 255, 255, 255)

@@ -96,9 +96,10 @@ class DeleteFontInstance:
 
 @dataclass
 class ScrollOffset:
-    """render_api.rs SetScrollOffsets: target a scroll node by external id."""
+    """render_api.rs SetScrollOffsets: target a scroll node by external id;
+    offset is a list of (Point2D, generation) samples."""
     external_scroll_id: int
-    offset: Point2D
+    offset: object
 
 
 @dataclass
@@ -174,9 +175,17 @@ class Transaction:
 
     # --- frame --------------------------------------------------------------
     def set_scroll_offsets(self, external_scroll_id: int,
-                           offsets: Sequence[Point2D]) -> None:
+                           offsets: Sequence) -> None:
+        """render_api.rs set_scroll_offsets: sampled offsets, each either a
+        Point2D or a (Point2D, generation) pair."""
+        samples = []
         for off in offsets:
-            self.frame_ops.append(("scroll", ScrollOffset(external_scroll_id, off)))
+            if isinstance(off, tuple):
+                samples.append(off)
+            else:
+                samples.append((off, 0))
+        self.frame_ops.append(("scroll",
+                               ScrollOffset(external_scroll_id, samples)))
 
     def update_dynamic_properties(self, properties: DynamicProperties) -> None:
         self.frame_ops.append(("dynamic_properties", properties))

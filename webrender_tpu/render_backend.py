@@ -27,6 +27,7 @@ from .renderer.renderer import Renderer
 from .resources.resource_cache import ResourceCache
 from .scene.scene import BuiltScene, Scene
 from .scene.scene_builder import build_scene
+from .util.profiler import Profiler, TransactionProfile
 
 
 class RenderBackend:
@@ -47,6 +48,9 @@ class RenderBackend:
         self.properties: Dict[int, Transform] = {}
         self.frame_ready = False
         self.last_frame: Optional[Frame] = None
+        self.profiler = Profiler()
+        self.last_txn_profile = TransactionProfile()
+        self._hit_tester = None
 
     # ------------------------------------------------------------------
     def send_transaction(self, txn: Transaction) -> None:
@@ -72,7 +76,10 @@ class RenderBackend:
                 for pv in payload.transforms:
                     self.properties[pv.key] = pv.value
         if scene_changed and self.scene.has_root_pipeline:
-            self.built_scene = build_scene(self.scene, self.background_color)
+            with self.profiler.timer("scene_build_time"):
+                self.built_scene = build_scene(self.scene,
+                                               self.background_color)
+            self._hit_tester = None
         if txn.generate_frame_flag:
             self.frame_ready = True
 
@@ -100,17 +107,40 @@ class RenderBackend:
     def build_frame(self) -> Optional[Frame]:
         if self.built_scene is None:
             return None
-        frame = self.frame_builder.build(
-            self.built_scene, self.resources, self.device_size, self.dpr,
-            scroll_offsets=self.scroll_offsets, properties=self.properties)
+        with self.profiler.timer("frame_build_time"):
+            frame = self.frame_builder.build(
+                self.built_scene, self.resources, self.device_size, self.dpr,
+                scroll_offsets=self.scroll_offsets, properties=self.properties)
         self.last_frame = frame
+        self.profiler.set("raster_passes", float(len(frame.passes)))
+        self.profiler.set("instances", float(frame.instances.shape[0]))
+        self.profiler.set("gpu_buffer_floats", float(frame.f32_buf.shape[0]))
         return frame
 
     def render(self) -> np.ndarray:
         """Build + execute a frame; returns premultiplied RGBA8 (h, w, 4)."""
         frame = self.build_frame()
         assert frame is not None, "no scene to render"
-        return self.renderer.render(frame, self.resources)
+        with self.profiler.timer("renderer_time"):
+            img = self.renderer.render(frame, self.resources)
+        return img
+
+    # ------------------------------------------------------------------
+    def hit_test(self, point) -> list:
+        """render_api.rs RenderApi::hit_test (:1279)."""
+        from .frame.hit_test import HitTester
+        if self.built_scene is None:
+            return []
+        if self._hit_tester is None:
+            self._hit_tester = HitTester(self.built_scene,
+                                         self.scroll_offsets,
+                                         self.properties)
+        return self._hit_tester.hit_test(point)
+
+    def save_capture(self, root: str, bits=None) -> None:
+        from .util.capture import CaptureBits, save_capture
+        save_capture(self, root, bits or (CaptureBits.SCENE |
+                                          CaptureBits.FRAME))
 
     def render_software(self) -> np.ndarray:
         """Render the same frame on the CPU fidelity oracle."""
