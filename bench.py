@@ -65,16 +65,21 @@ def build_4k_scene(w=3840, h=2160, n_rects=400, n_grads=100):
 
 
 def device_render_once(backend, frame):
-    """One full device render (no host readback — the compositor loop keeps
-    the framebuffer in HBM)."""
-    import jax
+    """One full device render; a scalar checksum readback forces execution
+    (remote-tunnel backends can report readiness before compute finishes)."""
     fb = backend.renderer.render_device(frame)
-    fb.block_until_ready()
-    return fb
+    return float(fb[0, 0, 0])
 
 
 def main():
+    import os
     import jax
+    cache = os.environ.get("WRTPU_JAX_CACHE", "/tmp/wrtpu_jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
 
     backend = build_4k_scene()
     t0 = time.perf_counter()

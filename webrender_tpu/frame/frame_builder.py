@@ -574,7 +574,7 @@ class FrameBuilder:
         if cached is not None:
             return cached
         nodes = [self.scene.clip_store.nodes[i] for i in chain]
-        records: List[float] = []
+        records: List[List[float]] = []
         bbox = None
         count = 0
         for node in nodes:
@@ -607,7 +607,7 @@ class FrameBuilder:
                     rec[14] = 0.0
             elif node.kind == ClipKind.BOX_SHADOW:
                 rec[14] = 1.0
-            records.extend(rec)
+            records.append(rec)
             count += 1
             if node.mode == ClipMode.CLIP and node.kind != ClipKind.IMAGE_MASK:
                 db = device_bounds_of_rect(self.H_dev[node.spatial_node],
@@ -623,7 +623,10 @@ class FrameBuilder:
                 bbox = db if bbox is None else (
                     max(bbox[0], db[0]), max(bbox[1], db[1]),
                     min(bbox[2], db[2]), min(bbox[3], db[3]))
-        addr = self.gb.push_f32(records) if records else 0
+        flat: List[float] = []
+        for rec in records:
+            flat.extend(rec)
+        addr = self.gb.push_f32(flat) if flat else 0
         result = (addr, count, bbox)
         self._clip_cache[key] = result
         return result

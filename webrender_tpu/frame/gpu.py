@@ -70,7 +70,7 @@ INST_EDGE_AA = 6        # bit 0..3: left/top/right/bottom edge AA enabled
 INST_FLAGS = 7
 INST_FIELDS = 8
 
-CLIP_STRIDE = 24
+CLIP_STRIDE = 128  # one 128-float row per record (TPU lane-aligned reads)
 
 # blend ops (MixBlendMode values are offset by BLEND_MIX_BASE)
 BLEND_NORMAL = 0
@@ -93,8 +93,13 @@ class GpuBufferBuilder:
         self._instances: List[List[int]] = []
 
     # --- f32 buffer --------------------------------------------------------
+    ALIGN = 128  # lane-aligned addresses let Pallas read payload rows
+
     def push_f32(self, values) -> int:
         arr = np.asarray(values, dtype=np.float32).reshape(-1)
+        pad = (-arr.size) % self.ALIGN
+        if pad:
+            arr = np.concatenate([arr, np.zeros(pad, np.float32)])
         addr = self._f32_len
         self._f32.append(arr)
         self._f32_len += arr.size

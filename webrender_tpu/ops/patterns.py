@@ -256,8 +256,7 @@ def pattern_glyph(xp, p, lx, ly, alpha_atlas):
     return col[:, None, None] * a[None]
 
 
-def pattern_linear_gradient(xp, fori, p, lx, ly, f32_buf):
-    """brush_linear_gradient.glsl / cs_linear_gradient.glsl."""
+def gradient_t_linear(xp, p, lx, ly):
     tx, ty, in_tile = _tile_coords(xp, p, lx, ly,
                                    xp.maximum(p[16], 1e-6),
                                    xp.maximum(p[17], 1e-6), p[18], p[19])
@@ -266,6 +265,12 @@ def pattern_linear_gradient(xp, fori, p, lx, ly, f32_buf):
     denom = dx * dx + dy * dy
     denom = xp.where(denom > 1e-9, denom, 1e-9)
     t = ((tx - p[8]) * dx + (ty - p[9]) * dy) / denom
+    return t, in_tile
+
+
+def pattern_linear_gradient(xp, fori, p, lx, ly, f32_buf):
+    """brush_linear_gradient.glsl / cs_linear_gradient.glsl."""
+    t, in_tile = gradient_t_linear(xp, p, lx, ly)
     return _grad(xp, fori, p, f32_buf, t) * in_tile[None]
 
 
@@ -278,9 +283,7 @@ def _grad(xp, fori, p, f32_buf, t):
     return eval_gradient_stops(xp, fori, f32_buf, addr, n, t, p[13])
 
 
-def pattern_radial_gradient(xp, fori, p, lx, ly, f32_buf):
-    """cs_radial_gradient.glsl: elliptical distance scaled by radius.x,
-    then (d - start_offset) / (end_offset - start_offset)."""
+def gradient_t_radial(xp, p, lx, ly):
     tx, ty, in_tile = _tile_coords(xp, p, lx, ly,
                                    xp.maximum(p[18], 1e-6),
                                    xp.maximum(p[19], 1e-6), p[20], p[21])
@@ -293,12 +296,17 @@ def pattern_radial_gradient(xp, fori, p, lx, ly, f32_buf):
     scale = xp.where(xp.abs(denom) > 1e-9, 1.0 / xp.where(
         xp.abs(denom) > 1e-9, denom, 1.0), 0.0)
     t = (d - p[16]) * scale
+    return t, in_tile
+
+
+def pattern_radial_gradient(xp, fori, p, lx, ly, f32_buf):
+    """cs_radial_gradient.glsl: elliptical distance scaled by radius.x,
+    then (d - start_offset) / (end_offset - start_offset)."""
+    t, in_tile = gradient_t_radial(xp, p, lx, ly)
     return _grad(xp, fori, p, f32_buf, t) * in_tile[None]
 
 
-def pattern_conic_gradient(xp, fori, p, lx, ly, f32_buf):
-    """cs_conic_gradient.glsl: angle = atan(dy, dx) + (pi/2 - aAngle);
-    offset = fract(angle / 2pi) / d - start/d."""
+def gradient_t_conic(xp, p, lx, ly):
     tx, ty, in_tile = _tile_coords(xp, p, lx, ly,
                                    xp.maximum(p[18], 1e-6),
                                    xp.maximum(p[19], 1e-6), p[20], p[21])
@@ -311,6 +319,13 @@ def pattern_conic_gradient(xp, fori, p, lx, ly, f32_buf):
     scale = xp.where(xp.abs(denom) > 1e-9, 1.0 / xp.where(
         xp.abs(denom) > 1e-9, denom, 1.0), 0.0)
     t = (tr - p[16]) * scale
+    return t, in_tile
+
+
+def pattern_conic_gradient(xp, fori, p, lx, ly, f32_buf):
+    """cs_conic_gradient.glsl: angle = atan(dy, dx) + (pi/2 - aAngle);
+    offset = fract(angle / 2pi) / d - start/d."""
+    t, in_tile = gradient_t_conic(xp, p, lx, ly)
     return _grad(xp, fori, p, f32_buf, t) * in_tile[None]
 
 
@@ -381,11 +396,13 @@ def pattern_border(xp, p, lx, ly, sx, sy):
     d_r = xp.where((w_r > eps) & active(1), (x1 - lx) / xp.maximum(w_r, eps), big)
     d_b = xp.where((w_b > eps) & active(2), (y1 - ly) / xp.maximum(w_b, eps), big)
     d_l = xp.where((w_l > eps) & active(3), (lx - x0) / xp.maximum(w_l, eps), big)
-    depths = xp.stack([d_t, d_r, d_b, d_l], 0)
-    # mitered side ownership: smallest normalized depth
-    owner = xp.argmin(depths, 0)
-    depth = xp.minimum(xp.minimum(d_t, d_r), xp.minimum(d_b, d_l))
-    depth = xp.clip(depth, 0.0, 1.0)
+    # mitered side ownership: smallest normalized depth (explicit compare
+    # chain — argmin lowers poorly on the TPU vector unit)
+    depth_raw = xp.minimum(xp.minimum(d_t, d_r), xp.minimum(d_b, d_l))
+    owner = xp.where(d_t <= depth_raw, 0,
+                     xp.where(d_r <= depth_raw, 1,
+                              xp.where(d_b <= depth_raw, 2, 3)))
+    depth = xp.clip(depth_raw, 0.0, 1.0)
 
     color = xp.zeros((4,) + lx.shape, "float32")
     for side in range(4):

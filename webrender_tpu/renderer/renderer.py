@@ -96,12 +96,20 @@ def _copy_region(dst, src_img, x: int, y: int):
 
 
 class Renderer:
-    """Owns the HBM atlas arrays + framebuffer (`device/gl.rs` Device role)."""
+    """Owns the HBM atlas arrays + framebuffer (`device/gl.rs` Device role).
+
+    `use_pallas`: run supported raster passes through the Pallas tile kernel
+    (ops/pallas/tile_raster.py); unsupported passes fall back to the XLA
+    path. Defaults on for TPU backends."""
 
     def __init__(self,
                  color_atlas_size=(4096, 4096),
                  alpha_atlas_size=(2048, 2048),
-                 surface_atlas_size=(2048, 4096)):
+                 surface_atlas_size=(2048, 4096),
+                 use_pallas: Optional[bool] = None):
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        self.use_pallas = use_pallas
         self.color_atlas = jnp.zeros((4,) + color_atlas_size, jnp.float32)
         self.alpha_atlas = jnp.zeros(alpha_atlas_size, jnp.float32)
         self.surface_atlas_size = surface_atlas_size
@@ -221,10 +229,23 @@ class Renderer:
                 jax.lax.dynamic_slice(self.surface_atlas, (0, y_, x_),
                                       (4, rh_, rw_))
             clear = _disassemble(src, nx=p.nx, ny=p.ny)
-        tiles = render_tiles(
-            f32_buf, instances, transforms, jnp.asarray(p.tile_insts),
-            origins, clear, self.color_atlas, self.alpha_atlas,
-            self.surface_atlas, kinds=kinds, blends=blends)
+        use_pallas = False
+        if self.use_pallas and p.clear is not None:
+            from ..ops.pallas.tile_raster import (pallas_pass_supported,
+                                                 render_tiles_pallas)
+            use_pallas = pallas_pass_supported(
+                frame.instances, p.tile_insts, frame.transforms,
+                frame.f32_buf)
+        if use_pallas:
+            tiles = render_tiles_pallas(
+                f32_buf, instances, transforms, jnp.asarray(p.tile_insts),
+                origins, clear, self.alpha_atlas, self.surface_atlas,
+                kinds=kinds, blends=blends)
+        else:
+            tiles = render_tiles(
+                f32_buf, instances, transforms, jnp.asarray(p.tile_insts),
+                origins, clear, self.color_atlas, self.alpha_atlas,
+                self.surface_atlas, kinds=kinds, blends=blends)
         x, y, rw, rh = p.region
         if p.target == TARGET_ROOT:
             return _write_region(
