@@ -1,0 +1,82 @@
+"""Picture-cache invalidation tests (wrench/src/test_invalidation.rs:47-130
+role): verify which tiles re-render across frames via the renderer's
+dirty-tile debug info."""
+import numpy as np
+
+from webrender_tpu.api import (ColorF, CommonItemProperties, DisplayListBuilder,
+                               Epoch, PipelineId, Point2D, Rect, SpatialId,
+                               Transaction)
+from webrender_tpu.render_backend import RenderBackend
+
+
+def setup_backend():
+    backend = RenderBackend((512, 256))
+    pid = PipelineId(0, 1)
+    b = DisplayListBuilder(pid)
+    b.begin()
+    root = SpatialId.root_scroll_node(pid)
+    sf = b.define_scroll_frame(root, external_id=7,
+                               content_rect=Rect(0, 0, 512, 2000),
+                               frame_rect=Rect(0, 0, 512, 256))
+    common = CommonItemProperties(Rect(0, 0, 2000, 2000), sf)
+    b.push_rect(common, Rect(10, 10, 50, 50), ColorF(1, 0, 0, 1))
+    static_common = CommonItemProperties(Rect(0, 0, 2000, 2000), root)
+    b.push_rect(static_common, Rect(400, 200, 50, 50), ColorF(0, 0, 1, 1))
+    _, dl = b.end()
+    txn = Transaction()
+    txn.set_root_pipeline(pid)
+    txn.set_display_list(Epoch(0), dl)
+    txn.generate_frame()
+    backend.send_transaction(txn)
+    return backend
+
+
+def test_composite_nop_zero_dirty():
+    """Re-rendering an unchanged frame invalidates nothing
+    (test_invalidation.rs test_composite_nop)."""
+    backend = setup_backend()
+    img1 = backend.render()
+    assert backend.renderer.last_dirty_tiles > 0  # first frame = full render
+    img2 = backend.render()
+    assert backend.renderer.last_dirty_tiles == 0
+    assert np.array_equal(img1, img2)
+
+
+def test_scroll_invalidates_only_moved_tiles():
+    """Scrolling dirties the tiles the scrolled content crosses, not the
+    whole frame (test_invalidation.rs scroll cases)."""
+    backend = setup_backend()
+    backend.render()
+    nt = backend.last_frame.passes[-1].tile_insts.shape[0]
+    txn = Transaction()
+    txn.set_scroll_offsets(7, [Point2D(0, 30)])
+    txn.generate_frame()
+    backend.send_transaction(txn)
+    img = backend.render()
+    dirty = backend.renderer.last_dirty_tiles
+    assert 0 < dirty < nt, f"dirty={dirty} of {nt}"
+    # the scrolled rect (was y 10..60) moved up by 30 → now y -20..30
+    assert tuple(img[15, 30]) == (255, 0, 0, 255)
+    assert tuple(img[45, 30]) == (255, 255, 255, 255)  # vacated area cleared
+    # static rect untouched
+    assert tuple(img[220, 420]) == (0, 0, 255, 255)
+
+
+def test_color_change_invalidates():
+    backend = setup_backend()
+    backend.render()
+    pid = PipelineId(0, 1)
+    b = DisplayListBuilder(pid)
+    b.begin()
+    root = SpatialId.root_scroll_node(pid)
+    common = CommonItemProperties(Rect(0, 0, 2000, 2000), root)
+    b.push_rect(common, Rect(10, 10, 50, 50), ColorF(0, 1, 0, 1))
+    b.push_rect(common, Rect(400, 200, 50, 50), ColorF(0, 0, 1, 1))
+    _, dl = b.end()
+    txn = Transaction()
+    txn.set_display_list(Epoch(1), dl)
+    txn.generate_frame()
+    backend.send_transaction(txn)
+    img = backend.render()
+    assert tuple(img[30, 30]) == (0, 255, 0, 255)
+    assert backend.renderer.last_dirty_tiles > 0

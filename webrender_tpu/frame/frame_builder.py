@@ -82,6 +82,7 @@ class RenderPass:
     src_target: int = TARGET_SURFACE
     sigma: float = 0.0
     lut: Optional[np.ndarray] = None      # [4, 256] channel LUT
+    tile_hashes: Optional[np.ndarray] = None  # [nt] u64 content hashes
 
 
 @dataclass
@@ -150,11 +151,52 @@ class FrameBuilder:
                                  (0.0, 0.0), bg.premultiplied())
 
         f32_buf, instances = self.gb.finish()
+        # picture caching (SURVEY.md §5.7): per-tile content hashes let the
+        # renderer skip unchanged tiles (TileCacheInstance dependency
+        # tracking re-designed: hash of each tile's instance payload +
+        # transform + clip content in paint order)
+        self._compute_tile_hashes(f32_buf, instances)
         bboxes = np.zeros((instances.shape[0], 4), np.float32)
         for i, m in enumerate(self.metas):
             bboxes[i] = m.bbox
         return Frame(f32_buf, instances, self.palette, self.passes,
                      (w, h), bg.premultiplied(), bboxes)
+
+    def _compute_tile_hashes(self, f32_buf: np.ndarray,
+                             instances: np.ndarray) -> None:
+        root_passes = [p for p in self.passes
+                       if p.target == TARGET_ROOT and p.kind == PASS_RASTER]
+        if len(root_passes) != 1:
+            return  # backdrop-segmented targets re-render fully
+        p = root_passes[0]
+        inst_hash: Dict[int, int] = {}
+
+        def hash_instance(i: int) -> int:
+            h = inst_hash.get(i)
+            if h is None:
+                rec = instances[i]
+                addr = int(rec[2])
+                clip_addr = int(rec[3])
+                clip_n = int(rec[4])
+                payload = f32_buf[addr:addr + 64].tobytes()
+                clips = f32_buf[clip_addr:clip_addr + clip_n * CLIP_STRIDE
+                                ].tobytes() if clip_n else b""
+                trow = self.palette[int(rec[1])].tobytes()
+                h = hash((rec[0].item(), rec[5].item(), rec[6].item(),
+                          payload, clips, trow))
+                inst_hash[i] = h
+            return h
+
+        nt = p.tile_insts.shape[0]
+        hashes = np.empty(nt, np.uint64)
+        base = hash(p.clear)
+        for t in range(nt):
+            row = p.tile_insts[t]
+            ids = row[row >= 0]
+            hashes[t] = np.uint64(
+                hash((base, tuple(hash_instance(int(i)) for i in ids)))
+                & 0xFFFFFFFFFFFFFFFF)
+        p.tile_hashes = hashes
 
     # ------------------------------------------------------------------
     # picture traversal / surfaces
@@ -579,6 +621,8 @@ class FrameBuilder:
         count = 0
         for node in nodes:
             rec = [0.0] * CLIP_STRIDE
+            # palette row inlined for the dense pallas path ([96:108])
+            rec[96:108] = [float(v) for v in self.palette[node.spatial_node]]
             nrect = node.rect
             if node.kind in (ClipKind.RECT, ClipKind.ROUNDED_RECT):
                 nrect = self._snap_rect(nrect, node.spatial_node)

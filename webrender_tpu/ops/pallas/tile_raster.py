@@ -139,6 +139,243 @@ def _pattern_math(kind_branch, p, lx, ly, sx, sy, f32_rows_ref):
     raise ValueError(kind_branch)
 
 
+# --- dense-record variant ---------------------------------------------------
+# Per-(tile, slot) records of 128 f32: [0:64] payload, [64] kind, [65] blend,
+# [66] edge_aa, [67] clip_count, [68] clip_row, [69:81] transform row.
+REC_KIND = 64
+REC_BLEND = 65
+REC_EDGE = 66
+REC_CLIP_COUNT = 67
+REC_CLIP_ROW = 68
+REC_TROW = 69
+
+
+def build_dense_records(f32_buf, instances, transforms, tile_insts):
+    """Host-side gather into the dense per-tile record array (numpy)."""
+    nt, slots = tile_insts.shape
+    dense = np.zeros((nt, slots, 128), np.float32)
+    ids = tile_insts.reshape(-1)
+    valid = ids >= 0
+    safe = np.where(valid, ids, 0)
+    recs = instances[safe]                      # [nt*slots, 8]
+    addr = recs[:, INST_PRIM_ADDR]
+    # payload gather: [nt*slots, 64]
+    offs = addr[:, None] + np.arange(64)[None, :]
+    offs = np.clip(offs, 0, f32_buf.shape[0] - 1)
+    dense_flat = dense.reshape(-1, 128)
+    dense_flat[:, :64] = f32_buf[offs]
+    dense_flat[:, REC_KIND] = recs[:, INST_KIND]
+    dense_flat[:, REC_BLEND] = recs[:, INST_BLEND]
+    dense_flat[:, REC_EDGE] = recs[:, INST_EDGE_AA]
+    dense_flat[:, REC_CLIP_COUNT] = recs[:, INST_CLIP_COUNT]
+    dense_flat[:, REC_CLIP_ROW] = recs[:, INST_CLIP_ADDR] // 128
+    dense_flat[:, REC_TROW:REC_TROW + 12] = transforms[recs[:, INST_SPATIAL]]
+    dense_flat[~valid] = 0.0
+    dense_flat[~valid, REC_KIND] = -1.0
+    return dense
+
+
+@functools.partial(jax.jit, static_argnames=("kinds", "blends"))
+def render_tiles_pallas_dense(dense, tile_counts, tile_origins, clear_color,
+                              f32_rows, alpha_atlas, surface_atlas,
+                              *, kinds: Tuple[int, ...],
+                              blends: Tuple[int, ...]):
+    """Dense-record pallas raster → [nt, 4, TILE_H, TILE_W].
+
+    All per-instance state arrives in the tile's own VMEM block — no
+    scalar-indexed loads from shared tables in the hot loop."""
+    nt, slots, _ = dense.shape
+    kinds = tuple(kinds)
+    blends = tuple(blends)
+    math_kinds = [k for k in kinds if k in MATH_KINDS]
+    sampled_kinds = [k for k in kinds if k in SAMPLED_KINDS]
+    branch_kinds = math_kinds + sampled_kinds
+    lut = np.zeros(16 + blend_mod.N_BLEND_OPS, np.int32)
+    for pos, k in enumerate(branch_kinds):
+        lut[k] = pos
+    for pos, b in enumerate(blends):
+        lut[16 + b] = pos
+
+    def kernel(cnt_ref, or_ref, clear_ref, lut_ref, dense_ref, f32_rows_ref,
+               aa_hbm, sa_hbm, out_ref, acc, samp, samp_sem):
+        col = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W),
+                                       1).astype(jnp.float32)
+        row = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W),
+                                       0).astype(jnp.float32)
+        ox = or_ref[0, 0, 0]
+        oy = or_ref[0, 0, 1]
+        px = ox + col + 0.5
+        py = oy + row + 0.5
+        for c in range(4):
+            acc[c] = jnp.full((TILE_H, TILE_W), clear_ref[c], jnp.float32)
+
+        def body(i, carry):
+            r = dense_ref[0, i]
+            p = r[:64]
+            trow = r[REC_TROW:REC_TROW + 12]
+            lx, ly = pk.inverse_map(jnp, trow, px, py)
+            sx = trow[9]
+            sy = trow[10]
+            edge_aa = r[REC_EDGE].astype(jnp.int32)
+            cov = pk.rect_coverage(jnp, p[4], p[5], p[6], p[7], lx, ly,
+                                   sx, sy, edge_aa)
+
+            clip_row = r[REC_CLIP_ROW].astype(jnp.int32)
+
+            def clip_body(j, cov):
+                crec = f32_rows_ref[clip_row + j]
+                # clip transforms are inlined in the record? no — clips may
+                # live in other spatial nodes; their palette row is stored
+                # in the record tail at serialization time (frame builder
+                # appends it at [96:108] of the clip row)
+                ct = crec[96:108]
+                clx, cly = pk.inverse_map(jnp, ct, px, py)
+                csx = ct[9]
+                csy = ct[10]
+                rect_cov = pk.rect_coverage(jnp, crec[0], crec[1], crec[2],
+                                            crec[3], clx, cly, csx, csy, 0xF)
+                rounded = pk.rounded_rect_coverage(
+                    jnp, crec[0:4], crec[4:12], clx, cly, csx, csy)
+                ccov = jnp.where(crec[14] < 0.5, rect_cov, rounded)
+                ccov = jnp.where(crec[12] > 0.5, 1.0 - ccov, ccov)
+                return cov * ccov
+            cov = jax.lax.fori_loop(0, r[REC_CLIP_COUNT].astype(jnp.int32),
+                                    clip_body, cov)
+
+            def sampled_branch(kind_s, p, lx, ly, sx, sy, f32_rows):
+                fx = ox + (p[8] - p[0])
+                fy = oy + (p[9] - p[1])
+                x0f = jnp.floor(fx)
+                y0f = jnp.floor(fy)
+                frx = fx - x0f
+                fry = fy - y0f
+                x0i = x0f.astype(jnp.int32)
+                y0i = y0f.astype(jnp.int32)
+                if kind_s == KIND_GLYPH:
+                    H, W = aa_hbm.shape
+                    x0c = jnp.clip(x0i, 0, W - SAMP_W)
+                    y0c = jnp.clip(y0i, 0, H - SAMP_H)
+                    cp = pltpu.make_async_copy(
+                        aa_hbm.at[pl.ds(y0c, SAMP_H), pl.ds(x0c, SAMP_W)],
+                        samp.at[0], samp_sem)
+                    cp.start()
+                    cp.wait()
+                    plane = samp[0]
+                    t00 = plane[:TILE_H, :TILE_W]
+                    t10 = plane[:TILE_H, 1:TILE_W + 1]
+                    t01 = plane[1:TILE_H + 1, :TILE_W]
+                    t11 = plane[1:TILE_H + 1, 1:TILE_W + 1]
+                    a = (t00 * (1 - frx) + t10 * frx) * (1 - fry) +                         (t01 * (1 - frx) + t11 * frx) * fry
+                    col4 = jnp.stack([p[12], p[13], p[14], p[15]], 0)
+                    return col4[:, None, None] * a[None]
+                H = sa_hbm.shape[1]
+                W = sa_hbm.shape[2]
+                x0c = jnp.clip(x0i, 0, W - SAMP_W)
+                y0c = jnp.clip(y0i, 0, H - SAMP_H)
+                for c in range(4):
+                    cp = pltpu.make_async_copy(
+                        sa_hbm.at[c, pl.ds(y0c, SAMP_H), pl.ds(x0c, SAMP_W)],
+                        samp.at[c], samp_sem)
+                    cp.start()
+                    cp.wait()
+                planes = samp[:, :, :]
+                t00 = planes[:, :TILE_H, :TILE_W]
+                t10 = planes[:, :TILE_H, 1:TILE_W + 1]
+                t01 = planes[:, 1:TILE_H + 1, :TILE_W]
+                t11 = planes[:, 1:TILE_H + 1, 1:TILE_W + 1]
+                texel = (t00 * (1 - frx) + t10 * frx) * (1 - fry) +                     (t01 * (1 - frx) + t11 * frx) * fry
+                mod = jnp.stack([p[12], p[13], p[14], p[15]], 0)
+                texel = texel * mod[:, None, None]
+                return pk.apply_color_matrix(jnp, texel, p[16:36], p[36])
+
+            def grad_branch(kind_g, p, lx, ly, sx, sy, f32_rows):
+                if kind_g == KIND_LINEAR_GRAD:
+                    t, in_tile = pk.gradient_t_linear(jnp, p, lx, ly)
+                elif kind_g == KIND_RADIAL_GRAD:
+                    t, in_tile = pk.gradient_t_radial(jnp, p, lx, ly)
+                else:
+                    t, in_tile = pk.gradient_t_conic(jnp, p, lx, ly)
+                addr = p[12].astype(jnp.int32)
+                n = p[14].astype(jnp.int32)
+                srow = f32_rows[addr // 128]
+                return _eval_stops_row(srow, n, t, p[13]) * in_tile[None]
+
+            branches = []
+            for k in math_kinds:
+                if k in (KIND_LINEAR_GRAD, KIND_RADIAL_GRAD, KIND_CONIC_GRAD):
+                    branches.append(functools.partial(grad_branch, k))
+                else:
+                    branches.append(functools.partial(_pattern_math, k))
+            branches += [functools.partial(sampled_branch, k)
+                         for k in sampled_kinds]
+            kind_i = r[REC_KIND].astype(jnp.int32)
+            pos = lut_ref[jnp.clip(kind_i, 0, 15)]
+            if len(branches) == 1:
+                color = branches[0](p, lx, ly, sx, sy, f32_rows_ref)
+            else:
+                color = jax.lax.switch(
+                    pos, [functools.partial(b, p, lx, ly, sx, sy,
+                                            f32_rows_ref)
+                          for b in branches])
+
+            src = color * cov[None]
+            dst = jnp.stack([acc[0], acc[1], acc[2], acc[3]], 0)
+            if len(blends) == 1:
+                blended = blend_mod.blend_src_over_dst(jnp, blends[0], src,
+                                                       dst)
+            else:
+                bpos = lut_ref[16 + r[REC_BLEND].astype(jnp.int32)]
+                blended = jax.lax.switch(
+                    bpos,
+                    [functools.partial(
+                        (lambda op: lambda s, d:
+                         blend_mod.blend_src_over_dst(jnp, op, s, d))(b),
+                        src, dst)
+                     for b in blends])
+            for c in range(4):
+                acc[c] = blended[c]
+            return carry
+
+        jax.lax.fori_loop(0, cnt_ref[0, 0, 0], body, 0)
+        for c in range(4):
+            out_ref[0, c] = acc[c]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1), lambda t: (t, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 2), lambda t: (t, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, slots, 128), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 4, TILE_H, TILE_W),
+                               lambda t: (t, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((4, TILE_H, TILE_W), jnp.float32),
+            pltpu.VMEM((4, SAMP_H, SAMP_W), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nt, 4, TILE_H, TILE_W), jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(tile_counts.reshape(nt, 1, 1), tile_origins.reshape(nt, 1, 2),
+      clear_color, jnp.asarray(lut), dense, f32_rows, alpha_atlas,
+      surface_atlas)
+
+
 @functools.partial(jax.jit, static_argnames=("kinds", "blends"))
 def render_tiles_pallas(f32_buf, instances, transforms, tile_insts,
                         tile_origins, clear_color, alpha_atlas,

@@ -89,6 +89,11 @@ def _disassemble(img, *, nx: int, ny: int):
     return disassemble_tiles(img, nx, ny)
 
 
+@functools.partial(jax.jit, static_argnames=("nx", "ny", "w", "h"))
+def _assemble(tiles, *, nx: int, ny: int, w: int, h: int):
+    return assemble_tiles(tiles, nx, ny, w, h)
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _copy_region(dst, src_img, x: int, y: int):
     return jax.lax.dynamic_update_slice(dst, _quantize_unorm8(src_img),
@@ -110,6 +115,7 @@ class Renderer:
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
+        self.picture_caching = True  # dirty-tile skipping (picture.rs role)
         self.color_atlas = jnp.zeros((4,) + color_atlas_size, jnp.float32)
         self.alpha_atlas = jnp.zeros(alpha_atlas_size, jnp.float32)
         self.surface_atlas_size = surface_atlas_size
@@ -117,6 +123,11 @@ class Renderer:
         # host mirrors for the CPU fidelity oracle
         self.color_atlas_host = np.zeros((4,) + color_atlas_size, np.float32)
         self.alpha_atlas_host = np.zeros(alpha_atlas_size, np.float32)
+        # picture cache state: persistent root tile grid + content hashes
+        self._root_tiles = None
+        self._root_hashes = None
+        self._root_shape = None
+        self.last_dirty_tiles = -1  # PictureCacheDebugInfo analog
 
     # ------------------------------------------------------------------
     def apply_uploads(self, uploads: List[PendingUpload]) -> None:
@@ -218,6 +229,13 @@ class Renderer:
 
     def _run_raster(self, p: RenderPass, frame: Frame, f32_buf, instances,
                     transforms, framebuffer):
+        # picture caching: root pass with per-tile hashes renders only the
+        # tiles whose content changed (picture.rs pre_update/post_update
+        # dirty tracking re-designed as content hashing)
+        if (self.picture_caching and p.target == TARGET_ROOT
+                and p.tile_hashes is not None and p.clear is not None):
+            return self._run_root_cached(p, frame, f32_buf, instances,
+                                         transforms)
         kinds, blends = self._pass_dispatch_sets(p, frame)
         origins = jnp.asarray(self._tile_origins(p))
         x_, y_, rw_, rh_ = p.region
@@ -231,16 +249,24 @@ class Renderer:
             clear = _disassemble(src, nx=p.nx, ny=p.ny)
         use_pallas = False
         if self.use_pallas and p.clear is not None:
-            from ..ops.pallas.tile_raster import (pallas_pass_supported,
-                                                 render_tiles_pallas)
+            from ..ops.pallas.tile_raster import (build_dense_records,
+                                                 pallas_pass_supported,
+                                                 render_tiles_pallas_dense)
             use_pallas = pallas_pass_supported(
                 frame.instances, p.tile_insts, frame.transforms,
                 frame.f32_buf)
         if use_pallas:
-            tiles = render_tiles_pallas(
-                f32_buf, instances, transforms, jnp.asarray(p.tile_insts),
-                origins, clear, self.alpha_atlas, self.surface_atlas,
-                kinds=kinds, blends=blends)
+            cached = getattr(p, "_dense_cache", None)
+            if cached is None:
+                dense = build_dense_records(frame.f32_buf, frame.instances,
+                                            frame.transforms, p.tile_insts)
+                counts = (p.tile_insts >= 0).sum(1).astype(np.int32)
+                cached = (jnp.asarray(dense), jnp.asarray(counts))
+                p._dense_cache = cached
+            tiles = render_tiles_pallas_dense(
+                cached[0], cached[1], origins, clear,
+                f32_buf.reshape(-1, 128), self.alpha_atlas,
+                self.surface_atlas, kinds=kinds, blends=blends)
         else:
             tiles = render_tiles(
                 f32_buf, instances, transforms, jnp.asarray(p.tile_insts),
@@ -256,6 +282,61 @@ class Renderer:
             self.surface_atlas, tiles, nx=p.nx, ny=p.ny, w=rw, h=rh, x=x, y=y,
             quantize=True)
         return framebuffer
+
+    def _run_root_cached(self, p: RenderPass, frame: Frame, f32_buf,
+                         instances, transforms):
+        nt = p.tile_insts.shape[0]
+        shape_key = (nt, p.nx, p.ny, p.region)
+        full = (self._root_tiles is None or self._root_shape != shape_key
+                or self._root_hashes is None)
+        if full:
+            dirty = np.arange(nt)
+        else:
+            dirty = np.nonzero(self._root_hashes != p.tile_hashes)[0]
+        self.last_dirty_tiles = int(dirty.size)
+        if dirty.size:
+            # pad the dirty set to a pow2 bucket with repeats of the first
+            # dirty tile (stable shapes bound recompiles; duplicates write
+            # the same content twice — harmless)
+            bucket = 1 << max(3, int(np.ceil(np.log2(dirty.size))))
+            bucket = min(bucket, nt)
+            padded = np.resize(dirty, bucket) if bucket >= dirty.size else dirty
+            sub_insts = p.tile_insts[padded]
+            origins = self._tile_origins(p)[padded]
+            kinds, blends = self._pass_dispatch_sets(p, frame)
+            clear = jnp.asarray(np.asarray(p.clear, np.float32))
+            use_pallas = False
+            if self.use_pallas:
+                from ..ops.pallas.tile_raster import (build_dense_records,
+                                                     pallas_pass_supported,
+                                                     render_tiles_pallas_dense)
+                use_pallas = pallas_pass_supported(
+                    frame.instances, sub_insts, frame.transforms,
+                    frame.f32_buf)
+            if use_pallas:
+                dense = build_dense_records(frame.f32_buf, frame.instances,
+                                            frame.transforms, sub_insts)
+                counts = (sub_insts >= 0).sum(1).astype(np.int32)
+                tiles = render_tiles_pallas_dense(
+                    jnp.asarray(dense), jnp.asarray(counts),
+                    jnp.asarray(origins), clear, f32_buf.reshape(-1, 128),
+                    self.alpha_atlas, self.surface_atlas,
+                    kinds=kinds, blends=blends)
+            else:
+                tiles = render_tiles(
+                    f32_buf, instances, transforms, jnp.asarray(sub_insts),
+                    jnp.asarray(origins), clear, self.color_atlas,
+                    self.alpha_atlas, self.surface_atlas,
+                    kinds=kinds, blends=blends)
+            if full and dirty.size == nt:
+                self._root_tiles = tiles
+            else:
+                self._root_tiles = self._root_tiles.at[
+                    jnp.asarray(padded)].set(tiles)
+        self._root_hashes = p.tile_hashes
+        self._root_shape = shape_key
+        x, y, rw, rh = p.region
+        return _assemble(self._root_tiles, nx=p.nx, ny=p.ny, w=rw, h=rh)
 
     def _run_blur(self, p: RenderPass) -> None:
         sx, sy, sw, sh = p.src_region
