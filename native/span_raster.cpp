@@ -1,0 +1,651 @@
+// Native span rasterizer — the SWGL role (swgl/src/rasterize.h semantics,
+// re-implemented against this framework's instance-record format instead of
+// a GL state machine). One function interprets a render pass: for each
+// instance in painter order, rasterize its device bbox span-by-span with
+// the same pattern / coverage / blend math as ops/patterns.py and
+// ops/blend.py (single-source kernel specification, third backend).
+//
+// Built as a plain C shared library (no pybind11 in this image); the Python
+// side binds with ctypes (webrender_tpu/oracle/native.py).
+//
+// Layouts (must match webrender_tpu/frame/gpu.py):
+//   instances[i*8 + k]: kind, spatial, prim_addr, clip_addr, clip_count,
+//                       blend, edge_aa, flags
+//   payload prefix: [0:4] pattern rect, [4:8] coverage rect
+//   transforms[t*12]: inverse homography (9), sx, sy, flags
+//   clip records: CLIP_STRIDE floats (rect, radii, mode, spatial, kind,
+//                 mask uv at [16:20])
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <algorithm>
+
+namespace {
+
+constexpr int INST_FIELDS = 8;
+constexpr int CLIP_STRIDE = 128;
+constexpr int PAYLOAD = 64;
+
+struct Ctx {
+  const float* f32;
+  int64_t f32_len;
+  const float* transforms;
+  const float* color_atlas;  // planar [4, ca_h, ca_w]
+  int64_t ca_h, ca_w;
+  const float* alpha_atlas;  // [aa_h, aa_w]
+  int64_t aa_h, aa_w;
+  const float* surface_atlas;  // planar [4, sa_h, sa_w]
+  int64_t sa_h, sa_w;
+};
+
+inline float clampf(float v, float lo, float hi) {
+  return v < lo ? lo : (v > hi ? hi : v);
+}
+
+// A&S 7.1.26 polynomial erf — identical constants to patterns.erf
+inline float erf_approx(float x) {
+  float s = x < 0.f ? -1.f : 1.f;
+  x = std::fabs(x);
+  float t = 1.f / (1.f + 0.3275911f * x);
+  float y = 1.f - (((((1.061405429f * t - 1.453152027f) * t) + 1.421413741f)
+                    * t - 0.284496736f) * t + 0.254829592f) * t
+                    * std::exp(-x * x);
+  return s * y;
+}
+
+inline void inverse_map(const float* tr, float px, float py, float* lx,
+                        float* ly) {
+  float u = px * tr[0] + py * tr[3] + tr[6];
+  float v = px * tr[1] + py * tr[4] + tr[7];
+  float w = px * tr[2] + py * tr[5] + tr[8];
+  if (std::fabs(w) <= 1e-9f) w = 1e-9f;
+  *lx = u / w;
+  *ly = v / w;
+}
+
+inline float edge_term(float d, bool aa) {
+  if (aa) return std::min(d, 0.5f);
+  return d >= 0.f ? 0.5f : -1e3f;
+}
+
+inline float rect_coverage(float x0, float y0, float x1, float y1, float lx,
+                           float ly, float sx, float sy, int edge_aa) {
+  float tl = edge_term((lx - x0) * sx, edge_aa & 1);
+  float tr = edge_term((x1 - lx) * sx, edge_aa & 4);
+  float tt = edge_term((ly - y0) * sy, edge_aa & 2);
+  float tb = edge_term((y1 - ly) * sy, edge_aa & 8);
+  float cx = clampf(tl + tr, 0.f, 1.f);
+  float cy = clampf(tt + tb, 0.f, 1.f);
+  return cx * cy;
+}
+
+inline float corner_coverage(float lx, float ly, float cx, float cy, float rx,
+                             float ry, float sign_x, float sign_y,
+                             float scale) {
+  bool active = rx > 0.f && ry > 0.f;
+  float rx_s = active ? rx : 1.f;
+  float ry_s = active ? ry : 1.f;
+  float dx = (cx - lx) * sign_x;
+  float dy = (cy - ly) * sign_y;
+  bool in_region = dx > 0.f && dy > 0.f && active;
+  if (!in_region) return 1.f;
+  float ex = dx / rx_s, ey = dy / ry_s;
+  float g = std::sqrt(ex * ex + ey * ey);
+  float grad = std::sqrt((dx / (rx_s * rx_s)) * (dx / (rx_s * rx_s)) +
+                         (dy / (ry_s * ry_s)) * (dy / (ry_s * ry_s)));
+  grad = std::max(grad, 1e-6f);
+  float dist = (g - 1.f) * g / grad;
+  return clampf(0.5f - dist * scale, 0.f, 1.f);
+}
+
+inline float rounded_rect_coverage(const float* r, const float* radii,
+                                   float lx, float ly, float sx, float sy) {
+  float cov = rect_coverage(r[0], r[1], r[2], r[3], lx, ly, sx, sy, 0xF);
+  float scale = std::sqrt(sx * sy);
+  cov *= corner_coverage(lx, ly, r[0] + radii[0], r[1] + radii[1], radii[0],
+                         radii[1], 1.f, 1.f, scale);
+  cov *= corner_coverage(lx, ly, r[2] - radii[2], r[1] + radii[3], radii[2],
+                         radii[3], -1.f, 1.f, scale);
+  cov *= corner_coverage(lx, ly, r[2] - radii[4], r[3] - radii[5], radii[4],
+                         radii[5], -1.f, -1.f, scale);
+  cov *= corner_coverage(lx, ly, r[0] + radii[6], r[3] - radii[7], radii[6],
+                         radii[7], 1.f, -1.f, scale);
+  return cov;
+}
+
+inline void sample_plane(const float* plane, int64_t H, int64_t W, float u,
+                         float v, float u0, float v0, float u1, float v1,
+                         bool nearest, float* out) {
+  float lo_u = u0 + 0.5f, hi_u = std::max(u1 - 0.5f, lo_u);
+  float lo_v = v0 + 0.5f, hi_v = std::max(v1 - 0.5f, lo_v);
+  u = clampf(u, lo_u, hi_u);
+  v = clampf(v, lo_v, hi_v);
+  if (nearest) {
+    u = std::floor(u) + 0.5f;
+    v = std::floor(v) + 0.5f;
+  }
+  float uf = u - 0.5f, vf = v - 0.5f;
+  float xf = std::floor(uf), yf = std::floor(vf);
+  float fx = uf - xf, fy = vf - yf;
+  int64_t x0 = std::min(std::max((int64_t)xf, (int64_t)0), W - 1);
+  int64_t y0 = std::min(std::max((int64_t)yf, (int64_t)0), H - 1);
+  int64_t x1 = std::min(x0 + 1, W - 1);
+  int64_t y1 = std::min(y0 + 1, H - 1);
+  float t00 = plane[y0 * W + x0], t10 = plane[y0 * W + x1];
+  float t01 = plane[y1 * W + x0], t11 = plane[y1 * W + x1];
+  *out = (t00 * (1 - fx) + t10 * fx) * (1 - fy) +
+         (t01 * (1 - fx) + t11 * fx) * fy;
+}
+
+inline void sample_rgba(const Ctx& c, const float* atlas, int64_t H,
+                        int64_t W, float u, float v, float u0, float v0,
+                        float u1, float v1, bool nearest, float out[4]) {
+  for (int ch = 0; ch < 4; ch++) {
+    sample_plane(atlas + ch * H * W, H, W, u, v, u0, v0, u1, v1, nearest,
+                 &out[ch]);
+  }
+}
+
+// tile repeat coords (patterns._tile_coords)
+inline bool tile_coords(const float* p, float lx, float ly, float stretch_w,
+                        float stretch_h, float spacing_w, float spacing_h,
+                        float* tx, float* ty) {
+  float ox = lx - p[0], oy = ly - p[1];
+  float period_x = stretch_w + spacing_w;
+  float period_y = stretch_h + spacing_h;
+  if (period_x <= 1e-6f) period_x = 1e6f;
+  if (period_y <= 1e-6f) period_y = 1e6f;
+  *tx = ox - std::floor(ox / period_x) * period_x;
+  *ty = oy - std::floor(oy / period_y) * period_y;
+  return (*tx < stretch_w + 1e-4f) && (*ty < stretch_h + 1e-4f);
+}
+
+inline void eval_stops(const Ctx& c, int addr, int n, float t, float repeat,
+                       float out[4]) {
+  if (repeat > 0.5f) t = t - std::floor(t);
+  float col[4] = {c.f32[addr + 1], c.f32[addr + 2], c.f32[addr + 3],
+                  c.f32[addr + 4]};
+  for (int i = 1; i < n; i++) {
+    float o0 = c.f32[addr + (i - 1) * 8];
+    float o1 = c.f32[addr + i * 8];
+    float w;
+    float denom = o1 - o0;
+    if (denom > 1e-9f)
+      w = clampf((t - o0) / denom, 0.f, 1.f);
+    else
+      w = t >= o1 ? 1.f : 0.f;
+    for (int ch = 0; ch < 4; ch++)
+      col[ch] += (c.f32[addr + i * 8 + 1 + ch] - col[ch]) * w;
+  }
+  float a = col[3];
+  out[0] = col[0] * a;
+  out[1] = col[1] * a;
+  out[2] = col[2] * a;
+  out[3] = a;
+}
+
+inline float blurred_rect_cov(float x0, float y0, float x1, float y1,
+                              float sigma, float lx, float ly) {
+  float s = std::max(sigma, 1e-3f) * 1.4142135623730951f;
+  float bx = 0.5f * (erf_approx((lx - x0) / s) - erf_approx((lx - x1) / s));
+  float by = 0.5f * (erf_approx((ly - y0) / s) - erf_approx((ly - y1) / s));
+  return bx * by;
+}
+
+// mix-blend B(Cb, Cs) per channel (blend.py mix_blend_rgb)
+inline float mix_one(int mode, float cb, float cs, float lum_b, float lum_s);
+
+inline float lum3(const float c[3]) {
+  return 0.3f * c[0] + 0.59f * c[1] + 0.11f * c[2];
+}
+
+inline void clip_color3(float c[3]) {
+  float l = lum3(c);
+  float n = std::min(std::min(c[0], c[1]), c[2]);
+  float x = std::max(std::max(c[0], c[1]), c[2]);
+  if (n < 0.f) {
+    float denom = std::fabs(l - n) > 1e-6f ? (l - n) : 1e-6f;
+    for (int i = 0; i < 3; i++) c[i] = l + (c[i] - l) * (l / denom);
+    x = std::max(std::max(c[0], c[1]), c[2]);
+  }
+  if (x > 1.f) {
+    float denom = std::fabs(x - l) > 1e-6f ? (x - l) : 1e-6f;
+    for (int i = 0; i < 3; i++) c[i] = l + (c[i] - l) * ((1.f - l) / denom);
+  }
+}
+
+inline void set_lum3(float c[3], float l) {
+  float d = l - lum3(c);
+  for (int i = 0; i < 3; i++) c[i] += d;
+  clip_color3(c);
+}
+
+inline float sat3(const float c[3]) {
+  return std::max(std::max(c[0], c[1]), c[2]) -
+         std::min(std::min(c[0], c[1]), c[2]);
+}
+
+inline void set_sat3(float c[3], float s) {
+  float cmin = std::min(std::min(c[0], c[1]), c[2]);
+  float cmax = std::max(std::max(c[0], c[1]), c[2]);
+  float d = cmax - cmin;
+  if (d > 1e-6f) {
+    for (int i = 0; i < 3; i++) c[i] = (c[i] - cmin) * (s / d);
+  } else {
+    for (int i = 0; i < 3; i++) c[i] = 0.f;
+  }
+}
+
+inline void mix_blend3(int mode, const float cb[3], const float cs[3],
+                       float out[3]) {
+  switch (mode) {
+    case 1:  // multiply
+      for (int i = 0; i < 3; i++) out[i] = cb[i] * cs[i];
+      return;
+    case 2:  // screen
+      for (int i = 0; i < 3; i++) out[i] = cb[i] + cs[i] - cb[i] * cs[i];
+      return;
+    case 3: {  // overlay = hard-light swapped
+      float tmp[3];
+      mix_blend3(8, cs, cb, tmp);
+      memcpy(out, tmp, sizeof tmp);
+      return;
+    }
+    case 4:
+      for (int i = 0; i < 3; i++) out[i] = std::min(cb[i], cs[i]);
+      return;
+    case 5:
+      for (int i = 0; i < 3; i++) out[i] = std::max(cb[i], cs[i]);
+      return;
+    case 6:  // color-dodge
+      for (int i = 0; i < 3; i++) {
+        if (cb[i] <= 0.f) out[i] = 0.f;
+        else if (cs[i] >= 1.f) out[i] = 1.f;
+        else out[i] = std::min(1.f, cb[i] / (1.f - cs[i]));
+      }
+      return;
+    case 7:  // color-burn
+      for (int i = 0; i < 3; i++) {
+        if (cb[i] >= 1.f) out[i] = 1.f;
+        else if (cs[i] <= 0.f) out[i] = 0.f;
+        else out[i] = 1.f - std::min(1.f, (1.f - cb[i]) / cs[i]);
+      }
+      return;
+    case 8:  // hard-light
+      for (int i = 0; i < 3; i++) {
+        out[i] = cs[i] <= 0.5f
+                     ? cb[i] * 2.f * cs[i]
+                     : cb[i] + (2.f * cs[i] - 1.f) - cb[i] * (2.f * cs[i] - 1.f);
+      }
+      return;
+    case 9:  // soft-light
+      for (int i = 0; i < 3; i++) {
+        float d = cb[i] <= 0.25f
+                      ? ((16.f * cb[i] - 12.f) * cb[i] + 4.f) * cb[i]
+                      : std::sqrt(std::max(cb[i], 0.f));
+        out[i] = cs[i] <= 0.5f
+                     ? cb[i] - (1.f - 2.f * cs[i]) * cb[i] * (1.f - cb[i])
+                     : cb[i] + (2.f * cs[i] - 1.f) * (d - cb[i]);
+      }
+      return;
+    case 10:
+      for (int i = 0; i < 3; i++) out[i] = std::fabs(cb[i] - cs[i]);
+      return;
+    case 11:
+      for (int i = 0; i < 3; i++)
+        out[i] = cb[i] + cs[i] - 2.f * cb[i] * cs[i];
+      return;
+    case 12: {  // hue
+      float tmp[3] = {cs[0], cs[1], cs[2]};
+      set_sat3(tmp, sat3(cb));
+      set_lum3(tmp, lum3(cb));
+      memcpy(out, tmp, sizeof tmp);
+      return;
+    }
+    case 13: {  // saturation
+      float tmp[3] = {cb[0], cb[1], cb[2]};
+      set_sat3(tmp, sat3(cs));
+      set_lum3(tmp, lum3(cb));
+      memcpy(out, tmp, sizeof tmp);
+      return;
+    }
+    case 14: {  // color
+      float tmp[3] = {cs[0], cs[1], cs[2]};
+      set_lum3(tmp, lum3(cb));
+      memcpy(out, tmp, sizeof tmp);
+      return;
+    }
+    case 15: {  // luminosity
+      float tmp[3] = {cb[0], cb[1], cb[2]};
+      set_lum3(tmp, lum3(cs));
+      memcpy(out, tmp, sizeof tmp);
+      return;
+    }
+    default:
+      memcpy(out, cs, 3 * sizeof(float));
+      return;
+  }
+}
+
+// full blend of premultiplied src over dst (blend.py blend_src_over_dst)
+inline void blend_px(int op, const float src[4], float cov, float dst[4]) {
+  if (op == 1) {  // clear
+    for (int i = 0; i < 4; i++) dst[i] *= (1.f - src[3]);
+    return;
+  }
+  if (op < 16 || op - 16 == 0) {  // normal over
+    float inv = 1.f - src[3];
+    for (int i = 0; i < 4; i++) dst[i] = src[i] + dst[i] * inv;
+    return;
+  }
+  int mode = op - 16;
+  if (mode == 16) {  // plus-lighter
+    for (int i = 0; i < 4; i++) dst[i] = std::min(src[i] + dst[i], 1.f);
+    return;
+  }
+  float a_s = src[3], a_b = dst[3];
+  float safe_s = a_s > 1e-6f ? a_s : 1.f;
+  float safe_b = a_b > 1e-6f ? a_b : 1.f;
+  float cs[3] = {src[0] / safe_s, src[1] / safe_s, src[2] / safe_s};
+  float cb[3] = {dst[0] / safe_b, dst[1] / safe_b, dst[2] / safe_b};
+  float b3[3];
+  mix_blend3(mode, cb, cs, b3);
+  float a_out = a_s + a_b * (1.f - a_s);
+  for (int i = 0; i < 3; i++)
+    dst[i] = (1.f - a_b) * src[i] + a_b * a_s * b3[i] +
+             (1.f - a_s) * dst[i];
+  dst[3] = a_out;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Rasterize one pass. target: planar [4, th, tw] premultiplied f32, already
+// initialized (clear color or previous content). Returns 0 on success.
+int wr_raster_pass(
+    const float* f32_buf, int64_t f32_len,
+    const int32_t* instances, int64_t n_inst,
+    const float* transforms, int64_t n_tr,
+    const int32_t* order, int64_t n_order,
+    const float* bboxes,  // [n_inst, 4] device AABBs
+    const float* color_atlas, int64_t ca_h, int64_t ca_w,
+    const float* alpha_atlas, int64_t aa_h, int64_t aa_w,
+    const float* surface_atlas, int64_t sa_h, int64_t sa_w,
+    float* target, int64_t th, int64_t tw,
+    float ox, float oy) {
+  Ctx c{f32_buf, f32_len, transforms, color_atlas, ca_h, ca_w,
+        alpha_atlas, aa_h, aa_w, surface_atlas, sa_h, sa_w};
+  const int64_t plane = th * tw;
+
+  for (int64_t oi = 0; oi < n_order; oi++) {
+    int32_t iid = order[oi];
+    if (iid < 0 || iid >= n_inst) continue;
+    const int32_t* rec = instances + iid * INST_FIELDS;
+    int kind = rec[0];
+    const float* tr = transforms + rec[1] * 12;
+    const float* p = f32_buf + rec[2];
+    int clip_addr = rec[3];
+    int clip_count = rec[4];
+    int blend_op = rec[5];
+    int edge_aa = rec[6];
+    float sx = tr[9], sy = tr[10];
+
+    const float* bb = bboxes + iid * 4;
+    int64_t x0 = std::max((int64_t)std::floor(bb[0] - 1 - ox), (int64_t)0);
+    int64_t y0 = std::max((int64_t)std::floor(bb[1] - 1 - oy), (int64_t)0);
+    int64_t x1 = std::min((int64_t)std::ceil(bb[2] + 1 - ox), tw);
+    int64_t y1 = std::min((int64_t)std::ceil(bb[3] + 1 - oy), th);
+
+    // band-parallel spans (the SwCompositor thread-pool role,
+    // compositor/sw_compositor.rs:7-40)
+#pragma omp parallel for schedule(static)
+    for (int64_t y = y0; y < y1; y++) {
+      float py = oy + (float)y + 0.5f;
+      for (int64_t x = x0; x < x1; x++) {
+        float px = ox + (float)x + 0.5f;
+        float lx, ly;
+        inverse_map(tr, px, py, &lx, &ly);
+        float cov = rect_coverage(p[4], p[5], p[6], p[7], lx, ly, sx, sy,
+                                  edge_aa);
+        // clips
+        for (int j = 0; j < clip_count && cov > 0.f; j++) {
+          const float* cr = f32_buf + clip_addr + j * CLIP_STRIDE;
+          const float* ct = transforms + (int)cr[13] * 12;
+          float clx, cly;
+          inverse_map(ct, px, py, &clx, &cly);
+          float csx = ct[9], csy = ct[10];
+          float ccov;
+          if (cr[14] < 0.5f) {
+            ccov = rect_coverage(cr[0], cr[1], cr[2], cr[3], clx, cly, csx,
+                                 csy, 0xF);
+          } else if (cr[14] < 1.5f) {
+            ccov = rounded_rect_coverage(cr, cr + 4, clx, cly, csx, csy);
+          } else {  // image mask: premultiplied red plane
+            float rc = rect_coverage(cr[0], cr[1], cr[2], cr[3], clx, cly,
+                                     csx, csy, 0xF);
+            float rw = std::max(cr[2] - cr[0], 1e-6f);
+            float rh = std::max(cr[3] - cr[1], 1e-6f);
+            float mu = cr[16] + (clx - cr[0]) / rw * (cr[18] - cr[16]);
+            float mv = cr[17] + (cly - cr[1]) / rh * (cr[19] - cr[17]);
+            float a;
+            sample_plane(c.color_atlas, c.ca_h, c.ca_w, mu, mv, cr[16],
+                         cr[17], cr[18], cr[19], false, &a);
+            ccov = a * rc;
+          }
+          if (cr[12] > 0.5f) ccov = 1.f - ccov;
+          cov *= ccov;
+        }
+        if (cov <= 0.f) continue;
+
+        float color[4] = {0, 0, 0, 0};
+        switch (kind) {
+          case 0:  // solid
+            for (int ch = 0; ch < 4; ch++) color[ch] = p[8 + ch];
+            break;
+          case 1: {  // image
+            float stretch_w = std::max(p[18], 1e-6f);
+            float stretch_h = std::max(p[19], 1e-6f);
+            float tx, ty;
+            bool in_tile = tile_coords(p, lx, ly, stretch_w, stretch_h,
+                                       p[20], p[21], &tx, &ty);
+            float u = p[8] + tx * p[22] - p[24];
+            float v = p[9] + ty * p[23] - p[25];
+            sample_rgba(c, c.color_atlas, c.ca_h, c.ca_w, u, v, p[8], p[9],
+                        p[10], p[11], p[16] > 0.5f, color);
+            for (int ch = 0; ch < 4; ch++)
+              color[ch] *= p[12 + ch] * (in_tile ? 1.f : 0.f);
+            break;
+          }
+          case 2: case 3: case 4: {  // gradients
+            float stretch_w, stretch_h, spacing_w, spacing_h;
+            if (kind == 2) {
+              stretch_w = std::max(p[16], 1e-6f);
+              stretch_h = std::max(p[17], 1e-6f);
+              spacing_w = p[18];
+              spacing_h = p[19];
+            } else {
+              stretch_w = std::max(p[18], 1e-6f);
+              stretch_h = std::max(p[19], 1e-6f);
+              spacing_w = p[20];
+              spacing_h = p[21];
+            }
+            float tx, ty;
+            bool in_tile = tile_coords(p, lx, ly, stretch_w, stretch_h,
+                                       spacing_w, spacing_h, &tx, &ty);
+            float t;
+            if (kind == 2) {
+              float dx = p[10] - p[8], dy = p[11] - p[9];
+              float denom = dx * dx + dy * dy;
+              if (denom <= 1e-9f) denom = 1e-9f;
+              t = ((tx - p[8]) * dx + (ty - p[9]) * dy) / denom;
+            } else if (kind == 3) {
+              float rx = p[10] > 1e-6f ? p[10] : 1e-6f;
+              float ry = p[11] > 1e-6f ? p[11] : rx;
+              float dx = tx - p[8];
+              float dy = (ty - p[9]) * (rx / ry);
+              float d = std::sqrt(dx * dx + dy * dy) / rx;
+              float denom = p[17] - p[16];
+              float scale =
+                  std::fabs(denom) > 1e-9f ? 1.f / denom : 0.f;
+              t = (d - p[16]) * scale;
+            } else {
+              float dx = tx - p[8], dy = ty - p[9];
+              float theta = std::atan2(dy, dx) + (1.5707963267948966f - p[10]);
+              float tr_ = theta / 6.283185307179586f;
+              tr_ = tr_ - std::floor(tr_);
+              float denom = p[17] - p[16];
+              float scale =
+                  std::fabs(denom) > 1e-9f ? 1.f / denom : 0.f;
+              t = (tr_ - p[16]) * scale;
+            }
+            eval_stops(c, (int)p[12], (int)p[14], t, p[13], color);
+            if (!in_tile)
+              for (int ch = 0; ch < 4; ch++) color[ch] = 0.f;
+            break;
+          }
+          case 5: {  // glyph
+            float u = p[8] + (lx - p[0]);
+            float v = p[9] + (ly - p[1]);
+            float a;
+            sample_plane(c.alpha_atlas, c.aa_h, c.aa_w, u, v, p[8], p[9],
+                         p[10], p[11], false, &a);
+            for (int ch = 0; ch < 4; ch++) color[ch] = p[12 + ch] * a;
+            break;
+          }
+          case 6: {  // picture composite
+            float w = std::max(p[2] - p[0], 1e-6f);
+            float h = std::max(p[3] - p[1], 1e-6f);
+            float su = (p[10] - p[8]) / w;
+            float sv = (p[11] - p[9]) / h;
+            float u = p[8] + (px - p[0]) * su;
+            float v = p[9] + (py - p[1]) * sv;
+            sample_rgba(c, c.surface_atlas, c.sa_h, c.sa_w, u, v, p[8], p[9],
+                        p[10], p[11], false, color);
+            for (int ch = 0; ch < 4; ch++) color[ch] *= p[12 + ch];
+            if (p[36] > 0.5f) {  // color matrix (straight-alpha)
+              float a = color[3];
+              float safe = a > 1e-6f ? a : 1.f;
+              float r = color[0] / safe, g = color[1] / safe,
+                    bl = color[2] / safe;
+              const float* m = p + 16;
+              float nr = clampf(m[0] * r + m[1] * g + m[2] * bl + m[3] * a + m[4], 0.f, 1.f);
+              float ng = clampf(m[5] * r + m[6] * g + m[7] * bl + m[8] * a + m[9], 0.f, 1.f);
+              float nb = clampf(m[10] * r + m[11] * g + m[12] * bl + m[13] * a + m[14], 0.f, 1.f);
+              float na = clampf(m[15] * r + m[16] * g + m[17] * bl + m[18] * a + m[19], 0.f, 1.f);
+              color[0] = nr * na; color[1] = ng * na; color[2] = nb * na;
+              color[3] = na;
+            }
+            break;
+          }
+          case 7:  // clear
+            color[0] = color[1] = color[2] = color[3] = 1.f;
+            break;
+          case 8: {  // box shadow
+            float sigma = p[20];
+            float blurred;
+            if (sigma <= 1e-3f) {
+              blurred = rounded_rect_coverage(p + 8, p + 12, lx, ly, sx, sy);
+            } else {
+              blurred = blurred_rect_cov(p[8], p[9], p[10], p[11], sigma,
+                                         lx, ly);
+            }
+            float box_cov = rounded_rect_coverage(p + 22, p + 26, lx, ly,
+                                                  sx, sy);
+            float shcov = p[21] > 0.5f ? (1.f - blurred) * box_cov
+                                       : blurred * (1.f - box_cov);
+            for (int ch = 0; ch < 4; ch++) color[ch] = p[34 + ch] * shcov;
+            break;
+          }
+          case 9: {  // border (pattern_border)
+            float w_t = p[8], w_r = p[9], w_b = p[10], w_l = p[11];
+            const float* radii = p + 12;
+            float outer = rounded_rect_coverage(p, radii, lx, ly, sx, sy);
+            float ir[4] = {p[0] + w_l, p[1] + w_t, p[2] - w_r, p[3] - w_b};
+            float irad[8] = {
+                std::max(radii[0] - w_l, 0.f), std::max(radii[1] - w_t, 0.f),
+                std::max(radii[2] - w_r, 0.f), std::max(radii[3] - w_t, 0.f),
+                std::max(radii[4] - w_r, 0.f), std::max(radii[5] - w_b, 0.f),
+                std::max(radii[6] - w_l, 0.f), std::max(radii[7] - w_b, 0.f)};
+            float inner = (ir[2] > ir[0] && ir[3] > ir[1])
+                              ? rounded_rect_coverage(ir, irad, lx, ly, sx, sy)
+                              : 0.f;
+            float ring = outer * (1.f - inner);
+            float ws[4] = {w_t, w_r, w_b, w_l};
+            float ds[4];
+            for (int s_ = 0; s_ < 4; s_++) {
+              float styv = p[52 + s_];
+              bool active = ws[s_] > 1e-6f && styv != 0.f && styv != 5.f;
+              float dd;
+              switch (s_) {
+                case 0: dd = (ly - p[1]) / std::max(w_t, 1e-6f); break;
+                case 1: dd = (p[2] - lx) / std::max(w_r, 1e-6f); break;
+                case 2: dd = (p[3] - ly) / std::max(w_b, 1e-6f); break;
+                default: dd = (lx - p[0]) / std::max(w_l, 1e-6f); break;
+              }
+              ds[s_] = active ? dd : 1e9f;
+            }
+            float depth_raw = std::min(std::min(ds[0], ds[1]),
+                                       std::min(ds[2], ds[3]));
+            int owner = ds[0] <= depth_raw ? 0
+                        : (ds[1] <= depth_raw ? 1 : (ds[2] <= depth_raw ? 2 : 3));
+            float depth = clampf(depth_raw, 0.f, 1.f);
+            float style = p[52 + owner];
+            const float* c_out = p + 20 + owner * 4;
+            const float* c_in = p + 36 + owner * 4;
+            const float* sc = depth < 0.5f ? c_out : c_in;
+            float w_side = ws[owner];
+            float scale = (owner == 0 || owner == 2 ? sy : sx) * w_side;
+            float factor = 1.f;
+            if (style == 2.f && scale / 3.f >= 1.f) {
+              float third = clampf((1.f / 3.f - depth) * scale + 0.5f, 0.f, 1.f) +
+                            clampf((depth - 2.f / 3.f) * scale + 0.5f, 0.f, 1.f);
+              factor *= clampf(third, 0.f, 1.f);
+            }
+            float along = (owner == 0 || owner == 2) ? (lx - p[0]) : (ly - p[1]);
+            if (style == 3.f) {  // dotted
+              float period = 2.f * std::max(w_side, 1e-6f);
+              float tm = along - std::floor(along / period) * period -
+                         period * 0.5f;
+              float across = (depth - 0.5f) * w_side;
+              float dot_d = std::sqrt(tm * tm + across * across) -
+                            0.5f * w_side;
+              factor *= clampf(0.5f - dot_d * (sx + sy) * 0.5f, 0.f, 1.f);
+            } else if (style == 4.f) {  // dashed
+              float period = 2.f * std::max(w_side, 1e-6f);
+              float m = along - std::floor(along / (2.f * period)) *
+                                    (2.f * period);
+              factor *= m < period ? 1.f : 0.f;
+            }
+            if (style == 0.f || style == 5.f) factor = 0.f;
+            float band = depth >= 1.f ? 0.f
+                         : (depth <= 0.999f
+                                ? 1.f
+                                : clampf((1.f - depth) * scale + 0.5f, 0.f, 1.f));
+            factor *= band;
+            for (int ch = 0; ch < 4; ch++)
+              color[ch] = sc[ch] * factor * ring;
+            // ring folded into color; clear cov ring term
+            // (cov already includes coverage rect + clips)
+            break;
+          }
+          default:
+            continue;
+        }
+        float src[4];
+        for (int ch = 0; ch < 4; ch++) src[ch] = color[ch] * cov;
+        float dst[4] = {target[0 * plane + y * tw + x],
+                        target[1 * plane + y * tw + x],
+                        target[2 * plane + y * tw + x],
+                        target[3 * plane + y * tw + x]};
+        blend_px(blend_op, src, cov, dst);
+        for (int ch = 0; ch < 4; ch++)
+          target[ch * plane + y * tw + x] = dst[ch];
+      }
+    }
+  }
+  return 0;
+}
+
+}  // extern "C"

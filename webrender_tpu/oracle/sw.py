@@ -43,13 +43,21 @@ def _py_fori(lo, hi, body, init):
 
 class SoftwareRenderer:
     """Executes a Frame on the host. Atlas mirrors come from the Renderer
-    (color_atlas_host / alpha_atlas_host) or are owned standalone."""
+    (color_atlas_host / alpha_atlas_host) or are owned standalone.
+
+    `use_native` runs raster passes through the C++ span rasterizer
+    (native/span_raster.cpp, the SWGL role) when built; the numpy path is
+    the bit-exactness reference."""
 
     def __init__(self, color_atlas: np.ndarray, alpha_atlas: np.ndarray,
-                 surface_atlas_size=(2048, 4096)):
-        self.color_atlas = color_atlas
-        self.alpha_atlas = alpha_atlas
+                 surface_atlas_size=(2048, 4096), use_native: bool = False):
+        self.color_atlas = np.ascontiguousarray(color_atlas)
+        self.alpha_atlas = np.ascontiguousarray(alpha_atlas)
         self.surface_atlas = np.zeros((4,) + surface_atlas_size, np.float32)
+        self.use_native = use_native
+        if use_native:
+            from . import native
+            assert native.available(), "native span rasterizer not built"
 
     def render(self, frame: Frame) -> np.ndarray:
         fb: Optional[np.ndarray] = None
@@ -121,6 +129,14 @@ class SoftwareRenderer:
             return
         order = np.unique(ids)  # ascending id == painter order within a pass
         ox, oy = p.origin
+        if self.use_native:
+            from . import native
+            native.raster_pass(
+                frame.f32_buf, frame.instances, frame.transforms,
+                order.astype(np.int32), frame.inst_bboxes,
+                self.color_atlas, self.alpha_atlas, self.surface_atlas,
+                target, (ox, oy))
+            return
         rh, rw = target.shape[1], target.shape[2]
         f32 = frame.f32_buf
         for iid in order:
