@@ -89,3 +89,44 @@ def test_scroll_and_rerender():
     img = backend.render_software()
     assert tuple(img[5, 64]) == (255, 0, 0, 255)
     assert tuple(img[110, 64]) == (255, 255, 255, 255)
+
+
+def test_blob_image():
+    """Blob image rasterization via the embedder handler
+    (rawtest.rs blob cases / wrench blob.rs)."""
+    import struct
+    from webrender_tpu.api import (AlphaType, ImageDescriptor, ImageFormat,
+                                   ImageRendering)
+    from webrender_tpu.resources.resource_cache import CheckerboardBlobHandler
+    backend = RenderBackend((128, 128))
+    backend.resources.set_blob_image_handler(CheckerboardBlobHandler())
+    pid = PipelineId(0, 1)
+    b = DisplayListBuilder(pid)
+    b.begin()
+    root = SpatialId.root_scroll_node(pid)
+    common = CommonItemProperties(Rect(0, 0, 1000, 1000), root)
+    txn = Transaction()
+    blob = struct.pack("<iBBB", 8, 20, 40, 60)
+    txn.add_blob_image(55, ImageDescriptor(ImageFormat.RGBA8, 64, 64), blob)
+    b.push_image(common, Rect(0, 0, 64, 64), ImageRendering.AUTO,
+                 AlphaType.PREMULTIPLIED_ALPHA, 55)
+    _, dl = b.end()
+    txn.set_root_pipeline(pid)
+    txn.set_display_list(Epoch(0), dl)
+    txn.generate_frame()
+    backend.send_transaction(txn)
+    img = backend.render_software()
+    assert tuple(img[4, 4]) == (255, 255, 255, 255)     # off cell
+    assert tuple(img[4, 12]) == (20, 40, 60, 255)       # on cell
+
+
+def test_options_and_memory_report():
+    from webrender_tpu.util.options import (DebugFlags, WebRenderOptions,
+                                            apply_options)
+    backend = RenderBackend((64, 64))
+    opts = WebRenderOptions(
+        debug_flags=DebugFlags.DISABLE_PICTURE_CACHING)
+    apply_options(backend, opts)
+    assert backend.renderer.picture_caching is False
+    report = backend.resources.memory_report()
+    assert report["color_atlas"] > 0

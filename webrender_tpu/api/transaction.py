@@ -155,6 +155,14 @@ class Transaction:
     def delete_image(self, key: int) -> None:
         self.resource_updates.append(DeleteImage(key))
 
+    def add_blob_image(self, key: int, descriptor: ImageDescriptor,
+                       blob: bytes, visible_rect=None,
+                       tiling: Optional[int] = None) -> None:
+        """render_api.rs add_blob_image: commands rasterized by the
+        embedder's BlobImageHandler."""
+        self.resource_updates.append(
+            AddImage(key, descriptor, ImageData(blob=blob), tiling))
+
     def add_raw_font(self, key: FontKey, data: bytes, index: int = 0) -> None:
         self.resource_updates.append(AddFont(key, data=data, index=index))
 

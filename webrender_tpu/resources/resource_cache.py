@@ -178,8 +178,40 @@ class FontContext:
         return alpha, x0 / 64.0, y1 / 64.0, advance
 
 
+class BlobImageHandler:
+    """image.rs BlobImageHandler (:374) / AsyncBlobImageRasterizer (:419):
+    the embedder registers a callback that rasterizes serialized drawing
+    commands into pixels on demand. The reference runs these on a rayon
+    pool during scene build; here rasterization happens lazily at the first
+    prepare-time request (and re-runs when the template generation bumps)."""
+
+    def rasterize(self, descriptor: ImageDescriptor, blob: bytes,
+                  tile_offset=None) -> np.ndarray:
+        """Return (h, w, 4) u8 RGBA pixels for the blob."""
+        raise NotImplementedError
+
+
+class CheckerboardBlobHandler(BlobImageHandler):
+    """wrench/src/blob.rs:116 CheckerboardRenderer-style test handler: the
+    blob bytes encode (tile_size, color)."""
+
+    def rasterize(self, descriptor, blob, tile_offset=None):
+        import struct
+        ts, r, g, b = struct.unpack("<iBBB", blob[:7])
+        h, w = descriptor.height, descriptor.width
+        ys, xs = np.mgrid[0:h, 0:w]
+        on = ((xs // ts) ^ (ys // ts)) & 1
+        img = np.zeros((h, w, 4), np.uint8)
+        img[..., 0] = np.where(on, r, 255)
+        img[..., 1] = np.where(on, g, 255)
+        img[..., 2] = np.where(on, b, 255)
+        img[..., 3] = 255
+        return img
+
+
 class ResourceCache:
-    """resource_cache.rs ResourceCache analog (images + fonts + glyphs)."""
+    """resource_cache.rs ResourceCache analog (images + fonts + glyphs +
+    blob images)."""
 
     def __init__(self, color_atlas_size=(4096, 4096),
                  alpha_atlas_size=(2048, 2048)):
@@ -192,6 +224,7 @@ class ResourceCache:
         self.font_instances: Dict[Tuple[int, int], Tuple[FontKey, float, FontInstanceOptions]] = {}
         self.glyphs: Dict[Tuple, CachedGlyph] = {}
         self.pending_uploads: List[PendingUpload] = []
+        self.blob_handler: Optional[BlobImageHandler] = None
 
     # --- transaction resource updates (render_api.rs ResourceUpdate) -------
     def add_image_template(self, key: int, descriptor: ImageDescriptor,
@@ -227,10 +260,22 @@ class ResourceCache:
     # --- prepare-time requests (resource_cache.rs request_image :926) ------
     MAX_DIRECT_DIM = 2048  # larger images upload only their visible sub-rect
 
+    def set_blob_image_handler(self, handler: "BlobImageHandler") -> None:
+        """render_api.rs set_blob_image_handler role."""
+        self.blob_handler = handler
+
     def request_image(self, key: int):
         tpl = self.images.get(key)
         if tpl is None:
             return None
+        if tpl.data.pixels is None and tpl.data.blob is not None:
+            # blob rasterization (doc/blob.md async path, run lazily)
+            assert self.blob_handler is not None, "no blob image handler"
+            px = self.blob_handler.rasterize(tpl.descriptor, tpl.data.blob)
+            tpl.data.pixels = px
+            tpl.descriptor = ImageDescriptor(
+                ImageFormat.RGBA8, tpl.descriptor.width,
+                tpl.descriptor.height, flags=tpl.descriptor.flags)
         if tpl.region is None:
             tpl.region = self.color_alloc.alloc(tpl.descriptor.width,
                                                 tpl.descriptor.height)
@@ -397,6 +442,22 @@ class ResourceCache:
         result = (region, w, h)
         cached[cache_key] = result
         return result
+
+    # --- observability -------------------------------------------------------
+    def memory_report(self) -> Dict[str, int]:
+        """MemoryReport (wr_malloc_size_of role): byte sizes per cache."""
+        images = sum(t.data.pixels.nbytes for t in self.images.values()
+                     if t.data.pixels is not None)
+        glyph_px = sum(g.width * g.height * 4 for g in self.glyphs.values())
+        return {
+            "image_templates": images,
+            "glyph_cache": glyph_px,
+            "color_atlas": self.color_atlas_size[0] *
+            self.color_atlas_size[1] * 16,
+            "alpha_atlas": self.alpha_atlas_size[0] *
+            self.alpha_atlas_size[1] * 4,
+            "fonts": len(self.fonts.faces),
+        }
 
     # --- renderer side -----------------------------------------------------
     def take_uploads(self) -> List[PendingUpload]:
