@@ -64,10 +64,12 @@ def parse_color(v: Union[str, Sequence[float], None]) -> Optional[ColorF]:
     if isinstance(v, ColorF):
         return v
     if isinstance(v, str):
-        named = NAMED_COLORS.get(v)
+        named = NAMED_COLORS.get(v.strip())
         if named is not None:
             return named
-        items = [float(s) for s in v.split()]
+        # accept "[r, g, b, a]" strings (nested function args in wrench yaml)
+        items = [float(s) for s in
+                 v.strip().strip("[]").replace(",", " ").split()]
     else:
         items = [float(x) for x in v]
     if len(items) == 3:

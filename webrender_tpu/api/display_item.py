@@ -228,6 +228,10 @@ class FilterOp:
     value2: float = 0.0
     shadow: Optional[Shadow] = None
     matrix: Optional[Tuple[float, ...]] = None
+    # SVGFE graph node payload (display_item.rs FilterOpGraphNode):
+    # {op, linear, subregion, in1, in2, value, color, matrix, dx, dy,
+    #  std_x, std_y, filter_data}
+    svgfe: Optional[dict] = None
 
     @staticmethod
     def opacity(a: float) -> "FilterOp":

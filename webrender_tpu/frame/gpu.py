@@ -75,7 +75,13 @@ CLIP_STRIDE = 128  # one 128-float row per record (TPU lane-aligned reads)
 # blend ops (MixBlendMode values are offset by BLEND_MIX_BASE)
 BLEND_NORMAL = 0
 BLEND_CLEAR = 1
+BLEND_PD_IN = 2          # SVGFE feComposite Porter-Duff ops (ops/blend.py)
+BLEND_PD_OUT = 3
+BLEND_PD_ATOP = 4
+BLEND_PD_XOR = 5
+BLEND_PD_LIGHTER = 6
 BLEND_MIX_BASE = 16      # BLEND_MIX_BASE + MixBlendMode.value
+BLEND_LINEAR_BASE = 64   # +64 = blend in linearRGB (SVGFE _CONVERTSRGB)
 
 GRAD_LUT_SIZE = 256      # gradient LUT entries (gpu_cache.rs stores 128; we
                          # use 256 texels for tighter hard-stop fidelity)

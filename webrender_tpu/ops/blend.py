@@ -13,8 +13,43 @@ from __future__ import annotations
 # Blend op ids (must match frame/gpu.py)
 BLEND_NORMAL = 0
 BLEND_CLEAR = 1
+# Porter-Duff composite ops for the SVGFE feComposite node
+# (cs_svg_filter_node.glsl FILTER_COMPOSITE_*):
+BLEND_PD_IN = 2        # src·a_dst
+BLEND_PD_OUT = 3       # src·(1−a_dst)
+BLEND_PD_ATOP = 4      # src·a_dst + dst·(1−a_src)
+BLEND_PD_XOR = 5       # src·(1−a_dst) + dst·(1−a_src)
+BLEND_PD_LIGHTER = 6   # min(src+dst, 1)
 BLEND_MIX_BASE = 16
-N_BLEND_OPS = BLEND_MIX_BASE + 17
+# +64 on any op = perform the blend in linearRGB: both operands are
+# converted sRGB→linear (straight-alpha), blended, and the result converted
+# back (the _CONVERTSRGB shader variants of cs_svg_filter_node.glsl:105-118)
+BLEND_LINEAR_BASE = 64
+N_BLEND_OPS = BLEND_LINEAR_BASE + BLEND_MIX_BASE + 17
+
+
+def srgb_to_linear(xp, c):
+    """Exact sRGB EOTF on straight-alpha channels (blend.glsl:110-114)."""
+    return xp.where(c <= 0.04045, c / 12.92,
+                    xp.power(xp.maximum(c / 1.055 + 0.055 / 1.055, 0.0), 2.4))
+
+
+def linear_to_srgb(xp, c):
+    """Inverse sRGB EOTF (blend.glsl:117-120)."""
+    return xp.where(c <= 0.0031308, c * 12.92,
+                    1.055 * xp.power(xp.maximum(c, 0.0), 1.0 / 2.4) - 0.055)
+
+
+def premult_srgb_to_linear(xp, col):
+    rgb, a = _unpremult(xp, col)
+    lin = srgb_to_linear(xp, rgb)
+    return xp.stack([lin[0] * a, lin[1] * a, lin[2] * a, a], 0)
+
+
+def premult_linear_to_srgb(xp, col):
+    rgb, a = _unpremult(xp, col)
+    s = linear_to_srgb(xp, rgb)
+    return xp.stack([s[0] * a, s[1] * a, s[2] * a, a], 0)
 
 
 def _unpremult(xp, c):
@@ -115,10 +150,25 @@ def mix_blend_rgb(xp, mode: int, cb, cs):
 def blend_src_over_dst(xp, op: int, src, dst):
     """Full blend of premultiplied src [4,...] over premultiplied dst [4,...]
     for a *static* blend op id. Coverage must already be folded into src."""
+    if op >= BLEND_LINEAR_BASE:
+        s = premult_srgb_to_linear(xp, src)
+        d = premult_srgb_to_linear(xp, dst)
+        out = blend_src_over_dst(xp, op - BLEND_LINEAR_BASE, s, d)
+        return premult_linear_to_srgb(xp, out)
     if op == BLEND_CLEAR:
         # clear: punch out dst by src alpha (ps_clear semantics — the clear
         # rect writes transparent; here src.a carries the coverage)
         return dst * (1.0 - src[3])
+    if op == BLEND_PD_IN:
+        return src * dst[3]
+    if op == BLEND_PD_OUT:
+        return src * (1.0 - dst[3])
+    if op == BLEND_PD_ATOP:
+        return src * dst[3] + dst * (1.0 - src[3])
+    if op == BLEND_PD_XOR:
+        return src * (1.0 - dst[3]) + dst * (1.0 - src[3])
+    if op == BLEND_PD_LIGHTER:
+        return xp.minimum(src + dst, 1.0)
     if op == BLEND_NORMAL or op < BLEND_MIX_BASE:
         return src + dst * (1.0 - src[3])
     mode = op - BLEND_MIX_BASE

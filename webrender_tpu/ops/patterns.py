@@ -17,6 +17,8 @@ Conventions:
 """
 from __future__ import annotations
 
+from . import blend as blend_mod
+
 # payload slice length fetched per instance (see frame/gpu.py layouts)
 PAYLOAD_LEN = 64
 
@@ -447,10 +449,16 @@ def pattern_border(xp, p, lx, ly, sx, sy):
 
 def apply_color_matrix(xp, color, m20, flag):
     """Straight-alpha 4x5 color matrix on premultiplied input (SVG
-    feColorMatrix semantics; `m20` is the flattened matrix payload)."""
+    feColorMatrix semantics; `m20` is the flattened matrix payload).
+    flag: 0 = passthrough, 1 = apply, 2 = apply in linearRGB (the
+    _CONVERTSRGB variants of cs_svg_filter_node.glsl)."""
     a = color[3]
     safe = xp.where(a > 1e-6, a, 1.0)
     r, g, b = color[0] / safe, color[1] / safe, color[2] / safe
+    lin = flag > 1.5
+    r = xp.where(lin, blend_mod.srgb_to_linear(xp, r), r)
+    g = xp.where(lin, blend_mod.srgb_to_linear(xp, g), g)
+    b = xp.where(lin, blend_mod.srgb_to_linear(xp, b), b)
     nr = m20[0] * r + m20[1] * g + m20[2] * b + m20[3] * a + m20[4]
     ng = m20[5] * r + m20[6] * g + m20[7] * b + m20[8] * a + m20[9]
     nb = m20[10] * r + m20[11] * g + m20[12] * b + m20[13] * a + m20[14]
@@ -459,6 +467,9 @@ def apply_color_matrix(xp, color, m20, flag):
     ng = xp.clip(ng, 0.0, 1.0)
     nb = xp.clip(nb, 0.0, 1.0)
     na = xp.clip(na, 0.0, 1.0)
+    nr = xp.where(lin, blend_mod.linear_to_srgb(xp, nr), nr)
+    ng = xp.where(lin, blend_mod.linear_to_srgb(xp, ng), ng)
+    nb = xp.where(lin, blend_mod.linear_to_srgb(xp, nb), nb)
     out = xp.stack([nr * na, ng * na, nb * na, na], 0)
     return xp.where(flag > 0.5, out, color)
 

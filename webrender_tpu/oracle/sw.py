@@ -16,7 +16,9 @@ import numpy as np
 
 from ..frame.frame_builder import (Frame, PASS_BLUR_H, PASS_BLUR_V,
                                    PASS_CHANNEL_LUT, PASS_COPY,
-                                   PASS_DOWNSCALE, PASS_RASTER, TARGET_ROOT)
+                                   PASS_DOWNSCALE, PASS_RASTER, PASS_SRGB,
+                                   TARGET_ROOT)
+from ..ops import blend as blend_mod
 from ..frame.gpu import (CLIP_STRIDE, INST_BLEND, INST_CLIP_ADDR,
                          INST_CLIP_COUNT, INST_EDGE_AA, INST_KIND,
                          INST_PRIM_ADDR, INST_SPATIAL, KIND_BOX_SHADOW,
@@ -101,6 +103,15 @@ class SoftwareRenderer:
                 out = np.stack([p.lut[c][idx[c]] for c in range(4)], 0)
                 na = out[3]
                 out = np.stack([out[0] * na, out[1] * na, out[2] * na, na], 0)
+                self.surface_atlas[:, dy:dy + sh, dx:dx + sw] = \
+                    _quantize_unorm8(out.astype(np.float32))
+            elif p.kind == PASS_SRGB:
+                sx, sy, sw, sh = p.src_region
+                dx, dy, _, _ = p.region
+                src = self.surface_atlas[:, sy:sy + sh, sx:sx + sw]
+                out = blend_mod.premult_srgb_to_linear(np, src) \
+                    if p.srgb_to_linear \
+                    else blend_mod.premult_linear_to_srgb(np, src)
                 self.surface_atlas[:, dy:dy + sh, dx:dx + sw] = \
                     _quantize_unorm8(out.astype(np.float32))
             elif p.kind == PASS_DOWNSCALE:

@@ -18,7 +18,9 @@ import numpy as np
 
 from ..frame.frame_builder import (Frame, RenderPass, PASS_BLUR_H,
                                    PASS_BLUR_V, PASS_CHANNEL_LUT, PASS_COPY,
-                                   PASS_DOWNSCALE, PASS_RASTER, TARGET_ROOT)
+                                   PASS_DOWNSCALE, PASS_RASTER, PASS_SRGB,
+                                   TARGET_ROOT)
+from ..ops import blend as blend_mod
 from ..frame.gpu import INST_BLEND, INST_KIND
 from ..frame.tiles import TILE_H, TILE_W
 from ..ops.raster import (assemble_tiles, blur_region, disassemble_tiles,
@@ -54,6 +56,15 @@ def _write_region(target, tiles, *, nx: int, ny: int, w: int, h: int,
     if quantize:
         img = _quantize_unorm8(img)
     return jax.lax.dynamic_update_slice(target, img, (0, y, x))
+
+
+@functools.partial(jax.jit, static_argnames=("to_linear",))
+def _apply_srgb(src, to_linear: bool):
+    """Float srgb<->linear on straight rgb (blend.glsl:110-120); used for
+    SVGFE linearRGB intermediates where a u8 LUT would lose precision."""
+    if to_linear:
+        return blend_mod.premult_srgb_to_linear(jnp, src)
+    return blend_mod.premult_linear_to_srgb(jnp, src)
 
 
 @functools.partial(jax.jit)
@@ -180,6 +191,14 @@ class Renderer:
                 src = jax.lax.dynamic_slice(self.surface_atlas, (0, sy, sx),
                                             (4, sh, sw))
                 out = _apply_channel_lut(src, jnp.asarray(p.lut))
+                self.surface_atlas = _copy_region(self.surface_atlas, out,
+                                                  dx, dy)
+            elif p.kind == PASS_SRGB:
+                sx, sy, sw, sh = p.src_region
+                dx, dy, _, _ = p.region
+                src = jax.lax.dynamic_slice(self.surface_atlas, (0, sy, sx),
+                                            (4, sh, sw))
+                out = _apply_srgb(src, to_linear=p.srgb_to_linear)
                 self.surface_atlas = _copy_region(self.surface_atlas, out,
                                                   dx, dy)
             elif p.kind == PASS_DOWNSCALE:

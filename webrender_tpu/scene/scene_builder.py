@@ -119,11 +119,11 @@ class SceneBuilder:
 
             # --- structure ------------------------------------------------
             if isinstance(item, PushStackingContextItem):
-                composite = self._composite_ops(item)
                 spatial = self._spatial(ns, item.spatial_id)
                 chain = self._resolve_chain(ns, item.clip_chain_id)
                 new_offset = Point2D(top.offset.x + item.origin.x,
                                      top.offset.y + item.origin.y)
+                composite = self._composite_ops(item, new_offset)
                 pic = PicturePrim(
                     common=PrimCommon(Rect(-1e9, -1e9, 2e9, 2e9),
                                       Rect(-1e9, -1e9, 2e9, 2e9),
@@ -322,9 +322,22 @@ class SceneBuilder:
                              top.extra_clips + (clip,))
 
     # ------------------------------------------------------------------
-    def _composite_ops(self, item: PushStackingContextItem) -> CompositeOps:
+    def _composite_ops(self, item: PushStackingContextItem,
+                       offset: Point2D = Point2D()) -> CompositeOps:
+        filters = item.filters
+        if any(f.svgfe is not None for f in filters):
+            moved = []
+            for f in filters:
+                if f.svgfe is not None:
+                    node = dict(f.svgfe)
+                    node["subregion"] = node["subregion"].translate(
+                        offset.x, offset.y)
+                    moved.append(dataclasses.replace(f, svgfe=node))
+                else:
+                    moved.append(f)
+            filters = tuple(moved)
         return CompositeOps(
-            filters=item.filters,
+            filters=filters,
             filter_datas=item.filter_datas,
             mix_blend_mode=item.mix_blend_mode,
             is_blend_container=bool(

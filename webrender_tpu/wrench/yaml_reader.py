@@ -48,7 +48,21 @@ def parse_function(s: str):
     m = _FUNC_RE.match(s.strip())
     if m is None:
         return s.strip(), [], ""
-    args = [a.strip() for a in m.group(2).split(",")] if m.group(2).strip() else []
+    # split args on top-level commas only ([a, b] stays one arg — wrench's
+    # parse_function:1701 tracks bracket nesting the same way)
+    args, depth, cur = [], 0, ""
+    for ch in m.group(2):
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            args.append(cur.strip())
+            cur = ""
+        else:
+            cur += ch
+    if cur.strip():
+        args.append(cur.strip())
     rest = s[m.end():].strip()
     return m.group(1), args, rest
 
@@ -262,11 +276,29 @@ _BORDER_STYLE = {
 
 
 def as_filter_op(v) -> Optional[FilterOp]:
-    """yaml_helper.rs as_filter_op:540 (simple CSS filters; SVGFE graph ops
-    are recognized but returned as SVG_GRAPH placeholders)."""
+    """yaml_helper.rs as_filter_op:540 — simple CSS filters + the SVGFE
+    graph node set (:541-560)."""
     if isinstance(v, dict):
         if "svgfe" in v:
-            return FilterOp(FilterOpKind.SVG_GRAPH)
+            name = str(v["svgfe"]).lower()
+            node = {
+                "op": name,
+                "linear": bool(v.get("linear", True)),
+                "subregion": as_rect(v.get("subregion"))
+                or Rect(0, 0, 1024, 1024),
+                "in1": v.get("in"),
+                "in2": v.get("in2"),
+                "value": as_f32(v.get("value")),
+                "color": as_colorf(v.get("color")),
+                "matrix": tuple(as_vec_f32(v.get("matrix")) or ()),
+                "dx": as_f32(v.get("dx")) or 0.0,
+                "dy": as_f32(v.get("dy")) or 0.0,
+                "std_x": as_f32(v.get("std_deviation_x")) or 0.0,
+                "std_y": as_f32(v.get("std_deviation_y")) or 0.0,
+                "filter_data": as_filter_data(v.get("filter-data"))
+                if v.get("filter-data") else None,
+            }
+            return FilterOp(FilterOpKind.SVG_GRAPH, svgfe=node)
         return None
     if not isinstance(v, str):
         return None
@@ -298,8 +330,10 @@ def as_filter_op(v) -> Optional[FilterOp]:
     if func == "linear-to-srgb":
         return FilterOp(FilterOpKind.LINEAR_TO_SRGB)
     if func == "drop-shadow" and len(args) == 3:
-        off = as_point(args[0].replace(",", " ")) or \
-            as_point(args[0]) or Point2D(0, 0)
+        off_src = args[0].strip().strip("[]")
+        parts = [p for p in off_src.replace(",", " ").split() if p]
+        off = Point2D(float(parts[0]), float(parts[1])) if len(parts) == 2 \
+            else Point2D(0, 0)
         return FilterOp(FilterOpKind.DROP_SHADOW,
                         shadow=Shadow(off, as_colorf(args[2]) or ColorF.BLACK,
                                       float(args[1])))
