@@ -58,6 +58,7 @@ PASS_COPY = 3          # copy src_region (src_target) → region (surface atlas)
 PASS_CHANNEL_LUT = 4   # per-channel 256-entry LUT on straight-alpha values
 PASS_DOWNSCALE = 5     # 2x2 box downscale src_region → region (half size)
 PASS_SRGB = 6          # float srgb<->linear on straight rgb (SVGFE linear)
+PASS_ARITH = 7         # feComposite arithmetic: k1·a·b + k2·a + k3·b + k4
 
 TARGET_ROOT = -1
 TARGET_SURFACE = 2  # matches resources.ATLAS_SURFACE
@@ -86,6 +87,13 @@ class RenderPass:
     sigma: float = 0.0
     lut: Optional[np.ndarray] = None      # [4, 256] channel LUT
     srgb_to_linear: bool = True           # PASS_SRGB direction
+    src_region2: Tuple[int, int, int, int] = (0, 0, 0, 0)  # PASS_ARITH b
+    kvals: Tuple[float, float, float, float] = (0, 0, 0, 0)
+    arith_linear: bool = False            # PASS_ARITH in linearRGB
+    # painter order of instance ids when not ascending (backdrop instances
+    # are allocated after their successors); per-tile slot lists already
+    # encode it — this is for the per-instance oracle
+    inst_order: Optional[np.ndarray] = None
     tile_hashes: Optional[np.ndarray] = None  # [nt] u64 content hashes
 
 
@@ -264,7 +272,8 @@ class FrameBuilder:
                     PASS_RASTER, target, region, (float(ox), float(oy)),
                     clear=clear if i == 0 else None,
                     tile_insts=tile_insts, tile_counts=tile_counts,
-                    nx=nx, ny=ny))
+                    nx=nx, ny=ny,
+                    inst_order=np.asarray(seg, np.int32)))
 
     def _emit_backdrop_instance(self, prim, target: int,
                                 region: Tuple[int, int, int, int],
@@ -446,6 +455,8 @@ class FrameBuilder:
         # filter region covers every node subregion (svgfe-subregion-bigger)
         for f in svgfe_ops:
             sr = f.svgfe["subregion"]
+            if sr is None:
+                continue
             db = device_bounds_of_rect(self.H_dev[pic.common.spatial_node],
                                        sr.x0, sr.y0, sr.x1, sr.y1)
             db = (max(db[0], self.viewport.x0), max(db[1], self.viewport.y0),
@@ -490,7 +501,7 @@ class FrameBuilder:
         if svgfe_ops:
             content_region = self._run_svgfe_graph(
                 svgfe_ops, region, (x0, y0), (cw, ch),
-                pic.common.spatial_node)
+                pic.common.spatial_node, bbox)
         if channel_lut is not None:
             dst = self.surface_atlas.alloc(region.w, region.h)
             assert dst is not None, "surface atlas full (lut)"
@@ -541,7 +552,7 @@ class FrameBuilder:
     # shader variants: intermediates stay sRGB-encoded RGBA8.
     # ------------------------------------------------------------------
     def _run_svgfe_graph(self, ops, src: AtlasRegion, origin, size,
-                         spatial: int) -> AtlasRegion:
+                         spatial: int, content_bounds=None) -> AtlasRegion:
         x0, y0 = origin
         cw, ch = size
         H = self.H_dev[spatial]
@@ -587,6 +598,11 @@ class FrameBuilder:
 
         pool: List[AtlasRegion] = []
         buffers: List[Optional[AtlasRegion]] = []
+        # per-node output color space (legacy FilterPrimitive graphs keep
+        # node outputs in their own space and convert only on mismatched
+        # inputs + a final LinearToSrgb — render_task.rs get_task_input:1310)
+        spaces: List[bool] = []
+        conv_cache: Dict[Tuple[int, bool], AtlasRegion] = {}
         released = set()
 
         def sweep(j):
@@ -613,6 +629,13 @@ class FrameBuilder:
 
         def sub_dev(f):
             sr = f.svgfe["subregion"]
+            if sr is None:
+                # legacy FilterPrimitive (no subregion): flood fills the
+                # tight filter region; other nodes are unclipped
+                # (svg-filter-composite.yaml expected geometry)
+                if f.svgfe["op"] == "flood" and content_bounds is not None:
+                    return Rect.from_bounds(*content_bounds)
+                return Rect(-1e9, -1e9, 2e9, 2e9)
             db = device_bounds_of_rect(H, sr.x0, sr.y0, sr.x1, sr.y1)
             return Rect.from_bounds(*db)
 
@@ -701,17 +724,35 @@ class FrameBuilder:
             node = f.svgfe
             op = node["op"]
             linear = bool(node["linear"])
-            lin_blend = BLEND_LINEAR_BASE if linear else 0
+            legacy = bool(node.get("legacy"))
+            # legacy graphs convert via explicit passes; svgfe graphs convert
+            # inside the kernel (_CONVERTSRGB variants)
+            lin_blend = BLEND_LINEAR_BASE if (linear and not legacy) else 0
             clip_dev = sub_dev(f)
 
-            def inp(which="in1", default_prev=True):
+            def resolve(which, default_prev=True):
                 ref = node.get(which)
                 if ref is None:
-                    reg = buffers[-1] if (default_prev and buffers) else src
+                    idx = len(buffers) - 1 \
+                        if (default_prev and buffers) else -1
                 else:
-                    reg = buffers[int(ref)] \
-                        if 0 <= int(ref) < len(buffers) else src
-                return reg if reg is not None else src
+                    idx = int(ref) if 0 <= int(ref) < len(buffers) else -1
+                if idx >= 0 and buffers[idx] is None:
+                    idx = -1
+                return idx
+
+            def inp(which="in1", default_prev=True):
+                idx = resolve(which, default_prev)
+                reg = src if idx < 0 else buffers[idx]
+                if legacy:
+                    in_space = False if idx < 0 else spaces[idx]
+                    if in_space != linear:
+                        key = (idx, linear)
+                        if key not in conv_cache:
+                            conv_cache[key] = srgb_pass(reg,
+                                                        to_linear=linear)
+                        reg = conv_cache[key]
+                return reg
 
             out: Optional[AtlasRegion] = None
             if op == "sourcegraphic":
@@ -738,7 +779,17 @@ class FrameBuilder:
                 out = new_buffer()
                 sample_pass(out, clip_dev, [{
                     "src": inp(), "cm": m,
-                    "cm_flag": 2.0 if linear else 1.0}])
+                    "cm_flag": 2.0 if (linear and not legacy) else 1.0}])
+            elif op == "compositearithmetic" and node.get("k_values"):
+                a_reg = inp("in1")
+                b_reg = inp("in2", default_prev=False)
+                out = new_buffer()
+                k = tuple(node["k_values"]) + (0.0,) * 4
+                self.passes.append(RenderPass(
+                    PASS_ARITH, TARGET_SURFACE, (out.x, out.y, cw, ch),
+                    src_region=(a_reg.x, a_reg.y, cw, ch),
+                    src_region2=(b_reg.x, b_reg.y, cw, ch),
+                    kvals=k[:4], arith_linear=linear and not legacy))
             elif op in two_input:
                 base = blend_names.get(op)
                 if base is not None:
@@ -759,7 +810,7 @@ class FrameBuilder:
             elif op == "gaussianblur":
                 base = inp()
                 tmp = None
-                if linear:
+                if linear and not legacy:
                     base = tmp = srgb_pass(base, to_linear=True)
                 blurred, scale = self._push_blur(
                     base, (node["std_x"] or 0.0) * dev_sx,
@@ -769,7 +820,7 @@ class FrameBuilder:
                 pre = new_buffer()
                 sample_pass(pre, clip_dev, [{"src": blurred,
                                              "scale": scale}])
-                if linear:
+                if linear and not legacy:
                     out = srgb_pass(pre, to_linear=False)
                     pool.append(pre)
                 else:
@@ -801,8 +852,12 @@ class FrameBuilder:
                 # pass the input through so the scene still renders
                 out = inp()
             buffers.append(out)
+            spaces.append(linear if legacy else False)
             sweep(j)
-        return buffers[-1] if buffers and buffers[-1] is not None else src
+        final = buffers[-1] if buffers and buffers[-1] is not None else src
+        if spaces and spaces[-1]:
+            final = srgb_pass(final, to_linear=False)
+        return final
 
     def _push_blur(self, src: AtlasRegion, sx: float, sy: float
                    ) -> Tuple[AtlasRegion, int]:

@@ -16,8 +16,8 @@ import numpy as np
 
 from ..frame.frame_builder import (Frame, PASS_BLUR_H, PASS_BLUR_V,
                                    PASS_CHANNEL_LUT, PASS_COPY,
-                                   PASS_DOWNSCALE, PASS_RASTER, PASS_SRGB,
-                                   TARGET_ROOT)
+                                   PASS_ARITH, PASS_DOWNSCALE, PASS_RASTER,
+                                   PASS_SRGB, TARGET_ROOT)
 from ..ops import blend as blend_mod
 from ..frame.gpu import (CLIP_STRIDE, INST_BLEND, INST_CLIP_ADDR,
                          INST_CLIP_COUNT, INST_EDGE_AA, INST_KIND,
@@ -31,8 +31,9 @@ from ..ops.raster import gaussian_weights
 
 
 def _quantize_unorm8(img):
-    """RGBA8 offscreen target quantization (see renderer.py)."""
-    return np.clip(np.floor(img * np.float32(255.0) + np.float32(0.5)),
+    """RGBA8 offscreen target quantization — round half to even like GPU
+    unorm conversion (see renderer.py)."""
+    return np.clip(np.rint(img * np.float32(255.0)),
                    0.0, 255.0).astype(np.float32) * np.float32(1.0 / 255.0)
 
 
@@ -105,6 +106,29 @@ class SoftwareRenderer:
                 out = np.stack([out[0] * na, out[1] * na, out[2] * na, na], 0)
                 self.surface_atlas[:, dy:dy + sh, dx:dx + sw] = \
                     _quantize_unorm8(out.astype(np.float32))
+            elif p.kind == PASS_ARITH:
+                ax, ay, sw, sh = p.src_region
+                bx, by, _, _ = p.src_region2
+                dx, dy, _, _ = p.region
+                a = self.surface_atlas[:, ay:ay + sh, ax:ax + sw]
+                b = self.surface_atlas[:, by:by + sh, bx:bx + sw]
+                if p.arith_linear:
+                    a = blend_mod.premult_srgb_to_linear(np, a)
+                    b = blend_mod.premult_srgb_to_linear(np, b)
+                # cs_svg_filter.glsl:503 — unpremultiplied inputs, result
+                # stored as premultiplied
+                def _unp(c):
+                    safe = np.where(c[3] > 1e-6, c[3], 1.0)
+                    return np.stack([c[0] / safe, c[1] / safe, c[2] / safe,
+                                     c[3]], 0)
+                a, b = _unp(a), _unp(b)
+                k = p.kvals
+                out = np.clip(k[0] * a * b + k[1] * a + k[2] * b + k[3],
+                              0.0, 1.0)
+                if p.arith_linear:
+                    out = blend_mod.premult_linear_to_srgb(np, out)
+                self.surface_atlas[:, dy:dy + sh, dx:dx + sw] = \
+                    _quantize_unorm8(out.astype(np.float32))
             elif p.kind == PASS_SRGB:
                 sx, sy, sw, sh = p.src_region
                 dx, dy, _, _ = p.region
@@ -138,7 +162,12 @@ class SoftwareRenderer:
         ids = p.tile_insts[p.tile_insts >= 0]
         if ids.size == 0:
             return
-        order = np.unique(ids)  # ascending id == painter order within a pass
+        if p.inst_order is not None:
+            present = set(int(i) for i in np.unique(ids))
+            order = np.asarray([i for i in p.inst_order if int(i) in present],
+                               np.int64)
+        else:
+            order = np.unique(ids)  # ascending id == painter order
         ox, oy = p.origin
         if self.use_native:
             from . import native

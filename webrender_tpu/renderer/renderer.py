@@ -18,8 +18,8 @@ import numpy as np
 
 from ..frame.frame_builder import (Frame, RenderPass, PASS_BLUR_H,
                                    PASS_BLUR_V, PASS_CHANNEL_LUT, PASS_COPY,
-                                   PASS_DOWNSCALE, PASS_RASTER, PASS_SRGB,
-                                   TARGET_ROOT)
+                                   PASS_ARITH, PASS_DOWNSCALE, PASS_RASTER,
+                                   PASS_SRGB, TARGET_ROOT)
 from ..ops import blend as blend_mod
 from ..frame.gpu import INST_BLEND, INST_KIND
 from ..frame.tiles import TILE_H, TILE_W
@@ -43,9 +43,10 @@ def _upload_alpha(atlas, texels, x: int, y: int):
 
 def _quantize_unorm8(img):
     """The reference's offscreen surfaces are RGBA8 render targets; quantize
-    intermediate results to 8-bit so filter/composite chains match exactly
-    (e.g. filter-saturate-red-alpha-1 expects the 127.5→128 round-trip)."""
-    return jnp.clip(jnp.floor(img * 255.0 + 0.5), 0.0, 255.0) * (1.0 / 255.0)
+    intermediate results to 8-bit so filter/composite chains match exactly.
+    GPU unorm conversion rounds half-to-even (127.5→128 for
+    filter-saturate-red-alpha-1, 178.5→178 for svgfe-subregion-bigger)."""
+    return jnp.clip(jnp.rint(img * 255.0), 0.0, 255.0) * (1.0 / 255.0)
 
 
 @functools.partial(jax.jit, donate_argnums=(0,),
@@ -65,6 +66,24 @@ def _apply_srgb(src, to_linear: bool):
     if to_linear:
         return blend_mod.premult_srgb_to_linear(jnp, src)
     return blend_mod.premult_linear_to_srgb(jnp, src)
+
+
+@functools.partial(jax.jit, static_argnames=("linear",))
+def _apply_arith(a, b, k, linear: bool):
+    """feComposite arithmetic (cs_svg_filter.glsl composite():503): the
+    reference computes k1·Cs·Cb + k2·Cs + k3·Cb + k4 on UNPREMULTIPLIED
+    inputs and stores the clamped result as premultiplied."""
+    def unpremult(c):
+        safe = jnp.where(c[3] > 1e-6, c[3], 1.0)
+        return jnp.stack([c[0] / safe, c[1] / safe, c[2] / safe, c[3]], 0)
+    if linear:
+        a = blend_mod.premult_srgb_to_linear(jnp, a)
+        b = blend_mod.premult_srgb_to_linear(jnp, b)
+    a, b = unpremult(a), unpremult(b)
+    out = jnp.clip(k[0] * a * b + k[1] * a + k[2] * b + k[3], 0.0, 1.0)
+    if linear:
+        out = blend_mod.premult_linear_to_srgb(jnp, out)
+    return out
 
 
 @functools.partial(jax.jit)
@@ -199,6 +218,18 @@ class Renderer:
                 src = jax.lax.dynamic_slice(self.surface_atlas, (0, sy, sx),
                                             (4, sh, sw))
                 out = _apply_srgb(src, to_linear=p.srgb_to_linear)
+                self.surface_atlas = _copy_region(self.surface_atlas, out,
+                                                  dx, dy)
+            elif p.kind == PASS_ARITH:
+                ax, ay, sw, sh = p.src_region
+                bx, by, _, _ = p.src_region2
+                dx, dy, _, _ = p.region
+                a = jax.lax.dynamic_slice(self.surface_atlas, (0, ay, ax),
+                                          (4, sh, sw))
+                b = jax.lax.dynamic_slice(self.surface_atlas, (0, by, bx),
+                                          (4, sh, sw))
+                out = _apply_arith(a, b, jnp.asarray(p.kvals, jnp.float32),
+                                   linear=p.arith_linear)
                 self.surface_atlas = _copy_region(self.surface_atlas, out,
                                                   dx, dy)
             elif p.kind == PASS_DOWNSCALE:

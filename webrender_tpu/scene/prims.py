@@ -160,9 +160,10 @@ class CompositeOps:
 
     @property
     def needs_surface(self) -> bool:
+        # Filter::is_noop (internal_types.rs:822): Identity intentionally
+        # ISOLATES (forces a surface); opacity(>=1) is a noop
         nontrivial = [f for f in self.filters
-                      if not (f.kind.name == "IDENTITY"
-                              or (f.kind.name == "OPACITY" and f.value >= 1.0))]
+                      if not (f.kind.name == "OPACITY" and f.value >= 1.0)]
         return bool(nontrivial) or \
             self.mix_blend_mode != MixBlendMode.NORMAL or \
             self.is_blend_container

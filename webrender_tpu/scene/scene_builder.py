@@ -50,6 +50,10 @@ class _StackingContext:
     offset: Point2D              # lexical offset inherited by children
     extra_clips: Tuple[int, ...]  # pass-through SC clips pushed onto children
     backface_cull_spatial: Optional[int] = None  # SC backface-visible: false
+    # filters of enclosing WRAPS_BACKDROP_FILTER stacking contexts: applied
+    # to contained backdrop-filter prims instead of creating a surface
+    # (scene_building.rs:3753 hoists the backdrop chain past wrapping SCs)
+    wrap_filters: Tuple = ()
 
 
 @dataclass
@@ -138,6 +142,15 @@ class SceneBuilder:
                 sc_backface = top.backface_cull_spatial
                 if not (item.prim_flags & PrimitiveFlags.IS_BACKFACE_VISIBLE):
                     sc_backface = spatial
+                if item.flags & StackingContextFlags.WRAPS_BACKDROP_FILTER:
+                    # the SC only wraps a backdrop-filter so CSS filters can
+                    # apply to its output: stay pass-through and fold the
+                    # filters into the backdrop prim (scene_building.rs:3753)
+                    sc_stack.append(_StackingContext(
+                        top.picture, new_offset, top.extra_clips + chain,
+                        sc_backface,
+                        top.wrap_filters + tuple(item.filters)))
+                    continue
                 # direct children of a preserve-3d context stay grouped so
                 # flat subtrees sort as single planes (split/order-2.yaml)
                 if composite.needs_grouping or \
@@ -152,7 +165,8 @@ class SceneBuilder:
                     # no-op stacking contexts the same way).
                     sc_stack.append(_StackingContext(
                         top.picture, new_offset,
-                        top.extra_clips + chain, sc_backface))
+                        top.extra_clips + chain, sc_backface,
+                        top.wrap_filters))
                 continue
 
             if isinstance(item, PopStackingContextItem):
@@ -330,8 +344,9 @@ class SceneBuilder:
             for f in filters:
                 if f.svgfe is not None:
                     node = dict(f.svgfe)
-                    node["subregion"] = node["subregion"].translate(
-                        offset.x, offset.y)
+                    if node["subregion"] is not None:
+                        node["subregion"] = node["subregion"].translate(
+                            offset.x, offset.y)
                     moved.append(dataclasses.replace(f, svgfe=node))
                 else:
                     moved.append(f)
@@ -458,7 +473,8 @@ class SceneBuilder:
                                  item.clip_mode)
         if isinstance(item, BackdropFilterItem):
             common = self._common(item.common, ns, top, item.common.clip_rect)
-            return BackdropFilterPrim(common, item.filters, item.filter_datas)
+            filters = tuple(item.filters) + tuple(top.wrap_filters)
+            return BackdropFilterPrim(common, filters, item.filter_datas)
         raise NotImplementedError(f"display item {type(item).__name__}")
 
 

@@ -374,6 +374,87 @@ def as_vec_filter_data(v):
     return out
 
 
+_COMPOSITE_OP_NAMES = {
+    "over": "compositeover", "in": "compositein", "out": "compositeout",
+    "atop": "compositeatop", "xor": "compositexor",
+    "lighter": "compositelighter", "arithmetic": "compositearithmetic",
+}
+
+
+def _filter_input(v):
+    """yaml_helper.rs as_filter_input:975 — original/previous/index."""
+    if v is None or v == "previous":
+        return None
+    if v == "original":
+        return -1
+    return int(v)
+
+
+def as_vec_filter_primitives(v, filter_datas) -> List[FilterOp]:
+    """yaml_helper.rs as_filter_primitive:1001 — the legacy FilterPrimitive
+    graph API, lowered onto the SVGFE node evaluator (subregion=None means
+    "the tight filter region" for flood / unclipped for everything else)."""
+    if not v:
+        return []
+    out: List[FilterOp] = []
+    fd_iter = iter(filter_datas or [])
+    for p in v:
+        if not isinstance(p, dict):
+            continue
+        t = p.get("type")
+        node = {
+            "op": None,
+            "linear": p.get("color-space", "linear-rgb") != "srgb",
+            "subregion": None,
+            "in1": _filter_input(p.get("in", p.get("in1"))),
+            "in2": _filter_input(p.get("in2")),
+            "value": None, "color": as_colorf(p.get("color")),
+            "matrix": tuple(as_vec_f32(p.get("matrix")) or ()),
+            "dx": 0.0, "dy": 0.0, "std_x": 0.0, "std_y": 0.0,
+            "filter_data": None, "k_values": None,
+            # legacy graphs keep node outputs in their own color space
+            # (render_task.rs get_task_input) and use the cs_svg_filter.glsl
+            # arithmetic math (unpremultiplied inputs)
+            "legacy": True,
+        }
+        if t == "identity":
+            node["op"] = "identity"
+        elif t == "blend":
+            node["op"] = "blend" + \
+                str(p.get("blend-mode", "normal")).replace("-", "")
+        elif t == "flood":
+            node["op"] = "flood"
+        elif t == "blur":
+            node["op"] = "gaussianblur"
+            node["std_x"] = as_f32(p.get("width")) or 0.0
+            node["std_y"] = as_f32(p.get("height")) or 0.0
+        elif t == "opacity":
+            node["op"] = "opacity"
+            node["value"] = as_f32(p.get("opacity"))
+        elif t == "color-matrix":
+            node["op"] = "colormatrix"
+        elif t == "drop-shadow":
+            node["op"] = "dropshadow"
+            off = as_point(p.get("offset")) or Point2D(0, 0)
+            node["dx"], node["dy"] = off.x, off.y
+            node["std_x"] = node["std_y"] = as_f32(p.get("radius")) or 0.0
+        elif t == "component-transfer":
+            node["op"] = "componenttransfer"
+            node["filter_data"] = next(fd_iter, None)
+        elif t == "offset":
+            node["op"] = "offset"
+            off = as_point(p.get("offset")) or Point2D(0, 0)
+            node["dx"], node["dy"] = off.x, off.y
+        elif t == "composite":
+            node["op"] = _COMPOSITE_OP_NAMES.get(p.get("operator"),
+                                                 "compositeover")
+            node["k_values"] = tuple(as_vec_f32(p.get("k-values")) or ())
+        else:
+            continue
+        out.append(FilterOp(FilterOpKind.SVG_GRAPH, svgfe=node))
+    return out
+
+
 def as_vec_filter_op(v) -> List[FilterOp]:
     if v is None:
         return []
@@ -1140,10 +1221,14 @@ class YamlFrameReader:
         flags = StackingContextFlags.NONE
         if item.get("blend-container", False):
             flags |= StackingContextFlags.IS_BLEND_CONTAINER
+        if item.get("wraps-backdrop-filter", False):
+            flags |= StackingContextFlags.WRAPS_BACKDROP_FILTER
         if is_root and item.get("scroll-offset") is not None:
             self.scroll_offsets[0] = [(as_point(item["scroll-offset"]), 0)]
         filters = as_vec_filter_op(item.get("filters"))
         filter_datas = as_vec_filter_data(item.get("filter-datas"))
+        filters = filters + as_vec_filter_primitives(
+            item.get("filter-primitives"), filter_datas)
 
         dl.push_stacking_context(
             bounds.origin, self._top_space(), info_flags, clip_chain_id,
