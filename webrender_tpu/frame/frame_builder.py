@@ -152,6 +152,9 @@ class FrameBuilder:
         self.surface_atlas = FrameAtlas(self.surface_atlas_size[1],
                                         self.surface_atlas_size[0])
         self._clip_cache: Dict[Tuple, Tuple[int, int, Optional[Tuple]]] = {}
+        # active preserve-3d BSP fragment: device-space convex polygon
+        # applied as an extra clip on emitted instances (ps_split_composite)
+        self._poly_clip: Optional[Tuple[Tuple[float, float], ...]] = None
         self._viewport_clip_cache: Dict[int, Tuple[ClipNode, ...]] = {}
         self._lut_cache: Dict[Tuple, int] = {}
 
@@ -215,24 +218,149 @@ class FrameBuilder:
     # ------------------------------------------------------------------
     def _process_picture(self, pic: PicturePrim, out: List[int]) -> None:
         if pic.composite.preserve_3d:
-            # children of a preserve-3d context are individual 3D planes,
-            # depth-sorted (plane splitting simplified; BSP TODO)
-            children = sorted(pic.children, key=self._child_depth)
-        else:
-            children = pic.children
-        for child in children:
-            if isinstance(child, PicturePrim):
-                if child.composite.needs_surface or child.shadow is not None:
-                    self._build_surface(child, out)
-                else:
-                    self._process_picture(child, out)
+            # children of a preserve-3d context are individual 3D planes:
+            # BSP-split against each other and drawn back-to-front, each
+            # fragment clipped to its device polygon (picture.rs
+            # PlaneSplitter + ps_split_composite)
+            for child, poly in self._split_planes(pic.children):
+                prev = self._poly_clip
+                if poly is not None:
+                    self._poly_clip = poly
+                self._emit_child(child, out)
+                self._poly_clip = prev
+            return
+        for child in pic.children:
+            self._emit_child(child, out)
+
+    def _emit_child(self, child, out: List[int]) -> None:
+        if isinstance(child, PicturePrim):
+            if child.composite.needs_surface or child.shadow is not None:
+                self._build_surface(child, out)
             else:
-                self._prepare_prim(child, out)
+                self._process_picture(child, out)
+        else:
+            self._prepare_prim(child, out)
+
+    def _split_planes(self, children):
+        """BSP-order preserve-3d child planes; → [(child, polygon|None)]
+        where polygon is a device-space convex fragment (None = whole
+        plane, no clip needed)."""
+        from . import plane_split as ps
+        polys = []
+        quads = {}
+        for i, child in enumerate(children):
+            q = None
+            if isinstance(child, PicturePrim):
+                q = self._plane_quad(child)
+            quads[i] = q
+            if q is not None:
+                polys.append(ps.Polygon(q, i))
+        if len(polys) < 2:
+            return [(c, None) for c in
+                    sorted(children, key=self._child_depth)]
+        frags = ps.split_planes(polys)
+        out = []
+        emitted_whole = set()
+        for f in frags:
+            child = children[f.anchor]
+            if not f.was_split:
+                if f.anchor in emitted_whole:
+                    continue
+                emitted_whole.add(f.anchor)
+                out.append((child, None))
+            else:
+                pts = [(float(p[0]), float(p[1])) for p in f.pts]
+                out.append((child, tuple(pts)))
+        # children without geometry keep their depth-sorted position
+        rest = [children[i] for i, q in quads.items() if q is None]
+        for c in sorted(rest, key=self._child_depth):
+            out.append((c, None))
+        return out
+
+    def _plane_quad(self, pic: PicturePrim):
+        """Device-space 3D quad ([4,3] x,y,z) of a preserve-3d child's
+        content plane (picture.rs map_pic_to_world polygon)."""
+        spatial = pic.common.spatial_node
+        if int(self.palette[spatial][11]) & 1:
+            return None  # non-invertible
+        r = self._local_content_rect(pic, spatial)
+        if r is None or r[2] <= r[0] or r[3] <= r[1]:
+            return None
+        m = np.asarray(self.resolved[spatial].world.m,
+                       np.float64).reshape(4, 4)
+        corners = np.array([[r[0], r[1], 0.0, 1.0],
+                            [r[2], r[1], 0.0, 1.0],
+                            [r[2], r[3], 0.0, 1.0],
+                            [r[0], r[3], 0.0, 1.0]], np.float64)
+        dev = corners @ m
+        w = dev[:, 3]
+        if np.any(w <= 1e-6):
+            return None  # behind the eye: skip splitting for this plane
+        return dev[:, :3] / w[:, None]
+
+    def _local_content_rect(self, pic: PicturePrim, spatial: int):
+        """Union of descendant prim rects expressed in `spatial`'s space."""
+        bbox = None
+
+        def add(rect):
+            nonlocal bbox
+            if rect is None:
+                return
+            bbox = rect if bbox is None else (
+                min(bbox[0], rect[0]), min(bbox[1], rect[1]),
+                max(bbox[2], rect[2]), max(bbox[3], rect[3]))
+
+        def map_rect(r: Rect, src: int):
+            if src == spatial:
+                return (r.x0, r.y0, r.x1, r.y1)
+            ms = np.asarray(self.resolved[src].world.m,
+                            np.float64).reshape(4, 4)
+            md = np.asarray(self.resolved[spatial].world.m,
+                            np.float64).reshape(4, 4)
+            try:
+                rel = ms @ np.linalg.inv(md)
+            except np.linalg.LinAlgError:
+                return None
+            cs = np.array([[r.x0, r.y0, 0, 1], [r.x1, r.y0, 0, 1],
+                           [r.x1, r.y1, 0, 1], [r.x0, r.y1, 0, 1]],
+                          np.float64) @ rel
+            w = cs[:, 3]
+            if np.any(np.abs(w) < 1e-9):
+                return None
+            xy = cs[:, :2] / w[:, None]
+            return (float(xy[:, 0].min()), float(xy[:, 1].min()),
+                    float(xy[:, 0].max()), float(xy[:, 1].max()))
+
+        def walk(p):
+            for ch in p.children:
+                if isinstance(ch, PicturePrim):
+                    walk(ch)
+                else:
+                    c = ch.common
+                    r = c.local_rect.intersection(c.clip_rect) \
+                        if c.clip_rect is not None else c.local_rect
+                    if r is not None:
+                        add(map_rect(r, c.spatial_node))
+        walk(pic)
+        return bbox
 
     def _child_depth(self, child) -> float:
         m = self.resolved[child.common.spatial_node].world.m
         w = m[15] if abs(m[15]) > 1e-9 else 1e-9
         return m[14] / w
+
+    def _prim_backfacing(self, c) -> bool:
+        """Backface culls only inside a 3D context, with orientation
+        evaluated RELATIVE to the prim's containing block — subtrees
+        flattened by composite ops are exempt from ancestor 3D rotations
+        (visibility.rs VisibleFace vs scene_building.rs:2214;
+        split/filter.yaml)."""
+        st = self.scene.spatial_tree
+        if not st.in_3d_context(c.spatial_node):
+            return False
+        nz = st.orientation_normal_z(c.spatial_node, self._properties)
+        ncb = st.orientation_normal_z(c.containing_block, self._properties)
+        return nz * ncb < 0
 
     def _sc_backface_culled(self, spatial: Optional[int]) -> bool:
         """SC-level backface: own plane orientation, no 3D-context
@@ -401,8 +529,14 @@ class FrameBuilder:
         instance(s) into the parent (`picture.rs` PictureCompositeMode)."""
         if self._sc_backface_culled(pic.common.backface_cull_spatial):
             return
+        # a preserve-3d BSP fragment clip applies to the COMPOSITE instance
+        # only — the surface content rasters unclipped (blurs must see
+        # content beyond the fragment seam)
+        frag_poly = self._poly_clip
+        self._poly_clip = None
         child_insts: List[int] = []
         self._process_picture(pic, child_insts)
+        self._poly_clip = frag_poly
         if not child_insts:
             return
 
@@ -952,7 +1086,8 @@ class FrameBuilder:
         Note: scroll frames do NOT implicitly clip their content — the
         embedder defines explicit clips (wrench's `clip-to-frame` creates a
         rect clip; Gecko emits its own clip nodes)."""
-        key = (chain, prim_spatial)
+        poly = self._poly_clip
+        key = (chain, prim_spatial, poly)
         cached = self._clip_cache.get(key)
         if cached is not None:
             return cached
@@ -1008,6 +1143,17 @@ class FrameBuilder:
                 bbox = db if bbox is None else (
                     max(bbox[0], db[0]), max(bbox[1], db[1]),
                     min(bbox[2], db[2]), min(bbox[3], db[3]))
+        if poly is not None:
+            rec = self._polygon_clip_record(poly)
+            if rec is not None:
+                records.append(rec)
+                count += 1
+                xs = [p[0] for p in poly]
+                ys = [p[1] for p in poly]
+                db = (min(xs), min(ys), max(xs), max(ys))
+                bbox = db if bbox is None else (
+                    max(bbox[0], db[0]), max(bbox[1], db[1]),
+                    min(bbox[2], db[2]), min(bbox[3], db[3]))
         flat: List[float] = []
         for rec in records:
             flat.extend(rec)
@@ -1015,6 +1161,39 @@ class FrameBuilder:
         result = (addr, count, bbox)
         self._clip_cache[key] = result
         return result
+
+    def _polygon_clip_record(self, poly) -> Optional[List[float]]:
+        """Kind-3 clip record: device-space convex polygon as up to 8
+        inward unit half-planes at [24 + 3i] (preserve-3d BSP fragments;
+        the ps_split_composite geometry)."""
+        n = len(poly)
+        if n < 3 or n > 8:
+            return None
+        cx = sum(p[0] for p in poly) / n
+        cy = sum(p[1] for p in poly) / n
+        rec = [0.0] * CLIP_STRIDE
+        rec[96:108] = [float(v) for v in self.palette[0]]
+        rec[13] = 0.0
+        rec[14] = 3.0
+        for i in range(8):
+            if i < n:
+                x0, y0 = poly[i]
+                x1, y1 = poly[(i + 1) % n]
+                a, b = y0 - y1, x1 - x0   # left normal of the edge
+                ln = math.hypot(a, b)
+                if ln < 1e-9:
+                    a, b, c = 0.0, 0.0, 1e9
+                else:
+                    a, b = a / ln, b / ln
+                    c = -(a * x0 + b * y0)
+                    if a * cx + b * cy + c < 0:
+                        a, b, c = -a, -b, -c
+            else:
+                a, b, c = 0.0, 0.0, 1e9
+            rec[24 + 3 * i] = a
+            rec[25 + 3 * i] = b
+            rec[26 + 3 * i] = c
+        return rec
 
     # ------------------------------------------------------------------
     # prepare (per-prim payloads) — prepare.rs prepare_primitives analog
@@ -1025,7 +1204,7 @@ class FrameBuilder:
         flags = pal[11]
         if int(flags) & 1:
             return  # non-invertible transform
-        if (int(flags) & 2) and not c.is_backface_visible:
+        if not c.is_backface_visible and self._prim_backfacing(c):
             return  # backface culled (preserve-3d context)
         if self._sc_backface_culled(c.backface_cull_spatial):
             return  # enclosing SC declared backface-visible: false

@@ -77,7 +77,8 @@ def pallas_pass_supported(instances: np.ndarray, tile_insts: np.ndarray,
         n = int(rec[INST_CLIP_COUNT])
         addr = int(rec[INST_CLIP_ADDR])
         for j in range(n):
-            if f32_buf[addr + j * CLIP_STRIDE + 14] >= 1.5:  # image mask
+            ck = f32_buf[addr + j * CLIP_STRIDE + 14]
+            if 1.5 <= ck < 2.5:  # image mask needs the fallback path
                 return False
     return True
 
@@ -236,7 +237,9 @@ def render_tiles_pallas_dense(dense, tile_counts, tile_origins, clear_color,
                                             crec[3], clx, cly, csx, csy, 0xF)
                 rounded = pk.rounded_rect_coverage(
                     jnp, crec[0:4], crec[4:12], clx, cly, csx, csy)
-                ccov = jnp.where(crec[14] < 0.5, rect_cov, rounded)
+                poly = pk.polygon_coverage(jnp, crec, px, py)
+                ccov = jnp.where(crec[14] < 0.5, rect_cov,
+                                 jnp.where(crec[14] < 1.5, rounded, poly))
                 ccov = jnp.where(crec[12] > 0.5, 1.0 - ccov, ccov)
                 return cov * ccov
             cov = jax.lax.fori_loop(0, r[REC_CLIP_COUNT].astype(jnp.int32),
@@ -444,7 +447,10 @@ def render_tiles_pallas(f32_buf, instances, transforms, tile_insts,
                                                 csx, csy, 0xF)
                     rounded = pk.rounded_rect_coverage(
                         jnp, crec[0:4], crec[4:12], clx, cly, csx, csy)
-                    ccov = jnp.where(crec[14] < 0.5, rect_cov, rounded)
+                    poly = pk.polygon_coverage(jnp, crec, px, py)
+                    ccov = jnp.where(crec[14] < 0.5, rect_cov,
+                                     jnp.where(crec[14] < 1.5, rounded,
+                                               poly))
                     ccov = jnp.where(crec[12] > 0.5, 1.0 - ccov, ccov)
                     return cov * ccov
                 cov = jax.lax.fori_loop(0, clip_count, clip_body, cov)

@@ -514,6 +514,21 @@ def clip_coverage(xp, rec, transforms, px, py, mask_plane, gather_row):
     mask_v = rec[17] + (ly - rec[1]) / rh * (rec[19] - rec[17])
     masked = sample_alpha(xp, mask_plane, mask_u, mask_v,
                           rec[16], rec[17], rec[18], rec[19]) * rect_cov
+    poly = polygon_coverage(xp, rec, px, py)
     cov = xp.where(kind < 0.5, rect_cov,
-                   xp.where(kind < 1.5, rounded, masked))
+                   xp.where(kind < 1.5, rounded,
+                            xp.where(kind < 2.5, masked, poly)))
     return xp.where(rec[12] > 0.5, 1.0 - cov, cov)
+
+
+def polygon_coverage(xp, rec, px, py):
+    """Kind-3 clip: device-space convex polygon (preserve-3d BSP fragments,
+    the ps_split_composite role). Up to 8 inward half-planes at
+    rec[24 + 3i] = (a, b, c), unit-normalized; unused edges padded with
+    (0, 0, big). Coverage = min over edges of the AA'd signed distance."""
+    cov = None
+    for i in range(8):
+        a, b, c = rec[24 + 3 * i], rec[25 + 3 * i], rec[26 + 3 * i]
+        e = xp.clip(a * px + b * py + c + 0.5, 0.0, 1.0)
+        cov = e if cov is None else xp.minimum(cov, e)
+    return cov

@@ -36,6 +36,11 @@ class PrimCommon:
     # the SC's own transform orientation culls its children
     # (backface/backface-sc.yaml vs backface-leaf.yaml)
     backface_cull_spatial: Optional[int] = None
+    # backface-visibility containing block (scene_building.rs:2214): the
+    # nearest non-3d-participating ancestor SC's spatial node — backface
+    # orientation is evaluated relative to it, so composite-op-flattened
+    # subtrees are never culled by ancestor 3D rotations (split/filter.yaml)
+    containing_block: int = 0
 
 
 @dataclass

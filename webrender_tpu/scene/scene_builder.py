@@ -54,6 +54,12 @@ class _StackingContext:
     # to contained backdrop-filter prims instead of creating a surface
     # (scene_building.rs:3753 hoists the backdrop chain past wrapping SCs)
     wrap_filters: Tuple = ()
+    # backface-visibility containing block (scene_building.rs:2214): the
+    # spatial node of the nearest non-3d-participating ancestor SC — prim
+    # backface orientation is evaluated RELATIVE to it
+    containing_block: int = 0
+    # does this SC establish a 3D context for its direct children
+    is_3d: bool = False
 
 
 @dataclass
@@ -142,6 +148,10 @@ class SceneBuilder:
                 sc_backface = top.backface_cull_spatial
                 if not (item.prim_flags & PrimitiveFlags.IS_BACKFACE_VISIBLE):
                     sc_backface = spatial
+                participating = composite.preserve_3d or \
+                    (top.is_3d and not composite.needs_surface)
+                new_cb = top.containing_block if participating else spatial
+                new_is3d = composite.preserve_3d
                 if item.flags & StackingContextFlags.WRAPS_BACKDROP_FILTER:
                     # the SC only wraps a backdrop-filter so CSS filters can
                     # apply to its output: stay pass-through and fold the
@@ -149,16 +159,19 @@ class SceneBuilder:
                     sc_stack.append(_StackingContext(
                         top.picture, new_offset, top.extra_clips + chain,
                         sc_backface,
-                        top.wrap_filters + tuple(item.filters)))
+                        top.wrap_filters + tuple(item.filters),
+                        new_cb, new_is3d))
                     continue
                 # direct children of a preserve-3d context stay grouped so
                 # flat subtrees sort as single planes (split/order-2.yaml)
                 if composite.needs_grouping or \
                         top.picture.composite.preserve_3d:
                     pic.common.backface_cull_spatial = sc_backface
+                    pic.common.containing_block = top.containing_block
                     top.picture.children.append(pic)
                     sc_stack.append(_StackingContext(pic, new_offset, (),
-                                                     sc_backface))
+                                                     sc_backface, (),
+                                                     new_cb, new_is3d))
                 else:
                     # pass-through: children flatten into parent picture with
                     # SC clips applied to each (scene_building.rs collapses
@@ -166,7 +179,7 @@ class SceneBuilder:
                     sc_stack.append(_StackingContext(
                         top.picture, new_offset,
                         top.extra_clips + chain, sc_backface,
-                        top.wrap_filters))
+                        top.wrap_filters, new_cb, new_is3d))
                 continue
 
             if isinstance(item, PopStackingContextItem):
@@ -351,13 +364,22 @@ class SceneBuilder:
                 else:
                     moved.append(f)
             filters = tuple(moved)
+        # composite ops force the used transform-style to flat: an SC with
+        # filters/mix-blend does not participate in (or establish) a 3D
+        # rendering context (scene_building.rs:2207
+        # participating_in_3d_context requires composite_ops.is_empty())
+        nontrivial = [f for f in filters
+                      if not (f.kind.name == "OPACITY" and f.value >= 1.0)]
+        ops_empty = not nontrivial and \
+            item.mix_blend_mode == MixBlendMode.NORMAL
         return CompositeOps(
             filters=filters,
             filter_datas=item.filter_datas,
             mix_blend_mode=item.mix_blend_mode,
             is_blend_container=bool(
                 item.flags & StackingContextFlags.IS_BLEND_CONTAINER),
-            preserve_3d=item.transform_style == TransformStyle.PRESERVE_3D,
+            preserve_3d=(item.transform_style == TransformStyle.PRESERVE_3D
+                         and ops_empty),
         )
 
     def _spatial(self, ns: Tuple[int, int], sid: SpatialId) -> int:
@@ -379,6 +401,7 @@ class SceneBuilder:
             is_backface_visible=bool(item_common.flags
                                      & PrimitiveFlags.IS_BACKFACE_VISIBLE),
             backface_cull_spatial=top.backface_cull_spatial,
+            containing_block=top.containing_block,
         )
 
     def _shadow_copy(self, prim, sh: Shadow):

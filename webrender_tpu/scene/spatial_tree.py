@@ -126,6 +126,12 @@ class SceneSpatialTree:
         scroll_offsets = scroll_offsets or {}
         transform_properties = transform_properties or {}
         resolved: List[Optional[ResolvedSpatialNode]] = [None] * len(self.nodes)
+        # transform-style: flat projects descendant 3D onto the frame's
+        # plane: a reference frame attaching under a flat (non-perspective)
+        # transform frame has its local transform's z OUTPUT zeroed
+        # (spatial_node.rs:492 flatten_z_output — m13/m23/m43 := 0,
+        # m33 := 1; the root coordinate system never flattens)
+        flatten_children: List[bool] = [False] * len(self.nodes)
         # per-node sticky state: (viewport_rect, viewport_scroll_offset)
         # mirrors TransformUpdateState.nearest_scrolling_ancestor_*
         # (spatial_node.rs:538-541, :710-721)
@@ -152,6 +158,12 @@ class SceneSpatialTree:
                 # local content point → parent: apply transform, then origin
                 # translation (scene_building.rs push_reference_frame: the
                 # frame's content is positioned at `origin` in the parent).
+                if node.parent is not None and \
+                        flatten_children[node.parent]:
+                    m = list(t.m)
+                    m[2] = m[6] = m[14] = 0.0
+                    m[10] = 1.0
+                    t = Transform(m)
                 local = t.post_translate(node.origin.x, node.origin.y)
                 # translate the sticky viewport into this frame's space
                 # (spatial_node.rs:728 — origin only, not the transform)
@@ -177,10 +189,18 @@ class SceneSpatialTree:
             resolved[node.index] = ResolvedSpatialNode(
                 world=world,
                 is_2d_axis_aligned=world.is_2d_axis_aligned,
-                is_invertible=world.inverse() is not None,
+                is_invertible=_homography_invertible(world),
                 backface=self._backface_in_3d_context(node.index,
                                                       transform_properties),
             )
+            if node.kind == SpatialNodeKind.REFERENCE_FRAME:
+                flatten_children[node.index] = (
+                    node.index != 0 and not node.preserves_3d
+                    and not node.is_perspective)
+            else:
+                flatten_children[node.index] = \
+                    flatten_children[node.parent] \
+                    if node.parent is not None else False
             scroll_state[node.index] = state
         # Fill gaps (defensive) with identity
         for i, r in enumerate(resolved):
@@ -310,3 +330,13 @@ class SceneSpatialTree:
         oy = min(max(oy + prev.y, lo_y), hi_y) - prev.y
         ox = min(max(ox + prev.x, lo_x), hi_x) - prev.x
         return Point2D(ox, oy)
+
+
+def _homography_invertible(world: Transform) -> bool:
+    """Invertibility of the 2D screen mapping (x,y,w rows/cols) — the 4x4
+    is intentionally singular under flattened ancestors."""
+    m = world.m
+    det = (m[0] * (m[5] * m[15] - m[7] * m[13])
+           - m[1] * (m[4] * m[15] - m[7] * m[12])
+           + m[3] * (m[4] * m[13] - m[5] * m[12]))
+    return abs(det) > 1e-12

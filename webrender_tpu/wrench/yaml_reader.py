@@ -44,14 +44,27 @@ _FUNC_RE = re.compile(r"([a-zA-Z0-9_-]+)\(([^)]*)\)")
 
 
 def parse_function(s: str):
-    """wrench parse_function: 'name(a, b) rest' → (name, [args], rest)."""
-    m = _FUNC_RE.match(s.strip())
+    """wrench parse_function: 'name(a, b) rest' → (name, [args], rest).
+    Handles nested parens/brackets — 'fuzzy-if(platform(swgl),1,2)' and
+    'drop-shadow([x, y], r, c)' each parse as one function."""
+    s = s.strip()
+    m = re.match(r"([a-zA-Z0-9_-]+)\(", s)
     if m is None:
-        return s.strip(), [], ""
-    # split args on top-level commas only ([a, b] stays one arg — wrench's
-    # parse_function:1701 tracks bracket nesting the same way)
+        return s, [], ""
+    depth = 0
+    end = len(s)
+    for j in range(m.end() - 1, len(s)):
+        if s[j] == "(":
+            depth += 1
+        elif s[j] == ")":
+            depth -= 1
+            if depth == 0:
+                end = j
+                break
+    inner = s[m.end():end]
+    # split args on top-level commas only (wrench parse_function:1701)
     args, depth, cur = [], 0, ""
-    for ch in m.group(2):
+    for ch in inner:
         if ch in "([":
             depth += 1
         elif ch in ")]":
@@ -63,7 +76,7 @@ def parse_function(s: str):
             cur += ch
     if cur.strip():
         args.append(cur.strip())
-    rest = s[m.end():].strip()
+    rest = s[end + 1:].strip()
     return m.group(1), args, rest
 
 
