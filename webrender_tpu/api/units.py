@@ -275,13 +275,13 @@ class Transform:
 
     @property
     def is_2d_axis_aligned(self) -> bool:
-        """No rotation/skew/perspective: only scale + translate."""
+        """The SCREEN mapping is axis-aligned scale+translate (z outputs
+        are irrelevant — util.rs preserves_2d_axis_alignment only inspects
+        the 2D part, so a flattened rotate-x(45) still snaps:
+        transforms/rotate-clip.yaml)."""
         m = self.m
-        return (
-            m[1] == 0 and m[4] == 0 and m[3] == 0 and m[7] == 0
-            and m[2] == 0 and m[6] == 0 and m[8] == 0 and m[9] == 0
-            and m[11] == 0 and m[14] == 0
-        )
+        return (m[3] == 0 and m[7] == 0
+                and m[1] == 0 and m[4] == 0)
 
     @property
     def is_2d(self) -> bool:

@@ -1507,7 +1507,8 @@ class FrameBuilder:
         """Analytic gaussian box shadow (box_shadow.rs semantics re-designed:
         instead of a blurred cached task, the kernel evaluates the closed-form
         blurred-rounded-rect; sigma = blur_radius/2)."""
-        sigma = prim.blur_radius * 0.5
+        # box_shadow.rs:283/329 — MAX_BLUR_RADIUS = 300 clamp before halving
+        sigma = min(prim.blur_radius, 300.0) * 0.5
         spread = prim.spread_radius
         if prim.clip_mode == BoxShadowClipMode.OUTSET:
             shadow_rect = prim.box_bounds.inflate(spread, spread).translate(
@@ -1517,6 +1518,14 @@ class FrameBuilder:
         else:
             shadow_rect = prim.box_bounds.inflate(-spread, -spread).translate(
                 prim.offset.x, prim.offset.y)
+            if shadow_rect.x1 <= shadow_rect.x0 or \
+                    shadow_rect.y1 <= shadow_rect.y0:
+                # spread larger than the box: the inner (unshadowed) region
+                # vanishes and the inset shadow fills the whole box
+                # (inset-spread-large.yaml)
+                cx = (shadow_rect.x0 + shadow_rect.x1) * 0.5
+                cy = (shadow_rect.y0 + shadow_rect.y1) * 0.5
+                shadow_rect = Rect(cx, cy, 0.0, 0.0)
             draw_rect = prim.box_bounds
         r = prim.border_radius
         radii = [r.top_left.width, r.top_left.height,

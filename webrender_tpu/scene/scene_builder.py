@@ -342,9 +342,11 @@ class SceneBuilder:
         self.spatial_map[(key, 0)] = rf
         self.spatial_map[(key, 1)] = scroll
 
+        # the iframe clips by the item's clip_rect ONLY — bounds position
+        # the pipeline but do not clip it (push_iframe :1215 uses
+        # info.clip_rect; crash/iframe-dup.yaml draws outside bounds)
         clip = self.clip_store.add_node(ClipNode(
-            ClipKind.RECT, parent,
-            clip_rect.intersection(bounds) or Rect(0, 0, 0, 0)))
+            ClipKind.RECT, parent, clip_rect))
         self._build_pipeline(dl, key, top.picture, Point2D(0, 0),
                              top.extra_clips + (clip,))
 

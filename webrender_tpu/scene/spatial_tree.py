@@ -234,11 +234,28 @@ class SceneSpatialTree:
                 t = transform_properties.get(node.transform_binding, t)
             combined = combined.then(t)
             parent_rf = self._nearest_rf(node.parent)
-            if parent_rf is None or not self.nodes[parent_rf].preserves_3d:
+            if parent_rf is None:
+                break
+            pnode = self.nodes[parent_rf]
+            # transforms paired with a perspective ancestor evaluate facing
+            # THROUGH the perspective (backface-perspective.yaml; WR
+            # composes across coordinate systems in
+            # get_relative_transform_with_face, spatial_tree.rs:1020)
+            if not (pnode.preserves_3d or pnode.is_perspective):
                 break
             rf = parent_rf
-        m = combined.m
-        return m[0] * m[5] - m[1] * m[4]
+        m = np.asarray(combined.m, np.float64).reshape(4, 4)
+        # facing = winding of the projected plane quad (perspective terms
+        # can flip the visible face relative to the plain 2D determinant)
+        pts = np.array([[0, 0, 0, 1], [100, 0, 0, 1], [0, 100, 0, 1]],
+                       np.float64) @ m
+        w = pts[:, 3]
+        if np.any(w <= 1e-9):
+            return m[0, 0] * m[1, 1] - m[0, 1] * m[1, 0]
+        p = pts[:, :2] / w[:, None]
+        e1 = p[1] - p[0]
+        e2 = p[2] - p[0]
+        return float(e1[0] * e2[1] - e1[1] * e2[0])
 
     def in_3d_context(self, index: int) -> bool:
         """A node is in a 3D rendering context when its reference frame is
