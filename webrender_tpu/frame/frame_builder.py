@@ -90,6 +90,10 @@ class RenderPass:
     src_region2: Tuple[int, int, int, int] = (0, 0, 0, 0)  # PASS_ARITH b
     kvals: Tuple[float, float, float, float] = (0, 0, 0, 0)
     arith_linear: bool = False            # PASS_ARITH in linearRGB
+    # raster-root scaling (picture.rs MAX_SURFACE_SIZE): the pass rasters
+    # the device region at 1/step resolution; texel (i,j) covers device
+    # (origin + step·(j+0.5), origin + step·(i+0.5))
+    raster_step: float = 1.0
     # painter order of instance ids when not ascending (backdrop instances
     # are allocated after their successors); per-tile slot lists already
     # encode it — this is for the per-instance oracle
@@ -115,7 +119,7 @@ class _InstanceMeta:
 
 
 class FrameBuilder:
-    def __init__(self, surface_atlas_size=(2048, 4096)):
+    def __init__(self, surface_atlas_size=(4096, 4096)):
         # (h, w) — matches renderer's surface atlas array
         self.surface_atlas_size = surface_atlas_size
 
@@ -157,6 +161,12 @@ class FrameBuilder:
         self._poly_clip: Optional[Tuple[Tuple[float, float], ...]] = None
         self._viewport_clip_cache: Dict[int, Tuple[ClipNode, ...]] = {}
         self._lut_cache: Dict[Tuple, int] = {}
+        # raster-root context (picture.rs raster roots / MAX_SURFACE_SIZE):
+        # when set to (root_spatial, scale), content rasters in root-LOCAL
+        # coordinates × scale instead of device space
+        self._rctx: Optional[Tuple[int, float]] = None
+        self._rctx_H: Dict[Tuple, np.ndarray] = {}
+        self._rctx_row: Dict[Tuple, int] = {}
 
         root_insts: List[int] = []
         self._process_picture(scene.root, root_insts)
@@ -234,12 +244,39 @@ class FrameBuilder:
 
     def _emit_child(self, child, out: List[int]) -> None:
         if isinstance(child, PicturePrim):
-            if child.composite.needs_surface or child.shadow is not None:
+            if child.composite.needs_surface or child.shadow is not None \
+                    or self._needs_raster_root(child):
                 self._build_surface(child, out)
             else:
                 self._process_picture(child, out)
         else:
             self._prepare_prim(child, out)
+
+    def _needs_raster_root(self, child: PicturePrim) -> bool:
+        """Disabled by design: the reference rasterizes perspective
+        subtrees in raster-root LOCAL space (clamped to MAX_SURFACE_SIZE)
+        and resamples at composite; this engine rasterizes direct to device
+        in one pass — sharper output, no intermediate surface
+        (raster_root_*_8192.yaml intentionally differ by the reference's
+        double-resample softness). The raster-root context machinery
+        (_rctx/_H/_row, pattern_picture p[37] local mode) remains available
+        for surfaces that would otherwise exceed the atlas."""
+        return False
+
+    def _clip_local_to_viewport(self, lr, spatial: int):
+        """Intersect a local rect with the device viewport mapped into
+        local space (the visible part bounds the raster-root scale)."""
+        try:
+            Hinv = np.linalg.inv(self._H(spatial))
+        except np.linalg.LinAlgError:
+            return lr
+        vb = device_bounds_of_rect(Hinv, self.viewport.x0, self.viewport.y0,
+                                   self.viewport.x1, self.viewport.y1)
+        out = (max(lr[0], vb[0]), max(lr[1], vb[1]),
+               min(lr[2], vb[2]), min(lr[3], vb[3]))
+        if out[2] <= out[0] or out[3] <= out[1]:
+            return None
+        return out
 
     def _split_planes(self, children):
         """BSP-order preserve-3d child planes; → [(child, polygon|None)]
@@ -370,10 +407,74 @@ class FrameBuilder:
         return self.scene.spatial_tree.orientation_normal_z(
             spatial, self._properties) < 0
 
+    # ------------------------------------------------------------------
+    # raster-root contexts: map nodes into the active raster space
+    # ------------------------------------------------------------------
+    def _has_perspective_ancestor(self, node: int) -> bool:
+        """Perspective reference frames establish raster roots even when the
+        projected content currently sits at z=0 (picture.rs: perspective
+        forces local-space rasterization — raster_root_A_8192.yaml)."""
+        tree = self.scene.spatial_tree
+        i = node
+        while i is not None:
+            n = tree.nodes[i]
+            if n is None:
+                break
+            if n.kind == SpatialNodeKind.REFERENCE_FRAME and n.is_perspective:
+                return True
+            i = n.parent
+        return False
+
+    def _H(self, node: int) -> np.ndarray:
+        """local→raster-space 2D homography for `node` (device space when
+        no raster-root context is active)."""
+        if self._rctx is None:
+            return self.H_dev[node]
+        key = (self._rctx, node)
+        H = self._rctx_H.get(key)
+        if H is None:
+            root, s = self._rctx
+            rel = self.H_dev[node] @ np.linalg.inv(self.H_dev[root])
+            rel = rel.copy()
+            rel[:, 0] *= s
+            rel[:, 1] *= s
+            self._rctx_H[key] = H = rel
+        return H
+
+    def _row(self, node: int) -> int:
+        """Transform-palette row index for `node` in the active raster
+        space (extra rows are appended for raster-root contexts)."""
+        if self._rctx is None:
+            return node
+        key = (self._rctx, node)
+        idx = self._rctx_row.get(key)
+        if idx is None:
+            rel = self._H(node)
+            row = np.zeros((1, self.palette.shape[1]), np.float32)
+            flags = 0.0
+            try:
+                Hinv = np.linalg.inv(rel)
+            except np.linalg.LinAlgError:
+                Hinv = np.eye(3)
+                flags = 1.0
+            w = abs(rel[2, 2]) if abs(rel[2, 2]) > 1e-9 else 1.0
+            row[0, 0:9] = Hinv.reshape(-1).astype(np.float32)
+            row[0, 9] = max(float(np.hypot(rel[0, 0], rel[0, 1])) / w, 1e-9)
+            row[0, 10] = max(float(np.hypot(rel[1, 0], rel[1, 1])) / w, 1e-9)
+            row[0, 11] = flags
+            idx = self.palette.shape[0]
+            self.palette = np.concatenate([self.palette, row], axis=0)
+            self._rctx_row[key] = idx
+        return idx
+
+    def _pal(self, node: int) -> np.ndarray:
+        idx = self._row(node)   # may grow self.palette — resolve index first
+        return self.palette[idx]
+
     def _emit_target_passes(self, insts: List, target: int,
                             region: Tuple[int, int, int, int],
                             origin: Tuple[float, float],
-                            clear) -> None:
+                            clear, step: float = 1.0) -> None:
         """Bin instances into raster passes over one target, splitting at
         backdrop-filter markers (the Readback / BackdropCapture role of
         render_task.rs re-designed: the backdrop is just the target array)."""
@@ -395,12 +496,13 @@ class FrameBuilder:
                     seg.insert(0, inst)
             if seg or i == 0:
                 tile_insts, tile_counts, nx, ny = bin_instances(
-                    seg, [self.metas[j].bbox for j in seg], (ox, oy), (w, h))
+                    seg, [self.metas[j].bbox for j in seg], (ox, oy), (w, h),
+                    step=step)
                 self.passes.append(RenderPass(
                     PASS_RASTER, target, region, (float(ox), float(oy)),
                     clear=clear if i == 0 else None,
                     tile_insts=tile_insts, tile_counts=tile_counts,
-                    nx=nx, ny=ny,
+                    nx=nx, ny=ny, raster_step=step,
                     inst_order=np.asarray(seg, np.int32)))
 
     def _emit_backdrop_instance(self, prim, target: int,
@@ -411,7 +513,7 @@ class FrameBuilder:
         c = prim.common
         clip_addr, clip_count, clip_bbox = self._serialize_clips(
             c.clip_chain, c.spatial_node)
-        db = device_bounds_of_rect(self.H_dev[c.spatial_node],
+        db = device_bounds_of_rect(self._H(c.spatial_node),
                                    c.clip_rect.x0, c.clip_rect.y0,
                                    c.clip_rect.x1, c.clip_rect.y1)
         bbox = list(db)
@@ -534,10 +636,43 @@ class FrameBuilder:
         # content beyond the fragment seam)
         frag_poly = self._poly_clip
         self._poly_clip = None
+
+        # raster-root clamping (picture.rs MAX_SURFACE_SIZE=4096): a surface
+        # under a non-axis-aligned transform whose LOCAL content exceeds the
+        # max rasterizes in its own local space at a clamped scale and is
+        # sampled through the projective transform at composite
+        # (raster_root_*_8192.yaml)
+        use_ctx = False
+        ctx_s = 1.0
+        lr0 = None
+        if not pic.composite.filters and pic.shadow is None and \
+                self._rctx is None and \
+                not self.resolved[pic.common.spatial_node].is_2d_axis_aligned:
+            lr0 = self._local_content_rect(pic, pic.common.spatial_node)
+            if lr0 is not None:
+                lr0 = self._clip_local_to_viewport(lr0,
+                                                   pic.common.spatial_node)
+            if lr0 is not None:
+                lsize = max(lr0[2] - lr0[0], lr0[3] - lr0[1])
+                # fallback only: non-axis-aligned content too large for the
+                # surface atlas rasters at a clamped local scale
+                if lsize > 4096.0:
+                    use_ctx = True
+                    ctx_s = 4096.0 / lsize
+        saved_vp = self.viewport
+        if use_ctx:
+            self._rctx = (pic.common.spatial_node, ctx_s)
+            self.viewport = Rect.from_bounds(
+                lr0[0] * ctx_s - 4, lr0[1] * ctx_s - 4,
+                lr0[2] * ctx_s + 4, lr0[3] * ctx_s + 4)
+
         child_insts: List[int] = []
         self._process_picture(pic, child_insts)
         self._poly_clip = frag_poly
+        if use_ctx:
+            self.viewport = saved_vp
         if not child_insts:
+            self._rctx = None if use_ctx else self._rctx
             return
 
         svgfe_ops = [f for f in pic.composite.filters
@@ -591,7 +726,7 @@ class FrameBuilder:
             sr = f.svgfe["subregion"]
             if sr is None:
                 continue
-            db = device_bounds_of_rect(self.H_dev[pic.common.spatial_node],
+            db = device_bounds_of_rect(self._H(pic.common.spatial_node),
                                        sr.x0, sr.y0, sr.x1, sr.y1)
             db = (max(db[0], self.viewport.x0), max(db[1], self.viewport.y0),
                   min(db[2], self.viewport.x1), min(db[3], self.viewport.y1))
@@ -602,23 +737,40 @@ class FrameBuilder:
         # to the blur inflation: blurs must see the unclipped content near
         # the clip edge (text/shadow-clip.yaml), the clip itself applies at
         # composite time only
+        if use_ctx:
+            self._rctx = None  # composite-level clips are device-space
         clip_addr, clip_count, clip_bbox = self._serialize_clips(
             pic.common.clip_chain, pic.common.spatial_node)
-        if clip_bbox is not None:
+        if clip_bbox is not None and not use_ctx:
             bbox = (max(bbox[0], clip_bbox[0] - inflate),
                     max(bbox[1], clip_bbox[1] - inflate),
                     min(bbox[2], clip_bbox[2] + inflate),
                     min(bbox[3], clip_bbox[3] + inflate))
-        vp = self.viewport.inflate(inflate + 2, inflate + 2)
-        bbox = (max(bbox[0], vp.x0), max(bbox[1], vp.y0),
-                min(bbox[2], vp.x1), min(bbox[3], vp.y1))
+        if not use_ctx:
+            vp = self.viewport.inflate(inflate + 2, inflate + 2)
+            bbox = (max(bbox[0], vp.x0), max(bbox[1], vp.y0),
+                    min(bbox[2], vp.x1), min(bbox[3], vp.y1))
         if bbox[2] <= bbox[0] or bbox[3] <= bbox[1]:
             return
         x0 = math.floor(bbox[0]) - inflate
         y0 = math.floor(bbox[1]) - inflate
         sw = int(math.ceil(bbox[2]) - x0) + inflate
         sh_ = int(math.ceil(bbox[3]) - y0) + inflate
-        region = self.surface_atlas.alloc(sw, sh_)
+
+        # axis-aligned oversized surfaces: raster the device region at a
+        # reduced resolution and upsample at composite (MAX_SURFACE_SIZE)
+        step = 1
+        if not use_ctx and not svgfe_ops and not drop_shadows and \
+                channel_lut is None and \
+                blur_sx == 0 and blur_sy == 0 and pic.shadow is None and \
+                self.resolved[pic.common.spatial_node].is_2d_axis_aligned \
+                and not any(isinstance(i, tuple) for i in child_insts):
+            dsize = max(sw, sh_)
+            if dsize > 4096:
+                step = 2 ** int(math.ceil(math.log2(dsize / 4096.0)))
+        rw = int(math.ceil(sw / step))
+        rh = int(math.ceil(sh_ / step))
+        region = self.surface_atlas.alloc(rw, rh)
         assert region is not None, "surface atlas full"
         # content size (the atlas allocator rounds regions up to its
         # alignment; compositing must hug the content or filters would
@@ -628,10 +780,38 @@ class FrameBuilder:
         self._emit_target_passes(
             child_insts, TARGET_SURFACE,
             (region.x, region.y, region.w, region.h), (x0, y0),
-            (0.0, 0.0, 0.0, 0.0))
+            (0.0, 0.0, 0.0, 0.0), step=float(step))
+
+        if use_ctx:
+            # composite the local-space surface through the projective
+            # transform: pattern_picture raster-root mode (p[37..40])
+            lrect = [lr0[0], lr0[1], lr0[2], lr0[3]]
+            payload = lrect + lrect
+            payload += [region.x, region.y, region.x + sw, region.y + sh_]
+            op = opacity
+            payload += [op, op, op, op]
+            payload += list(identity_color_matrix().reshape(-1)) + [0.0]
+            payload += [1.0, float(x0), float(y0), float(ctx_s)]
+            addr = self.gb.push_f32(payload)
+            blend = BLEND_NORMAL
+            if pic.composite.mix_blend_mode != MixBlendMode.NORMAL:
+                blend = BLEND_MIX_BASE + pic.composite.mix_blend_mode.value
+            idx = self.gb.push_instance(
+                KIND_PICTURE, pic.common.spatial_node, addr, clip_addr,
+                clip_count, blend, edge_aa=0xF)
+            db = device_bounds_of_rect(self.H_dev[pic.common.spatial_node],
+                                       lr0[0], lr0[1], lr0[2], lr0[3])
+            dbb = (max(db[0], self.viewport.x0), max(db[1], self.viewport.y0),
+                   min(db[2], self.viewport.x1), min(db[3], self.viewport.y1))
+            if clip_bbox is not None:
+                dbb = (max(dbb[0], clip_bbox[0]), max(dbb[1], clip_bbox[1]),
+                       min(dbb[2], clip_bbox[2]), min(dbb[3], clip_bbox[3]))
+            self.metas.append(_InstanceMeta(dbb))
+            out.append(idx)
+            return
 
         content_region = region
-        content_scale = 1
+        content_scale = step
         if svgfe_ops:
             content_region = self._run_svgfe_graph(
                 svgfe_ops, region, (x0, y0), (cw, ch),
@@ -689,7 +869,7 @@ class FrameBuilder:
                          spatial: int, content_bounds=None) -> AtlasRegion:
         x0, y0 = origin
         cw, ch = size
-        H = self.H_dev[spatial]
+        H = self._H(spatial)
         pal = self.palette[spatial]
         dev_sx, dev_sy = float(pal[9]), float(pal[10])
         n = len(ops)
@@ -1059,9 +1239,10 @@ class FrameBuilder:
     # axis-aligned rects snap to whole device pixels)
     # ------------------------------------------------------------------
     def _snap_rect(self, rect: Rect, spatial: int) -> Rect:
-        if not self.resolved[spatial].is_2d_axis_aligned:
+        if self._rctx is not None or \
+                not self.resolved[spatial].is_2d_axis_aligned:
             return rect
-        H = self.H_dev[spatial]
+        H = self._H(spatial)
         sx, sy = H[0, 0], H[1, 1]
         tx, ty = H[2, 0], H[2, 1]
         if abs(sx) < 1e-9 or abs(sy) < 1e-9:
@@ -1087,7 +1268,7 @@ class FrameBuilder:
         embedder defines explicit clips (wrench's `clip-to-frame` creates a
         rect clip; Gecko emits its own clip nodes)."""
         poly = self._poly_clip
-        key = (chain, prim_spatial, poly)
+        key = (chain, prim_spatial, poly, self._rctx)
         cached = self._clip_cache.get(key)
         if cached is not None:
             return cached
@@ -1098,7 +1279,7 @@ class FrameBuilder:
         for node in nodes:
             rec = [0.0] * CLIP_STRIDE
             # palette row inlined for the dense pallas path ([96:108])
-            rec[96:108] = [float(v) for v in self.palette[node.spatial_node]]
+            rec[96:108] = [float(v) for v in self._pal(node.spatial_node)]
             nrect = node.rect
             if node.kind in (ClipKind.RECT, ClipKind.ROUNDED_RECT):
                 nrect = self._snap_rect(nrect, node.spatial_node)
@@ -1109,7 +1290,7 @@ class FrameBuilder:
                          r.bottom_right.width, r.bottom_right.height,
                          r.bottom_left.width, r.bottom_left.height]
             rec[12] = 1.0 if node.mode == ClipMode.CLIP_OUT else 0.0
-            rec[13] = float(node.spatial_node)
+            rec[13] = float(self._row(node.spatial_node))
             if node.kind == ClipKind.RECT:
                 rec[14] = 0.0
             elif node.kind == ClipKind.ROUNDED_RECT:
@@ -1130,14 +1311,14 @@ class FrameBuilder:
             records.append(rec)
             count += 1
             if node.mode == ClipMode.CLIP and node.kind != ClipKind.IMAGE_MASK:
-                db = device_bounds_of_rect(self.H_dev[node.spatial_node],
+                db = device_bounds_of_rect(self._H(node.spatial_node),
                                            nrect.x0, nrect.y0,
                                            nrect.x1, nrect.y1)
                 bbox = db if bbox is None else (
                     max(bbox[0], db[0]), max(bbox[1], db[1]),
                     min(bbox[2], db[2]), min(bbox[3], db[3]))
             elif node.kind == ClipKind.IMAGE_MASK:
-                db = device_bounds_of_rect(self.H_dev[node.spatial_node],
+                db = device_bounds_of_rect(self._H(node.spatial_node),
                                            node.rect.x0, node.rect.y0,
                                            node.rect.x1, node.rect.y1)
                 bbox = db if bbox is None else (
@@ -1200,7 +1381,7 @@ class FrameBuilder:
     # ------------------------------------------------------------------
     def _prepare_prim(self, prim, out: List[int]) -> None:
         c: PrimCommon = prim.common
-        pal = self.palette[c.spatial_node]
+        pal = self._pal(c.spatial_node)
         flags = pal[11]
         if int(flags) & 1:
             return  # non-invertible transform
@@ -1208,7 +1389,8 @@ class FrameBuilder:
             return  # backface culled (preserve-3d context)
         if self._sc_backface_culled(c.backface_cull_spatial):
             return  # enclosing SC declared backface-visible: false
-        axis_aligned = self.resolved[c.spatial_node].is_2d_axis_aligned
+        axis_aligned = self.resolved[c.spatial_node].is_2d_axis_aligned \
+            and self._rctx is None
 
         if isinstance(prim, RectanglePrim):
             self._emit_rect_like(prim, c, axis_aligned, out,
@@ -1283,7 +1465,7 @@ class FrameBuilder:
             edge_aa = 0xF
         clip_addr, clip_count, clip_bbox = self._serialize_clips(
             c.clip_chain, c.spatial_node)
-        db = device_bounds_of_rect(self.H_dev[c.spatial_node],
+        db = device_bounds_of_rect(self._H(c.spatial_node),
                                    cov.x0, cov.y0, cov.x1, cov.y1)
         # tight bbox: AA spill (±1) is added at binning / span evaluation,
         # NOT here — surface regions must hug the content or filters would
@@ -1315,7 +1497,8 @@ class FrameBuilder:
             return
         prefix, edge_aa, clip_addr, clip_count, bbox = res
         addr = self.gb.push_f32(prefix + payload_tail)
-        idx = self.gb.push_instance(kind, c.spatial_node, addr, clip_addr,
+        idx = self.gb.push_instance(kind, self._row(c.spatial_node),
+                                    addr, clip_addr,
                                     clip_count, blend, edge_aa)
         self.metas.append(_InstanceMeta(bbox))
         out.append(idx)
@@ -1384,7 +1567,7 @@ class FrameBuilder:
         r = c.local_rect
         vis = r.intersection(c.clip_rect) or r
         # map the device viewport into local space to bound the crop
-        H = self.H_dev[c.spatial_node]
+        H = self._H(c.spatial_node)
         try:
             Hinv = np.linalg.inv(H)
             corners = [np.array([x, y, 1.0]) @ Hinv
@@ -1461,7 +1644,7 @@ class FrameBuilder:
         clip_addr, clip_count, clip_bbox = self._serialize_clips(
             c.clip_chain, c.spatial_node)
         col = list(_premult(prim.color))
-        H = self.H_dev[c.spatial_node]
+        H = self._H(c.spatial_node)
         axis_aligned = self.resolved[c.spatial_node].is_2d_axis_aligned
         sx_, sy_ = H[0, 0], H[1, 1]
         tx_, ty_ = H[2, 0], H[2, 1]
@@ -1482,7 +1665,7 @@ class FrameBuilder:
             cov = rect.intersection(c.clip_rect)
             if cov is None:
                 continue
-            db = device_bounds_of_rect(self.H_dev[c.spatial_node],
+            db = device_bounds_of_rect(self._H(c.spatial_node),
                                        cov.x0, cov.y0, cov.x1, cov.y1)
             bbox = db
             if clip_bbox is not None:
@@ -1497,7 +1680,8 @@ class FrameBuilder:
                        cg.region.x, cg.region.y,
                        cg.region.x + cg.width, cg.region.y + cg.height] + col
             addr = self.gb.push_f32(payload)
-            idx = self.gb.push_instance(KIND_GLYPH, c.spatial_node, addr,
+            idx = self.gb.push_instance(KIND_GLYPH,
+                                        self._row(c.spatial_node), addr,
                                         clip_addr, clip_count, BLEND_NORMAL, 0)
             self.metas.append(_InstanceMeta(bbox))
             out.append(idx)
@@ -1545,7 +1729,8 @@ class FrameBuilder:
                      0.0 if prim.clip_mode == BoxShadowClipMode.OUTSET else 1.0] + \
             [bb.x0, bb.y0, bb.x1, bb.y1] + radii + list(_premult(prim.color))
         addr = self.gb.push_f32(payload)
-        idx = self.gb.push_instance(KIND_BOX_SHADOW, c.spatial_node, addr,
+        idx = self.gb.push_instance(KIND_BOX_SHADOW,
+                                    self._row(c.spatial_node), addr,
                                     clip_addr, clip_count, BLEND_NORMAL, 0)
         self.metas.append(_InstanceMeta(bbox))
         out.append(idx)
@@ -1605,7 +1790,8 @@ class FrameBuilder:
             r.bottom_left.width, r.bottom_left.height,
         ] + outer_cols + inner_cols + styles
         addr = self.gb.push_f32(payload)
-        idx = self.gb.push_instance(KIND_BORDER, c.spatial_node, addr,
+        idx = self.gb.push_instance(KIND_BORDER,
+                                    self._row(c.spatial_node), addr,
                                     clip_addr, clip_count, BLEND_NORMAL,
                                     edge_aa)
         self.metas.append(_InstanceMeta(bbox))

@@ -23,6 +23,7 @@ def bin_instances(inst_indices: Sequence[int],
                   origin: Tuple[float, float],
                   size: Tuple[int, int],
                   min_slots: int = 8,
+                  step: float = 1.0,
                   ) -> Tuple[np.ndarray, np.ndarray, int, int]:
     """Bin instances into the tile grid of one render target.
 
@@ -40,12 +41,14 @@ def bin_instances(inst_indices: Sequence[int],
     ny = max(1, -(-h // TILE_H))
     nt = nx * ny
     lists: List[List[int]] = [[] for _ in range(nt)]
+    tw = TILE_W * step
+    th = TILE_H * step
     for idx, (x0, y0, x1, y1) in zip(inst_indices, bboxes):
         # ±1 covers anti-aliasing spill beyond the tight bbox
-        tx0 = int(np.floor((x0 - 1 - ox) / TILE_W))
-        ty0 = int(np.floor((y0 - 1 - oy) / TILE_H))
-        tx1 = int(np.ceil((x1 + 1 - ox) / TILE_W))
-        ty1 = int(np.ceil((y1 + 1 - oy) / TILE_H))
+        tx0 = int(np.floor((x0 - 1 - ox) / tw))
+        ty0 = int(np.floor((y0 - 1 - oy) / th))
+        tx1 = int(np.ceil((x1 + 1 - ox) / tw))
+        ty1 = int(np.ceil((y1 + 1 - oy) / th))
         tx0 = max(tx0, 0)
         ty0 = max(ty0, 0)
         tx1 = min(tx1, nx)

@@ -474,16 +474,21 @@ def apply_color_matrix(xp, color, m20, flag):
     return xp.where(flag > 0.5, out, color)
 
 
-def pattern_picture(xp, p, px, py, surface_atlas):
+def pattern_picture(xp, p, lx, ly, px, py, surface_atlas):
     """Composite a rendered surface region (the `composite.glsl` /
     ps_split_composite role): device-space mapping (1:1 or scaled when the
-    surface was rendered through a downscale chain), optional color matrix."""
+    surface was rendered through a downscale chain), optional color matrix.
+    p[37] > 0.5 = raster-root mode: the surface was rasterized in the
+    instance's LOCAL space at scale p[40] with raster origin p[38:40]
+    (picture.rs raster roots / MAX_SURFACE_SIZE) — sample at local coords."""
     w = xp.maximum(p[2] - p[0], 1e-6)
     h = xp.maximum(p[3] - p[1], 1e-6)
     su = (p[10] - p[8]) / w
     sv = (p[11] - p[9]) / h
     u = p[8] + (px - p[0]) * su
     v = p[9] + (py - p[1]) * sv
+    u = xp.where(p[37] > 0.5, p[8] + lx * p[40] - p[38], u)
+    v = xp.where(p[37] > 0.5, p[9] + ly * p[40] - p[39], v)
     texel = sample_rgba(xp, surface_atlas, u, v, p[8], p[9], p[10], p[11], 0.0)
     mod = xp.stack([p[12], p[13], p[14], p[15]], 0)
     texel = texel * mod[:, None, None]

@@ -57,7 +57,7 @@ def _pattern_branch(kind: int):
             pk.pattern_glyph(jnp, p, lx, ly, ctx["alpha_atlas"])
     if kind == KIND_PICTURE:
         return lambda p, lx, ly, px, py, sx, sy, ctx: \
-            pk.pattern_picture(jnp, p, px, py, ctx["surface_atlas"])
+            pk.pattern_picture(jnp, p, lx, ly, px, py, ctx["surface_atlas"])
     if kind == KIND_CLEAR:
         return lambda p, lx, ly, px, py, sx, sy, ctx: \
             jnp.ones((4,) + lx.shape, jnp.float32)
@@ -74,7 +74,8 @@ def _pattern_branch(kind: int):
                    donate_argnums=())
 def render_tiles(f32_buf, instances, transforms, tile_insts, tile_origins,
                  clear_color, color_atlas, alpha_atlas, surface_atlas,
-                 *, kinds: Tuple[int, ...], blends: Tuple[int, ...]):
+                 *, kinds: Tuple[int, ...], blends: Tuple[int, ...],
+                 step: float = 1.0):
     """Render all tiles of one pass → [nt, 4, TILE_H, TILE_W] premult f32.
 
     `clear_color` is either a [4] clear color or [nt, 4, TH, TW] initial tile
@@ -113,8 +114,8 @@ def render_tiles(f32_buf, instances, transforms, tile_insts, tile_origins,
         init_tiles = clear_color
 
     def tile_fn(origin, slots_row, init):
-        px = origin[0] + col_iota + 0.5
-        py = origin[1] + row_iota + 0.5
+        px = origin[0] + (col_iota + 0.5) * step
+        py = origin[1] + (row_iota + 0.5) * step
 
         def body(i, fb):
             iid = slots_row[i]

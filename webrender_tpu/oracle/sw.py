@@ -53,7 +53,7 @@ class SoftwareRenderer:
     the bit-exactness reference."""
 
     def __init__(self, color_atlas: np.ndarray, alpha_atlas: np.ndarray,
-                 surface_atlas_size=(2048, 4096), use_native: bool = False):
+                 surface_atlas_size=(4096, 4096), use_native: bool = False):
         self.color_atlas = np.ascontiguousarray(color_atlas)
         self.alpha_atlas = np.ascontiguousarray(alpha_atlas)
         self.surface_atlas = np.zeros((4,) + surface_atlas_size, np.float32)
@@ -169,7 +169,7 @@ class SoftwareRenderer:
         else:
             order = np.unique(ids)  # ascending id == painter order
         ox, oy = p.origin
-        if self.use_native:
+        if self.use_native and step == 1.0:
             from . import native
             native.raster_pass(
                 frame.f32_buf, frame.instances, frame.transforms,
@@ -179,17 +179,20 @@ class SoftwareRenderer:
             return
         rh, rw = target.shape[1], target.shape[2]
         f32 = frame.f32_buf
+        step = getattr(p, "raster_step", 1.0)
         for iid in order:
             rec = frame.instances[iid]
             bbox = frame.inst_bboxes[iid]
-            x0 = max(0, int(math.floor(bbox[0] - 1 - ox)))
-            y0 = max(0, int(math.floor(bbox[1] - 1 - oy)))
-            x1 = min(rw, int(math.ceil(bbox[2] + 1 - ox)))
-            y1 = min(rh, int(math.ceil(bbox[3] + 1 - oy)))
+            x0 = max(0, int(math.floor((bbox[0] - 1 - ox) / step)))
+            y0 = max(0, int(math.floor((bbox[1] - 1 - oy) / step)))
+            x1 = min(rw, int(math.ceil((bbox[2] + 1 - ox) / step)))
+            y1 = min(rh, int(math.ceil((bbox[3] + 1 - oy) / step)))
             if x1 <= x0 or y1 <= y0:
                 continue
-            px = ox + np.arange(x0, x1, dtype=np.float32)[None, :] + 0.5
-            py = oy + np.arange(y0, y1, dtype=np.float32)[:, None] + 0.5
+            px = ox + (np.arange(x0, x1, dtype=np.float32)[None, :] + 0.5) \
+                * step
+            py = oy + (np.arange(y0, y1, dtype=np.float32)[:, None] + 0.5) \
+                * step
             px, py = np.broadcast_arrays(px, py)
             px = px.astype(np.float32)
             py = py.astype(np.float32)
@@ -223,7 +226,8 @@ class SoftwareRenderer:
             elif kind == KIND_GLYPH:
                 color = pk.pattern_glyph(np, pl, lx, ly, self.alpha_atlas)
             elif kind == KIND_PICTURE:
-                color = pk.pattern_picture(np, pl, px, py, self.surface_atlas)
+                color = pk.pattern_picture(np, pl, lx, ly, px, py,
+                                            self.surface_atlas)
             elif kind == KIND_CLEAR:
                 color = np.ones((4,) + lx.shape, np.float32)
             elif kind == KIND_BOX_SHADOW:

@@ -140,7 +140,7 @@ class Renderer:
     def __init__(self,
                  color_atlas_size=(4096, 4096),
                  alpha_atlas_size=(2048, 2048),
-                 surface_atlas_size=(2048, 4096),
+                 surface_atlas_size=(4096, 4096),
                  use_pallas: Optional[bool] = None):
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
@@ -273,8 +273,9 @@ class Renderer:
     def _tile_origins(self, p: RenderPass) -> np.ndarray:
         ox, oy = p.origin
         ys, xs = np.mgrid[0:p.ny, 0:p.nx]
-        origins = np.stack([ox + xs.reshape(-1) * TILE_W,
-                            oy + ys.reshape(-1) * TILE_H], axis=1)
+        step = p.raster_step
+        origins = np.stack([ox + xs.reshape(-1) * TILE_W * step,
+                            oy + ys.reshape(-1) * TILE_H * step], axis=1)
         return origins.astype(np.float32)
 
     def _run_raster(self, p: RenderPass, frame: Frame, f32_buf, instances,
@@ -298,7 +299,7 @@ class Renderer:
                                       (4, rh_, rw_))
             clear = _disassemble(src, nx=p.nx, ny=p.ny)
         use_pallas = False
-        if self.use_pallas and p.clear is not None:
+        if self.use_pallas and p.clear is not None and p.raster_step == 1.0:
             from ..ops.pallas.tile_raster import (build_dense_records,
                                                  pallas_pass_supported,
                                                  render_tiles_pallas_dense)
@@ -321,7 +322,8 @@ class Renderer:
             tiles = render_tiles(
                 f32_buf, instances, transforms, jnp.asarray(p.tile_insts),
                 origins, clear, self.color_atlas, self.alpha_atlas,
-                self.surface_atlas, kinds=kinds, blends=blends)
+                self.surface_atlas, kinds=kinds, blends=blends,
+                step=p.raster_step)
         x, y, rw, rh = p.region
         if p.target == TARGET_ROOT:
             return _write_region(
