@@ -27,6 +27,7 @@ from ..api.color import ColorF
 from ..api.display_item import (BoxShadowClipMode, ClipMode, ExtendMode,
                                 FilterOpKind, ImageRendering, LineStyle,
                                 MixBlendMode)
+from ..api.font import FontRenderMode
 from ..api.units import Point2D, Rect, Transform
 from ..resources.atlas import AtlasRegion, FrameAtlas
 from ..resources.resource_cache import ResourceCache
@@ -1637,10 +1638,18 @@ class FrameBuilder:
     def _prepare_text(self, prim: TextRunPrim, c: PrimCommon,
                       out: List[int]) -> None:
         """One GLYPH instance per glyph (ps_text_run instances)."""
+        # glyphs raster at the device scale so magnified text stays sharp
+        # (FontTransform / raster-space role; text/mix-blend-layers.yaml);
+        # bitmap metrics come back in raster px
+        pal = self._pal(c.spatial_node)
+        gscale = max(1.0, round(max(float(pal[9]), float(pal[10])) * 64.0)
+                     / 64.0)
         glyphs = self.resources.request_glyphs(
-            prim.font_instance_key, [g for g, _, _ in prim.glyphs])
+            prim.font_instance_key, [g for g, _, _ in prim.glyphs],
+            scale=gscale)
         if not glyphs:
             return
+        inv = 1.0 / gscale
         clip_addr, clip_count, clip_bbox = self._serialize_clips(
             c.clip_chain, c.spatial_node)
         col = list(_premult(prim.color))
@@ -1649,6 +1658,10 @@ class FrameBuilder:
         sx_, sy_ = H[0, 0], H[1, 1]
         tx_, ty_ = H[2, 0], H[2, 1]
         snap_dev = axis_aligned and abs(sx_) > 1e-9 and abs(sy_) > 1e-9
+        fi = self.resources.font_instance(prim.font_instance_key)
+        mono = fi is not None and \
+            fi[2].render_mode == FontRenderMode.MONO
+        clip_rect = c.clip_rect
         for (gi, gx, gy) in prim.glyphs:
             cg = glyphs.get(gi)
             if cg is None or cg.region is None:
@@ -1656,15 +1669,21 @@ class FrameBuilder:
             # snap the pen to whole device pixels *after* the transform
             # (glyph raster is grid-fitted; text/snap-text-offset.yaml)
             if snap_dev:
-                px = (round(gx * sx_ + tx_) - tx_) / sx_ + cg.left
-                py = (round(gy * sy_ + ty_) - ty_) / sy_ - cg.top
+                px = (round(gx * sx_ + tx_) - tx_) / sx_ + cg.left * inv
+                py = (round(gy * sy_ + ty_) - ty_) / sy_ - cg.top * inv
             else:
-                px = round(gx) + cg.left
-                py = round(gy) - cg.top
-            rect = Rect(px, py, cg.width, cg.height)
-            cov = rect.intersection(c.clip_rect)
+                px = round(gx) + cg.left * inv
+                py = round(gy) - cg.top * inv
+            rect = Rect(px, py, cg.width * inv, cg.height * inv)
+            cov = rect.intersection(clip_rect)
             if cov is None:
                 continue
+            if snap_dev and mono:
+                # mono (grid-fitted, no AA) glyphs are not cut mid-raster
+                # by the run's local clip: partially-visible glyphs draw
+                # whole (text/snap-clip.yaml vs its unclipped ref);
+                # AA text clips pixel-exact (shadow-partial-glyph.yaml)
+                cov = rect
             db = device_bounds_of_rect(self._H(c.spatial_node),
                                        cov.x0, cov.y0, cov.x1, cov.y1)
             bbox = db
@@ -1829,7 +1848,13 @@ class FrameBuilder:
 
 
 def _premult(color: ColorF) -> Tuple[float, float, float, float]:
-    return color.premultiplied()
+    """Premultiplied color quantized to the u8 grid — the reference's
+    vertex colors live in RGBA8 (0.5·black premultiplies to 128/255, not
+    127.5/255; text/transparent-no-aa.yaml) while our framebuffer is f32."""
+    r, g, b, a = color.premultiplied()
+    q = 1.0 / 255.0
+    return (round(r * 255.0) * q, round(g * 255.0) * q,
+            round(b * 255.0) * q, round(a * 255.0) * q)
 
 
 # --- color matrices for CSS filters (straight-alpha 4x5, row major) --------

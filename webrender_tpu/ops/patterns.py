@@ -251,8 +251,12 @@ def pattern_image(xp, p, lx, ly, color_atlas):
 
 
 def pattern_glyph(xp, p, lx, ly, alpha_atlas):
-    u = p[8] + (lx - p[0])
-    v = p[9] + (ly - p[1])
+    # rect→uv scaling: glyphs rasterized at device scale have uv rects
+    # larger than their local rects (text under scaling transforms)
+    su = (p[10] - p[8]) / xp.maximum(p[2] - p[0], 1e-6)
+    sv = (p[11] - p[9]) / xp.maximum(p[3] - p[1], 1e-6)
+    u = p[8] + (lx - p[0]) * su
+    v = p[9] + (ly - p[1]) * sv
     a = sample_alpha(xp, alpha_atlas, u, v, p[8], p[9], p[10], p[11])
     col = xp.stack([p[12], p[13], p[14], p[15]], 0)
     return col[:, None, None] * a[None]

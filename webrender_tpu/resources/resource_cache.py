@@ -137,16 +137,20 @@ class FontContext:
         x0, y0, x1, y1 = glyph.bbox  # 26.6 fixed point
         w = (x1 - x0 + 63) // 64 + 1
         h = (y1 - y0 + 63) // 64 + 1
-        if w <= 1 or h <= 1 or glyph.width == 0:
+        # NOTE: glyph.width is the advance — zero for combining marks
+        # (diacritics.yaml), so only the bbox decides emptiness
+        if w <= 1 or h <= 1:
             return (np.zeros((0, 0), np.float32), 0.0, 0.0,
                     glyph.linearHoriAdvance / 65536.0)
         bold_px = int(round(synthetic_bold)) if synthetic_bold > 0 else 0
         shear = float(np.tan(np.radians(synthetic_italics_deg)))             if synthetic_italics_deg else 0.0
         extra_w = bold_px + int(np.ceil(abs(shear) * h))
         img = self._ft.FT2Image(w + extra_w, h)
-        # draw_glyph_to_bitmap at (0,0) places the bitmap aligned to the
-        # glyph bbox corner: bitmap top-left = pen + (bbox.x0, -bbox.y1)/64.
-        face.draw_glyph_to_bitmap(img, 0, 0, glyph, antialiased=not mono)
+        # draw_glyph_to_bitmap places the bitmap at (x + bbox.x0/64, ...):
+        # glyphs with negative left bearing (combining marks) need a
+        # compensating offset or they clip away (diacritics.yaml)
+        xoff = int(-(x0 // 64)) if x0 < 0 else 0
+        face.draw_glyph_to_bitmap(img, xoff, 0, glyph, antialiased=not mono)
         bitmap = np.asarray(img, dtype=np.uint8)
         alpha = bitmap.astype(np.float32) / 255.0
         if mono:
@@ -321,13 +325,18 @@ class ResourceCache:
         return result
 
     def request_glyphs(self, font_instance_key: int,
-                       glyph_indices, subpixel_quantize: bool = True
-                       ) -> Dict[int, CachedGlyph]:
-        """resource_cache.rs request_glyphs :1092 → GlyphRasterizer."""
+                       glyph_indices, subpixel_quantize: bool = True,
+                       scale: float = 1.0) -> Dict[int, CachedGlyph]:
+        """resource_cache.rs request_glyphs :1092 → GlyphRasterizer.
+
+        `scale`: device scale of the text's transform — glyphs raster at
+        size·scale so scaled text stays sharp (the FontTransform /
+        glyph raster-space role); returned metrics are in RASTER px."""
         fi = self.font_instances.get((0, font_instance_key))
         if fi is None:
             return {}
         font_key, size, options = fi
+        size = size * scale
         from ..api.font import FontInstanceFlags
         mono = options.render_mode == FontRenderMode.MONO
         bold = size / 16.0 if (options.flags &
