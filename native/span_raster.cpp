@@ -328,10 +328,61 @@ inline void mix_blend3(int mode, const float cb[3], const float cs[3],
   }
 }
 
+// exact sRGB EOTF pair on straight-alpha channels (blend.py)
+inline float srgb_to_linear1(float c) {
+  return c <= 0.04045f ? c / 12.92f
+                       : std::pow(std::max(c / 1.055f + 0.055f / 1.055f, 0.f),
+                                  2.4f);
+}
+inline float linear_to_srgb1(float c) {
+  return c <= 0.0031308f ? c * 12.92f
+                         : 1.055f * std::pow(std::max(c, 0.f), 1.f / 2.4f)
+                               - 0.055f;
+}
+inline void premult_convert(float col[4], bool to_linear) {
+  float a = col[3];
+  float safe = a > 1e-6f ? a : 1.f;
+  for (int i = 0; i < 3; i++) {
+    float v = col[i] / safe;
+    col[i] = (to_linear ? srgb_to_linear1(v) : linear_to_srgb1(v)) * a;
+  }
+}
+
 // full blend of premultiplied src over dst (blend.py blend_src_over_dst)
 inline void blend_px(int op, const float src[4], float cov, float dst[4]) {
+  if (op >= 64) {  // +64 = blend in linearRGB (SVGFE _CONVERTSRGB)
+    float s2[4] = {src[0], src[1], src[2], src[3]};
+    premult_convert(s2, true);
+    premult_convert(dst, true);
+    blend_px(op - 64, s2, cov, dst);
+    premult_convert(dst, false);
+    return;
+  }
   if (op == 1) {  // clear
     for (int i = 0; i < 4; i++) dst[i] *= (1.f - src[3]);
+    return;
+  }
+  if (op == 2) {  // Porter-Duff in
+    for (int i = 0; i < 4; i++) dst[i] = src[i] * dst[3];
+    return;
+  }
+  if (op == 3) {  // out
+    float inv = 1.f - dst[3];
+    for (int i = 0; i < 4; i++) dst[i] = src[i] * inv;
+    return;
+  }
+  if (op == 4) {  // atop
+    float ab = dst[3], invs = 1.f - src[3];
+    for (int i = 0; i < 4; i++) dst[i] = src[i] * ab + dst[i] * invs;
+    return;
+  }
+  if (op == 5) {  // xor
+    float invb = 1.f - dst[3], invs = 1.f - src[3];
+    for (int i = 0; i < 4; i++) dst[i] = src[i] * invb + dst[i] * invs;
+    return;
+  }
+  if (op == 6) {  // lighter
+    for (int i = 0; i < 4; i++) dst[i] = std::min(src[i] + dst[i], 1.f);
     return;
   }
   if (op < 16 || op - 16 == 0) {  // normal over
@@ -422,7 +473,7 @@ int wr_raster_pass(
                                  csy, 0xF);
           } else if (cr[14] < 1.5f) {
             ccov = rounded_rect_coverage(cr, cr + 4, clx, cly, csx, csy);
-          } else {  // image mask: premultiplied red plane
+          } else if (cr[14] < 2.5f) {  // image mask: premult red plane
             float rc = rect_coverage(cr[0], cr[1], cr[2], cr[3], clx, cly,
                                      csx, csy, 0xF);
             float rw = std::max(cr[2] - cr[0], 1e-6f);
@@ -433,6 +484,13 @@ int wr_raster_pass(
             sample_plane(c.color_atlas, c.ca_h, c.ca_w, mu, mv, cr[16],
                          cr[17], cr[18], cr[19], false, &a);
             ccov = a * rc;
+          } else {  // device-space convex polygon (preserve-3d fragments)
+            ccov = 1.f;
+            for (int e = 0; e < 8; e++) {
+              float d = cr[24 + 3 * e] * px + cr[25 + 3 * e] * py +
+                        cr[26 + 3 * e];
+              ccov = std::min(ccov, clampf(d + 0.5f, 0.f, 1.f));
+            }
           }
           if (cr[12] > 0.5f) ccov = 1.f - ccov;
           cov *= ccov;
@@ -505,9 +563,11 @@ int wr_raster_pass(
               for (int ch = 0; ch < 4; ch++) color[ch] = 0.f;
             break;
           }
-          case 5: {  // glyph
-            float u = p[8] + (lx - p[0]);
-            float v = p[9] + (ly - p[1]);
+          case 5: {  // glyph (uv rect may be device-scale rasterized)
+            float gsu = (p[10] - p[8]) / std::max(p[2] - p[0], 1e-6f);
+            float gsv = (p[11] - p[9]) / std::max(p[3] - p[1], 1e-6f);
+            float u = p[8] + (lx - p[0]) * gsu;
+            float v = p[9] + (ly - p[1]) * gsv;
             float a;
             sample_plane(c.alpha_atlas, c.aa_h, c.aa_w, u, v, p[8], p[9],
                          p[10], p[11], false, &a);
@@ -521,19 +581,34 @@ int wr_raster_pass(
             float sv = (p[11] - p[9]) / h;
             float u = p[8] + (px - p[0]) * su;
             float v = p[9] + (py - p[1]) * sv;
+            if (p[37] > 0.5f) {  // raster-root local-space sampling
+              u = p[8] + lx * p[40] - p[38];
+              v = p[9] + ly * p[40] - p[39];
+            }
             sample_rgba(c, c.surface_atlas, c.sa_h, c.sa_w, u, v, p[8], p[9],
                         p[10], p[11], false, color);
             for (int ch = 0; ch < 4; ch++) color[ch] *= p[12 + ch];
             if (p[36] > 0.5f) {  // color matrix (straight-alpha)
+              bool lin = p[36] > 1.5f;  // flag 2 = apply in linearRGB
               float a = color[3];
               float safe = a > 1e-6f ? a : 1.f;
               float r = color[0] / safe, g = color[1] / safe,
                     bl = color[2] / safe;
+              if (lin) {
+                r = srgb_to_linear1(r);
+                g = srgb_to_linear1(g);
+                bl = srgb_to_linear1(bl);
+              }
               const float* m = p + 16;
               float nr = clampf(m[0] * r + m[1] * g + m[2] * bl + m[3] * a + m[4], 0.f, 1.f);
               float ng = clampf(m[5] * r + m[6] * g + m[7] * bl + m[8] * a + m[9], 0.f, 1.f);
               float nb = clampf(m[10] * r + m[11] * g + m[12] * bl + m[13] * a + m[14], 0.f, 1.f);
               float na = clampf(m[15] * r + m[16] * g + m[17] * bl + m[18] * a + m[19], 0.f, 1.f);
+              if (lin) {
+                nr = linear_to_srgb1(nr);
+                ng = linear_to_srgb1(ng);
+                nb = linear_to_srgb1(nb);
+              }
               color[0] = nr * na; color[1] = ng * na; color[2] = nb * na;
               color[3] = na;
             }

@@ -120,7 +120,7 @@ class _InstanceMeta:
 
 
 class FrameBuilder:
-    def __init__(self, surface_atlas_size=(4096, 4096)):
+    def __init__(self, surface_atlas_size=(2048, 4096)):
         # (h, w) — matches renderer's surface atlas array
         self.surface_atlas_size = surface_atlas_size
 

@@ -28,16 +28,23 @@ BLEND_LINEAR_BASE = 64
 N_BLEND_OPS = BLEND_LINEAR_BASE + BLEND_MIX_BASE + 17
 
 
+def _pow(xp, x, y):
+    """pow via exp/log — GPU pow lowers the same way, and Mosaic (Pallas
+    TPU) supports exp/log where a generic power op breaks layout
+    inference."""
+    return xp.exp(y * xp.log(xp.maximum(x, 1e-12)))
+
+
 def srgb_to_linear(xp, c):
     """Exact sRGB EOTF on straight-alpha channels (blend.glsl:110-114)."""
     return xp.where(c <= 0.04045, c / 12.92,
-                    xp.power(xp.maximum(c / 1.055 + 0.055 / 1.055, 0.0), 2.4))
+                    _pow(xp, xp.maximum(c / 1.055 + 0.055 / 1.055, 0.0), 2.4))
 
 
 def linear_to_srgb(xp, c):
     """Inverse sRGB EOTF (blend.glsl:117-120)."""
     return xp.where(c <= 0.0031308, c * 12.92,
-                    1.055 * xp.power(xp.maximum(c, 0.0), 1.0 / 2.4) - 0.055)
+                    1.055 * _pow(xp, xp.maximum(c, 0.0), 1.0 / 2.4) - 0.055)
 
 
 def premult_srgb_to_linear(xp, col):

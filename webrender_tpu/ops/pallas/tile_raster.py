@@ -258,23 +258,45 @@ def render_tiles_pallas_dense(dense, tile_counts, tile_origins, clear_color,
                     H, W = aa_hbm.shape
                     x0c = jnp.clip(x0i, 0, W - SAMP_W)
                     y0c = jnp.clip(y0i, 0, H - SAMP_H)
+                    # HBM slices must start tile-aligned (Mosaic (8,128)
+                    # tiling); the SAMP_* windows carry exactly the needed
+                    # slack, and a roll re-registers the window
+                    x0c = (x0c // 128) * 128
+                    y0c = (y0c // 8) * 8
+                    dxs = x0i - x0c
+                    dys = y0i - y0c
                     cp = pltpu.make_async_copy(
                         aa_hbm.at[pl.ds(y0c, SAMP_H), pl.ds(x0c, SAMP_W)],
                         samp.at[0], samp_sem)
                     cp.start()
                     cp.wait()
                     plane = samp[0]
+                    # lane rolls are exact; dynamic sublane rolls mis-shift on
+                    # multi-tile axes, so Y re-registers via an 8-way switch of
+                    # static slices (dys ∈ [0,8) by construction)
+                    plane = pltpu.roll(plane, -dxs, 1)
+                    plane = jax.lax.switch(
+                        jnp.clip(dys, 0, 7),
+                        [(lambda k: lambda: plane[k:k + TILE_H + 1, :])(k)
+                         for k in range(8)])
                     t00 = plane[:TILE_H, :TILE_W]
                     t10 = plane[:TILE_H, 1:TILE_W + 1]
                     t01 = plane[1:TILE_H + 1, :TILE_W]
                     t11 = plane[1:TILE_H + 1, 1:TILE_W + 1]
                     a = (t00 * (1 - frx) + t10 * frx) * (1 - fry) +                         (t01 * (1 - frx) + t11 * frx) * fry
-                    col4 = jnp.stack([p[12], p[13], p[14], p[15]], 0)
-                    return col4[:, None, None] * a[None]
+                    return jnp.stack([p[12] * a, p[13] * a,
+                                      p[14] * a, p[15] * a], 0)
                 H = sa_hbm.shape[1]
                 W = sa_hbm.shape[2]
                 x0c = jnp.clip(x0i, 0, W - SAMP_W)
                 y0c = jnp.clip(y0i, 0, H - SAMP_H)
+                # HBM slices must start tile-aligned (Mosaic (8,128)
+                # tiling); the SAMP_* windows carry exactly the needed
+                # slack, and a roll re-registers the window
+                x0c = (x0c // 128) * 128
+                y0c = (y0c // 8) * 8
+                dxs = x0i - x0c
+                dys = y0i - y0c
                 for c in range(4):
                     cp = pltpu.make_async_copy(
                         sa_hbm.at[c, pl.ds(y0c, SAMP_H), pl.ds(x0c, SAMP_W)],
@@ -282,13 +304,18 @@ def render_tiles_pallas_dense(dense, tile_counts, tile_origins, clear_color,
                     cp.start()
                     cp.wait()
                 planes = samp[:, :, :]
+                planes = pltpu.roll(planes, -dxs, 2)
+                planes = jax.lax.switch(
+                    jnp.clip(dys, 0, 7),
+                    [(lambda k: lambda: planes[:, k:k + TILE_H + 1, :])(k)
+                     for k in range(8)])
                 t00 = planes[:, :TILE_H, :TILE_W]
                 t10 = planes[:, :TILE_H, 1:TILE_W + 1]
                 t01 = planes[:, 1:TILE_H + 1, :TILE_W]
                 t11 = planes[:, 1:TILE_H + 1, 1:TILE_W + 1]
                 texel = (t00 * (1 - frx) + t10 * frx) * (1 - fry) +                     (t01 * (1 - frx) + t11 * frx) * fry
-                mod = jnp.stack([p[12], p[13], p[14], p[15]], 0)
-                texel = texel * mod[:, None, None]
+                texel = jnp.stack([texel[0] * p[12], texel[1] * p[13],
+                                   texel[2] * p[14], texel[3] * p[15]], 0)
                 return pk.apply_color_matrix(jnp, texel, p[16:36], p[36])
 
             def grad_branch(kind_g, p, lx, ly, sx, sy, f32_rows):
@@ -469,24 +496,46 @@ def render_tiles_pallas(f32_buf, instances, transforms, tile_insts,
                         H, W = aa_hbm.shape
                         x0c = jnp.clip(x0i, 0, W - SAMP_W)
                         y0c = jnp.clip(y0i, 0, H - SAMP_H)
+                        # HBM slices must start tile-aligned (Mosaic (8,128)
+                        # tiling); the SAMP_* windows carry exactly the needed
+                        # slack, and a roll re-registers the window
+                        x0c = (x0c // 128) * 128
+                        y0c = (y0c // 8) * 8
+                        dxs = x0i - x0c
+                        dys = y0i - y0c
                         cp = pltpu.make_async_copy(
                             aa_hbm.at[pl.ds(y0c, SAMP_H), pl.ds(x0c, SAMP_W)],
                             samp.at[0], samp_sem)
                         cp.start()
                         cp.wait()
                         plane = samp[0]
+                        # lane rolls are exact; dynamic sublane rolls mis-shift on
+                        # multi-tile axes, so Y re-registers via an 8-way switch of
+                        # static slices (dys ∈ [0,8) by construction)
+                        plane = pltpu.roll(plane, -dxs, 1)
+                        plane = jax.lax.switch(
+                            jnp.clip(dys, 0, 7),
+                            [(lambda k: lambda: plane[k:k + TILE_H + 1, :])(k)
+                             for k in range(8)])
                         t00 = plane[:TILE_H, :TILE_W]
                         t10 = plane[:TILE_H, 1:TILE_W + 1]
                         t01 = plane[1:TILE_H + 1, :TILE_W]
                         t11 = plane[1:TILE_H + 1, 1:TILE_W + 1]
                         a = (t00 * (1 - frx) + t10 * frx) * (1 - fry) + \
                             (t01 * (1 - frx) + t11 * frx) * fry
-                        col4 = jnp.stack([p[12], p[13], p[14], p[15]], 0)
-                        return col4[:, None, None] * a[None]
+                        return jnp.stack([p[12] * a, p[13] * a,
+                                          p[14] * a, p[15] * a], 0)
                     H = sa_hbm.shape[1]
                     W = sa_hbm.shape[2]
                     x0c = jnp.clip(x0i, 0, W - SAMP_W)
                     y0c = jnp.clip(y0i, 0, H - SAMP_H)
+                    # HBM slices must start tile-aligned (Mosaic (8,128)
+                    # tiling); the SAMP_* windows carry exactly the needed
+                    # slack, and a roll re-registers the window
+                    x0c = (x0c // 128) * 128
+                    y0c = (y0c // 8) * 8
+                    dxs = x0i - x0c
+                    dys = y0i - y0c
                     for c in range(4):
                         cp = pltpu.make_async_copy(
                             sa_hbm.at[c, pl.ds(y0c, SAMP_H),
@@ -495,14 +544,19 @@ def render_tiles_pallas(f32_buf, instances, transforms, tile_insts,
                         cp.start()
                         cp.wait()
                     planes = samp[:, :, :]
+                    planes = pltpu.roll(planes, -dxs, 2)
+                    planes = jax.lax.switch(
+                        jnp.clip(dys, 0, 7),
+                        [(lambda k: lambda: planes[:, k:k + TILE_H + 1, :])(k)
+                         for k in range(8)])
                     t00 = planes[:, :TILE_H, :TILE_W]
                     t10 = planes[:, :TILE_H, 1:TILE_W + 1]
                     t01 = planes[:, 1:TILE_H + 1, :TILE_W]
                     t11 = planes[:, 1:TILE_H + 1, 1:TILE_W + 1]
                     texel = (t00 * (1 - frx) + t10 * frx) * (1 - fry) + \
                         (t01 * (1 - frx) + t11 * frx) * fry
-                    mod = jnp.stack([p[12], p[13], p[14], p[15]], 0)
-                    texel = texel * mod[:, None, None]
+                    texel = jnp.stack([texel[0] * p[12], texel[1] * p[13],
+                                       texel[2] * p[14], texel[3] * p[15]], 0)
                     return pk.apply_color_matrix(jnp, texel, p[16:36], p[36])
 
                 branches = [functools.partial(_pattern_math, k)

@@ -53,7 +53,7 @@ class SoftwareRenderer:
     the bit-exactness reference."""
 
     def __init__(self, color_atlas: np.ndarray, alpha_atlas: np.ndarray,
-                 surface_atlas_size=(4096, 4096), use_native: bool = False):
+                 surface_atlas_size=(2048, 4096), use_native: bool = False):
         self.color_atlas = np.ascontiguousarray(color_atlas)
         self.alpha_atlas = np.ascontiguousarray(alpha_atlas)
         self.surface_atlas = np.zeros((4,) + surface_atlas_size, np.float32)
@@ -169,6 +169,7 @@ class SoftwareRenderer:
         else:
             order = np.unique(ids)  # ascending id == painter order
         ox, oy = p.origin
+        step = getattr(p, "raster_step", 1.0)
         if self.use_native and step == 1.0:
             from . import native
             native.raster_pass(
@@ -179,7 +180,6 @@ class SoftwareRenderer:
             return
         rh, rw = target.shape[1], target.shape[2]
         f32 = frame.f32_buf
-        step = getattr(p, "raster_step", 1.0)
         for iid in order:
             rec = frame.instances[iid]
             bbox = frame.inst_bboxes[iid]

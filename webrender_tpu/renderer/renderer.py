@@ -140,7 +140,7 @@ class Renderer:
     def __init__(self,
                  color_atlas_size=(4096, 4096),
                  alpha_atlas_size=(2048, 2048),
-                 surface_atlas_size=(4096, 4096),
+                 surface_atlas_size=(2048, 4096),
                  use_pallas: Optional[bool] = None):
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"

@@ -39,7 +39,7 @@ class WebRenderOptions:
     # cache sizes (texture_cache.rs budgets)
     color_atlas_size: Tuple[int, int] = (4096, 4096)
     alpha_atlas_size: Tuple[int, int] = (2048, 2048)
-    surface_atlas_size: Tuple[int, int] = (4096, 4096)
+    surface_atlas_size: Tuple[int, int] = (2048, 4096)
     # pipeline
     enable_picture_caching: bool = True
     use_pallas_kernels: Optional[bool] = None   # None = auto (TPU only)
