@@ -385,6 +385,14 @@ inline void blend_px(int op, const float src[4], float cov, float dst[4]) {
     for (int i = 0; i < 4; i++) dst[i] = std::min(src[i] + dst[i], 1.f);
     return;
   }
+  if (op == 7) {  // per-channel punch (subpixel text)
+    for (int i = 0; i < 4; i++) dst[i] *= (1.f - src[i]);
+    return;
+  }
+  if (op == 8) {  // additive (subpixel text)
+    for (int i = 0; i < 4; i++) dst[i] = std::min(dst[i] + src[i], 1.f);
+    return;
+  }
   if (op < 16 || op - 16 == 0) {  // normal over
     float inv = 1.f - src[3];
     for (int i = 0; i < 4; i++) dst[i] = src[i] + dst[i] * inv;
@@ -703,6 +711,21 @@ int wr_raster_pass(
               color[ch] = sc[ch] * factor * ring;
             // ring folded into color; clear cov ring term
             // (cov already includes coverage rect + clips)
+            break;
+          }
+          case 10: {  // subpixel glyph: rgb LCD masks in the color atlas
+            float gsu = (p[10] - p[8]) / std::max(p[2] - p[0], 1e-6f);
+            float gsv = (p[11] - p[9]) / std::max(p[3] - p[1], 1e-6f);
+            float u = p[8] + (lx - p[0]) * gsu;
+            float v = p[9] + (ly - p[1]) * gsv;
+            float m[4];
+            sample_rgba(c, c.color_atlas, c.ca_h, c.ca_w, u, v, p[8], p[9],
+                        p[10], p[11], false, m);
+            float m_avg = (m[0] + m[1] + m[2]) * (1.f / 3.f);
+            color[0] = m[0] * p[12];
+            color[1] = m[1] * p[13];
+            color[2] = m[2] * p[14];
+            color[3] = m_avg * p[15];
             break;
           }
           default:

@@ -40,13 +40,15 @@ from ..scene.prims import (BackdropFilterPrim, BoxShadowPrim, ClearPrim,
                            TextRunPrim, YuvImagePrim)
 from ..scene.scene import BuiltScene
 from ..scene.spatial_tree import SpatialNodeKind
-from .gpu import (BLEND_CLEAR, BLEND_LINEAR_BASE, BLEND_MIX_BASE,
+from .gpu import (BLEND_ADD, BLEND_CH_CLEAR, BLEND_CLEAR,
+                  BLEND_LINEAR_BASE, BLEND_MIX_BASE,
                   BLEND_NORMAL, BLEND_PD_ATOP, BLEND_PD_IN, BLEND_PD_LIGHTER,
                   BLEND_PD_OUT, BLEND_PD_XOR, CLIP_STRIDE,
                   GRAD_LUT_SIZE, GpuBufferBuilder, KIND_BORDER,
                   KIND_BOX_SHADOW, KIND_CLEAR, KIND_CONIC_GRAD, KIND_GLYPH,
                   KIND_IMAGE, KIND_LINEAR_GRAD, KIND_PICTURE,
-                  KIND_RADIAL_GRAD, KIND_SOLID, gradient_stops_records,
+                  KIND_RADIAL_GRAD, KIND_SOLID, KIND_SUBPX_GLYPH,
+                  gradient_stops_records,
                   identity_color_matrix, pad_pow2, pad_pow2_rows)
 from .tiles import TILE_H, TILE_W, bin_instances
 from .transforms import (build_transform_palette, device_bounds_of_rect,
@@ -166,6 +168,10 @@ class FrameBuilder:
         # when set to (root_spatial, scale), content rasters in root-LOCAL
         # coordinates × scale instead of device space
         self._rctx: Optional[Tuple[int, float]] = None
+        # >0 while preparing content that renders into an offscreen surface
+        # (subpixel text demotes to grayscale there — ps_text_run only
+        # dual-source-blends against opaque framebuffers)
+        self._surface_depth = 0
         self._rctx_H: Dict[Tuple, np.ndarray] = {}
         self._rctx_row: Dict[Tuple, int] = {}
 
@@ -668,7 +674,9 @@ class FrameBuilder:
                 lr0[2] * ctx_s + 4, lr0[3] * ctx_s + 4)
 
         child_insts: List[int] = []
+        self._surface_depth += 1
         self._process_picture(pic, child_insts)
+        self._surface_depth -= 1
         self._poly_clip = frag_poly
         if use_ctx:
             self.viewport = saved_vp
@@ -1644,9 +1652,18 @@ class FrameBuilder:
         pal = self._pal(c.spatial_node)
         gscale = max(1.0, round(max(float(pal[9]), float(pal[10])) * 64.0)
                      / 64.0)
+        fi0 = self.resources.font_instance(prim.font_instance_key)
+        mode_override = None
+        subpx = fi0 is not None and \
+            fi0[2].render_mode == FontRenderMode.SUBPIXEL
+        if subpx and self._surface_depth > 0:
+            # intermediate surfaces are transparent: demote to grayscale
+            # (text/allow-subpixel.yaml)
+            subpx = False
+            mode_override = FontRenderMode.ALPHA
         glyphs = self.resources.request_glyphs(
             prim.font_instance_key, [g for g, _, _ in prim.glyphs],
-            scale=gscale)
+            scale=gscale, render_mode=mode_override)
         if not glyphs:
             return
         inv = 1.0 / gscale
@@ -1674,7 +1691,12 @@ class FrameBuilder:
             else:
                 px = round(gx) + cg.left * inv
                 py = round(gy) - cg.top * inv
-            rect = Rect(px, py, cg.width * inv, cg.height * inv)
+            # the uv rect is the 1-texel-inset ring of the padded upload:
+            # a transparent frame around the content so bilinear taps never
+            # touch atlas neighbours (resource_cache glyph border)
+            bw = cg.width + 2
+            bh = cg.height + 2
+            rect = Rect(px - inv, py - inv, bw * inv, bh * inv)
             cov = rect.intersection(clip_rect)
             if cov is None:
                 continue
@@ -1694,11 +1716,28 @@ class FrameBuilder:
                         min(bbox[3], clip_bbox[3]))
             if bbox[2] <= bbox[0] or bbox[3] <= bbox[1]:
                 continue
-            payload = [rect.x0, rect.y0, rect.x1, rect.y1,
-                       cov.x0, cov.y0, cov.x1, cov.y1,
-                       cg.region.x, cg.region.y,
-                       cg.region.x + cg.width, cg.region.y + cg.height] + col
-            addr = self.gb.push_f32(payload)
+            geom = [rect.x0, rect.y0, rect.x1, rect.y1,
+                    cov.x0, cov.y0, cov.x1, cov.y1,
+                    cg.region.x + 1, cg.region.y + 1,
+                    cg.region.x + 1 + bw, cg.region.y + 1 + bh]
+            if cg.subpixel:
+                # dual-source pair: punch dst per channel by mask·a, then
+                # add color·mask·a (ps_text_run dual-source blending)
+                a = col[3]
+                addr = self.gb.push_f32(geom + [a, a, a, a])
+                idx = self.gb.push_instance(
+                    KIND_SUBPX_GLYPH, self._row(c.spatial_node), addr,
+                    clip_addr, clip_count, BLEND_CH_CLEAR, 0)
+                self.metas.append(_InstanceMeta(bbox))
+                out.append(idx)
+                addr = self.gb.push_f32(geom + col)
+                idx = self.gb.push_instance(
+                    KIND_SUBPX_GLYPH, self._row(c.spatial_node), addr,
+                    clip_addr, clip_count, BLEND_ADD, 0)
+                self.metas.append(_InstanceMeta(bbox))
+                out.append(idx)
+                continue
+            addr = self.gb.push_f32(geom + col)
             idx = self.gb.push_instance(KIND_GLYPH,
                                         self._row(c.spatial_node), addr,
                                         clip_addr, clip_count, BLEND_NORMAL, 0)

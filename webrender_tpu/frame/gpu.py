@@ -56,8 +56,9 @@ KIND_PICTURE = 6
 KIND_CLEAR = 7
 KIND_BOX_SHADOW = 8
 KIND_BORDER = 9
+KIND_SUBPX_GLYPH = 10   # subpixel-AA glyph: rgb per-channel masks
 
-N_KINDS = 10
+N_KINDS = 11
 
 # instance record fields
 INST_KIND = 0
@@ -80,6 +81,8 @@ BLEND_PD_OUT = 3
 BLEND_PD_ATOP = 4
 BLEND_PD_XOR = 5
 BLEND_PD_LIGHTER = 6
+BLEND_CH_CLEAR = 7       # dst·(1−src) per channel (subpixel text punch)
+BLEND_ADD = 8            # dst + src, clamped (subpixel text add)
 BLEND_MIX_BASE = 16      # BLEND_MIX_BASE + MixBlendMode.value
 BLEND_LINEAR_BASE = 64   # +64 = blend in linearRGB (SVGFE _CONVERTSRGB)
 

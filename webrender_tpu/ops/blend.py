@@ -20,6 +20,11 @@ BLEND_PD_OUT = 3       # src·(1−a_dst)
 BLEND_PD_ATOP = 4      # src·a_dst + dst·(1−a_src)
 BLEND_PD_XOR = 5       # src·(1−a_dst) + dst·(1−a_src)
 BLEND_PD_LIGHTER = 6   # min(src+dst, 1)
+# subpixel text dual-source pair (ps_text_run dual-source blending): the
+# punch multiplies dst by (1−mask·a) per channel, the add accumulates
+# color·mask·a
+BLEND_CH_CLEAR = 7
+BLEND_ADD = 8
 BLEND_MIX_BASE = 16
 # +64 on any op = perform the blend in linearRGB: both operands are
 # converted sRGB→linear (straight-alpha), blended, and the result converted
@@ -176,6 +181,10 @@ def blend_src_over_dst(xp, op: int, src, dst):
         return src * (1.0 - dst[3]) + dst * (1.0 - src[3])
     if op == BLEND_PD_LIGHTER:
         return xp.minimum(src + dst, 1.0)
+    if op == BLEND_CH_CLEAR:
+        return dst * (1.0 - src)
+    if op == BLEND_ADD:
+        return xp.minimum(dst + src, 1.0)
     if op == BLEND_NORMAL or op < BLEND_MIX_BASE:
         return src + dst * (1.0 - src[3])
     mode = op - BLEND_MIX_BASE

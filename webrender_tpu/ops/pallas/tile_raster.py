@@ -30,7 +30,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...frame.gpu import (CLIP_STRIDE, INST_BLEND, INST_CLIP_ADDR,
+from ...frame.gpu import (KIND_SUBPX_GLYPH,
+                          CLIP_STRIDE, INST_BLEND, INST_CLIP_ADDR,
                           INST_CLIP_COUNT, INST_EDGE_AA, INST_KIND,
                           INST_PRIM_ADDR, INST_SPATIAL, KIND_BORDER,
                           KIND_BOX_SHADOW, KIND_CLEAR, KIND_CONIC_GRAD,
@@ -44,7 +45,7 @@ from .. import patterns as pk
 MATH_KINDS = (KIND_SOLID, KIND_LINEAR_GRAD, KIND_RADIAL_GRAD,
               KIND_CONIC_GRAD, KIND_CLEAR, KIND_BOX_SHADOW, KIND_BORDER)
 # kinds sampled via translation-only atlas windows
-SAMPLED_KINDS = (KIND_GLYPH, KIND_PICTURE)
+SAMPLED_KINDS = (KIND_GLYPH, KIND_PICTURE, KIND_SUBPX_GLYPH)
 
 SAMP_H = TILE_H + 8      # sublane-aligned margin for the +1 bilinear tap
 SAMP_W = TILE_W + 128    # lane-aligned margin
@@ -60,6 +61,8 @@ def pallas_pass_supported(instances: np.ndarray, tile_insts: np.ndarray,
     used = instances[ids]
     for rec in used:
         kind = int(rec[INST_KIND])
+        if kind == KIND_CONIC_GRAD:
+            return False  # atan2 has no Mosaic lowering yet — XLA fallback
         if kind in MATH_KINDS:
             if kind in (KIND_LINEAR_GRAD, KIND_RADIAL_GRAD, KIND_CONIC_GRAD):
                 addr = int(rec[INST_PRIM_ADDR])
@@ -179,6 +182,7 @@ def build_dense_records(f32_buf, instances, transforms, tile_insts):
 @functools.partial(jax.jit, static_argnames=("kinds", "blends"))
 def render_tiles_pallas_dense(dense, tile_counts, tile_origins, clear_color,
                               f32_rows, alpha_atlas, surface_atlas,
+                              color_atlas,
                               *, kinds: Tuple[int, ...],
                               blends: Tuple[int, ...]):
     """Dense-record pallas raster → [nt, 4, TILE_H, TILE_W].
@@ -198,7 +202,7 @@ def render_tiles_pallas_dense(dense, tile_counts, tile_origins, clear_color,
         lut[16 + b] = pos
 
     def kernel(cnt_ref, or_ref, clear_ref, lut_ref, dense_ref, f32_rows_ref,
-               aa_hbm, sa_hbm, out_ref, acc, samp, samp_sem):
+               aa_hbm, sa_hbm, ca_hbm, out_ref, acc, samp, samp_sem):
         col = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W),
                                        1).astype(jnp.float32)
         row = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W),
@@ -263,22 +267,31 @@ def render_tiles_pallas_dense(dense, tile_counts, tile_origins, clear_color,
                     # slack, and a roll re-registers the window
                     x0c = (x0c // 128) * 128
                     y0c = (y0c // 8) * 8
+                    # dst offset absorbs arbitrarily-negative y0i (glyph uv far
+                    # above its device rect): rows the DMA leaves stale map to
+                    # cov=0 pixels
+                    dsty = ((jnp.maximum(y0c - y0i, 0) // 8) * 8)
                     dxs = x0i - x0c
-                    dys = y0i - y0c
+                    dys = y0i - y0c + dsty
                     cp = pltpu.make_async_copy(
                         aa_hbm.at[pl.ds(y0c, SAMP_H), pl.ds(x0c, SAMP_W)],
-                        samp.at[0], samp_sem)
+                        samp.at[0, pl.ds(dsty, SAMP_H), :], samp_sem)
                     cp.start()
                     cp.wait()
-                    plane = samp[0]
+                    plane = samp[0, :, :]
                     # lane rolls are exact; dynamic sublane rolls mis-shift on
                     # multi-tile axes, so Y re-registers via an 8-way switch of
                     # static slices (dys ∈ [0,8) by construction)
                     plane = pltpu.roll(plane, -dxs, 1)
+                    # dys ∈ [−8, 7]: negative when the uv rect starts above
+                    # the tile (window clipped at the atlas edge); top-pad
+                    # with transparent rows so those taps read zero
+                    plane = jnp.concatenate(
+                        [jnp.zeros((8, SAMP_W), jnp.float32), plane], 0)
                     plane = jax.lax.switch(
-                        jnp.clip(dys, 0, 7),
+                        jnp.clip(dys, -8, 7) + 8,
                         [(lambda k: lambda: plane[k:k + TILE_H + 1, :])(k)
-                         for k in range(8)])
+                         for k in range(16)])
                     t00 = plane[:TILE_H, :TILE_W]
                     t10 = plane[:TILE_H, 1:TILE_W + 1]
                     t01 = plane[1:TILE_H + 1, :TILE_W]
@@ -286,8 +299,9 @@ def render_tiles_pallas_dense(dense, tile_counts, tile_origins, clear_color,
                     a = (t00 * (1 - frx) + t10 * frx) * (1 - fry) +                         (t01 * (1 - frx) + t11 * frx) * fry
                     return jnp.stack([p[12] * a, p[13] * a,
                                       p[14] * a, p[15] * a], 0)
-                H = sa_hbm.shape[1]
-                W = sa_hbm.shape[2]
+                src_hbm = ca_hbm if kind_s == KIND_SUBPX_GLYPH else sa_hbm
+                H = src_hbm.shape[1]
+                W = src_hbm.shape[2]
                 x0c = jnp.clip(x0i, 0, W - SAMP_W)
                 y0c = jnp.clip(y0i, 0, H - SAMP_H)
                 # HBM slices must start tile-aligned (Mosaic (8,128)
@@ -295,25 +309,37 @@ def render_tiles_pallas_dense(dense, tile_counts, tile_origins, clear_color,
                 # slack, and a roll re-registers the window
                 x0c = (x0c // 128) * 128
                 y0c = (y0c // 8) * 8
+                # dst offset absorbs arbitrarily-negative y0i (glyph uv far
+                # above its device rect): rows the DMA leaves stale map to
+                # cov=0 pixels
+                dsty = ((jnp.maximum(y0c - y0i, 0) // 8) * 8)
                 dxs = x0i - x0c
-                dys = y0i - y0c
+                dys = y0i - y0c + dsty
                 for c in range(4):
                     cp = pltpu.make_async_copy(
-                        sa_hbm.at[c, pl.ds(y0c, SAMP_H), pl.ds(x0c, SAMP_W)],
-                        samp.at[c], samp_sem)
+                        src_hbm.at[c, pl.ds(y0c, SAMP_H),
+                                   pl.ds(x0c, SAMP_W)],
+                        samp.at[c, pl.ds(dsty, SAMP_H), :], samp_sem)
                     cp.start()
                     cp.wait()
                 planes = samp[:, :, :]
                 planes = pltpu.roll(planes, -dxs, 2)
+                planes = jnp.concatenate(
+                    [jnp.zeros((4, 8, SAMP_W), jnp.float32), planes], 1)
                 planes = jax.lax.switch(
-                    jnp.clip(dys, 0, 7),
+                    jnp.clip(dys, -8, 7) + 8,
                     [(lambda k: lambda: planes[:, k:k + TILE_H + 1, :])(k)
-                     for k in range(8)])
+                     for k in range(16)])
                 t00 = planes[:, :TILE_H, :TILE_W]
                 t10 = planes[:, :TILE_H, 1:TILE_W + 1]
                 t01 = planes[:, 1:TILE_H + 1, :TILE_W]
                 t11 = planes[:, 1:TILE_H + 1, 1:TILE_W + 1]
                 texel = (t00 * (1 - frx) + t10 * frx) * (1 - fry) +                     (t01 * (1 - frx) + t11 * frx) * fry
+                if kind_s == KIND_SUBPX_GLYPH:
+                    # rgb = LCD channel masks (pattern_subpx_glyph)
+                    m_avg = (texel[0] + texel[1] + texel[2]) * (1.0 / 3.0)
+                    return jnp.stack([texel[0] * p[12], texel[1] * p[13],
+                                      texel[2] * p[14], m_avg * p[15]], 0)
                 texel = jnp.stack([texel[0] * p[12], texel[1] * p[13],
                                    texel[2] * p[14], texel[3] * p[15]], 0)
                 return pk.apply_color_matrix(jnp, texel, p[16:36], p[36])
@@ -385,13 +411,14 @@ def render_tiles_pallas_dense(dense, tile_counts, tile_origins, clear_color,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec((1, 4, TILE_H, TILE_W),
                                lambda t: (t, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((4, TILE_H, TILE_W), jnp.float32),
-            pltpu.VMEM((4, SAMP_H, SAMP_W), jnp.float32),
+            pltpu.VMEM((4, SAMP_H + 72, SAMP_W), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
@@ -403,7 +430,7 @@ def render_tiles_pallas_dense(dense, tile_counts, tile_origins, clear_color,
             vmem_limit_bytes=100 * 1024 * 1024),
     )(tile_counts.reshape(nt, 1, 1), tile_origins.reshape(nt, 1, 2),
       clear_color, jnp.asarray(lut), dense, f32_rows, alpha_atlas,
-      surface_atlas)
+      surface_atlas, color_atlas)
 
 
 @functools.partial(jax.jit, static_argnames=("kinds", "blends"))
@@ -419,7 +446,10 @@ def render_tiles_pallas(f32_buf, instances, transforms, tile_insts,
     kinds = tuple(kinds)
     blends = tuple(blends)
     math_kinds = [k for k in kinds if k in MATH_KINDS]
-    sampled_kinds = [k for k in kinds if k in SAMPLED_KINDS]
+    # subpixel glyphs need the color atlas — only the dense variant (the
+    # production path) threads it through
+    sampled_kinds = [k for k in kinds
+                     if k in SAMPLED_KINDS and k != KIND_SUBPX_GLYPH]
     branch_kinds = math_kinds + sampled_kinds
     kind_lut_host = np.zeros(16, np.int32)
     for pos, k in enumerate(branch_kinds):
@@ -502,21 +532,27 @@ def render_tiles_pallas(f32_buf, instances, transforms, tile_insts,
                         x0c = (x0c // 128) * 128
                         y0c = (y0c // 8) * 8
                         dxs = x0i - x0c
-                        dys = y0i - y0c
+                        dsty = ((jnp.maximum(y0c - y0i, 0) // 8) * 8)
+                        dys = y0i - y0c + dsty
                         cp = pltpu.make_async_copy(
                             aa_hbm.at[pl.ds(y0c, SAMP_H), pl.ds(x0c, SAMP_W)],
-                            samp.at[0], samp_sem)
+                            samp.at[0, pl.ds(dsty, SAMP_H), :], samp_sem)
                         cp.start()
                         cp.wait()
-                        plane = samp[0]
+                        plane = samp[0, :, :]
                         # lane rolls are exact; dynamic sublane rolls mis-shift on
                         # multi-tile axes, so Y re-registers via an 8-way switch of
                         # static slices (dys ∈ [0,8) by construction)
                         plane = pltpu.roll(plane, -dxs, 1)
+                        # dys ∈ [−8, 7]: negative when the uv rect starts above
+                        # the tile (window clipped at the atlas edge); top-pad
+                        # with transparent rows so those taps read zero
+                        plane = jnp.concatenate(
+                            [jnp.zeros((8, SAMP_W), jnp.float32), plane], 0)
                         plane = jax.lax.switch(
-                            jnp.clip(dys, 0, 7),
+                            jnp.clip(dys, -8, 7) + 8,
                             [(lambda k: lambda: plane[k:k + TILE_H + 1, :])(k)
-                             for k in range(8)])
+                             for k in range(16)])
                         t00 = plane[:TILE_H, :TILE_W]
                         t10 = plane[:TILE_H, 1:TILE_W + 1]
                         t01 = plane[1:TILE_H + 1, :TILE_W]
@@ -534,21 +570,27 @@ def render_tiles_pallas(f32_buf, instances, transforms, tile_insts,
                     # slack, and a roll re-registers the window
                     x0c = (x0c // 128) * 128
                     y0c = (y0c // 8) * 8
+                    # dst offset absorbs arbitrarily-negative y0i (glyph uv far
+                    # above its device rect): rows the DMA leaves stale map to
+                    # cov=0 pixels
+                    dsty = ((jnp.maximum(y0c - y0i, 0) // 8) * 8)
                     dxs = x0i - x0c
-                    dys = y0i - y0c
+                    dys = y0i - y0c + dsty
                     for c in range(4):
                         cp = pltpu.make_async_copy(
                             sa_hbm.at[c, pl.ds(y0c, SAMP_H),
                                       pl.ds(x0c, SAMP_W)],
-                            samp.at[c], samp_sem)
+                            samp.at[c, pl.ds(dsty, SAMP_H), :], samp_sem)
                         cp.start()
                         cp.wait()
                     planes = samp[:, :, :]
                     planes = pltpu.roll(planes, -dxs, 2)
+                    planes = jnp.concatenate(
+                        [jnp.zeros((4, 8, SAMP_W), jnp.float32), planes], 1)
                     planes = jax.lax.switch(
-                        jnp.clip(dys, 0, 7),
+                        jnp.clip(dys, -8, 7) + 8,
                         [(lambda k: lambda: planes[:, k:k + TILE_H + 1, :])(k)
-                         for k in range(8)])
+                         for k in range(16)])
                     t00 = planes[:, :TILE_H, :TILE_W]
                     t10 = planes[:, :TILE_H, 1:TILE_W + 1]
                     t01 = planes[:, 1:TILE_H + 1, :TILE_W]
@@ -622,7 +664,7 @@ def render_tiles_pallas(f32_buf, instances, transforms, tile_insts,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((4, TILE_H, TILE_W), jnp.float32),
-            pltpu.VMEM((4, SAMP_H, SAMP_W), jnp.float32),
+            pltpu.VMEM((4, SAMP_H + 72, SAMP_W), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )

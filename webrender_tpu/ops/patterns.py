@@ -136,10 +136,13 @@ def sample_rgba(xp, atlas, u, v, u0, v0, u1, v1, nearest):
     y0i = xp.clip(yi0.astype("int32"), 0, H - 1)
     x1i = xp.clip(x0i + 1, 0, W - 1)
     y1i = xp.clip(y0i + 1, 0, H - 1)
-    t00 = atlas[:, y0i, x0i]
-    t10 = atlas[:, y0i, x1i]
-    t01 = atlas[:, y1i, x0i]
-    t11 = atlas[:, y1i, x1i]
+    # flat 1D gathers: 2D advanced indexing under a tile vmap makes XLA
+    # materialize a per-tile copy of the whole atlas (OOM at 4096²×96)
+    flat = atlas.reshape(4, -1)
+    t00 = flat[:, y0i * W + x0i]
+    t10 = flat[:, y0i * W + x1i]
+    t01 = flat[:, y1i * W + x0i]
+    t11 = flat[:, y1i * W + x1i]
     top = t00 * (1.0 - fx) + t10 * fx
     bot = t01 * (1.0 - fx) + t11 * fx
     return top * (1.0 - fy) + bot * fy
@@ -160,10 +163,11 @@ def sample_alpha(xp, atlas, u, v, u0, v0, u1, v1):
     y0i = xp.clip(yi0.astype("int32"), 0, H - 1)
     x1i = xp.clip(x0i + 1, 0, W - 1)
     y1i = xp.clip(y0i + 1, 0, H - 1)
-    t00 = atlas[y0i, x0i]
-    t10 = atlas[y0i, x1i]
-    t01 = atlas[y1i, x0i]
-    t11 = atlas[y1i, x1i]
+    flat = atlas.reshape(-1)
+    t00 = flat[y0i * W + x0i]
+    t10 = flat[y0i * W + x1i]
+    t01 = flat[y1i * W + x0i]
+    t11 = flat[y1i * W + x1i]
     top = t00 * (1.0 - fx) + t10 * fx
     bot = t01 * (1.0 - fx) + t11 * fx
     return top * (1.0 - fy) + bot * fy
@@ -260,6 +264,21 @@ def pattern_glyph(xp, p, lx, ly, alpha_atlas):
     a = sample_alpha(xp, alpha_atlas, u, v, p[8], p[9], p[10], p[11])
     col = xp.stack([p[12], p[13], p[14], p[15]], 0)
     return col[:, None, None] * a[None]
+
+
+def pattern_subpx_glyph(xp, p, lx, ly, color_atlas):
+    """Subpixel-AA glyph: the COLOR atlas holds per-channel (LCD) masks;
+    the payload color mod carries either (a,a,a,a) for the punch instance
+    or the premultiplied text color for the add instance
+    (ps_text_run dual-source blending re-expressed as two blend ops)."""
+    su = (p[10] - p[8]) / xp.maximum(p[2] - p[0], 1e-6)
+    sv = (p[11] - p[9]) / xp.maximum(p[3] - p[1], 1e-6)
+    u = p[8] + (lx - p[0]) * su
+    v = p[9] + (ly - p[1]) * sv
+    m = sample_rgba(xp, color_atlas, u, v, p[8], p[9], p[10], p[11], 0.0)
+    m_avg = (m[0] + m[1] + m[2]) * (1.0 / 3.0)
+    return xp.stack([m[0] * p[12], m[1] * p[13], m[2] * p[14],
+                     m_avg * p[15]], 0)
 
 
 def gradient_t_linear(xp, p, lx, ly):
@@ -360,8 +379,10 @@ def pattern_box_shadow(xp, p, lx, ly, sx, sy):
     cov = xp.where(inset > 0.5,
                    (1.0 - blurred) * box_cov,
                    blurred * (1.0 - box_cov))
-    col = xp.stack([p[34], p[35], p[36], p[37]], 0)
-    return col[:, None, None] * cov[None]
+    # per-channel products (a (4,)->(4,1,1) broadcast trips Mosaic's
+    # layout inference; stacking full planes lowers cleanly everywhere)
+    return xp.stack([p[34] * cov, p[35] * cov, p[36] * cov,
+                     p[37] * cov], 0)
 
 
 def pattern_border(xp, p, lx, ly, sx, sy):

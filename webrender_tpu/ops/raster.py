@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..frame.gpu import (CLIP_STRIDE, INST_BLEND, INST_CLIP_ADDR,
+from ..frame.gpu import (KIND_SUBPX_GLYPH, CLIP_STRIDE, INST_BLEND, INST_CLIP_ADDR,
                          INST_CLIP_COUNT, INST_EDGE_AA, INST_KIND,
                          INST_PRIM_ADDR, INST_SPATIAL, KIND_BORDER,
                          KIND_BOX_SHADOW, KIND_CLEAR, KIND_CONIC_GRAD,
@@ -67,6 +67,9 @@ def _pattern_branch(kind: int):
     if kind == KIND_BORDER:
         return lambda p, lx, ly, px, py, sx, sy, ctx: \
             pk.pattern_border(jnp, p, lx, ly, sx, sy)
+    if kind == KIND_SUBPX_GLYPH:
+        return lambda p, lx, ly, px, py, sx, sy, ctx: \
+            pk.pattern_subpx_glyph(jnp, p, lx, ly, ctx["color_atlas"])
     raise ValueError(kind)
 
 
@@ -101,6 +104,7 @@ def render_tiles(f32_buf, instances, transforms, tile_insts, tile_origins,
     mask_plane = color_atlas[0]
     ctx = {"f32_buf": f32_buf, "color_atlas": color_atlas,
            "alpha_atlas": alpha_atlas, "surface_atlas": surface_atlas}
+    nt_chunk = 8  # tiles per vmap batch: bounds gather scratch on TPU
     pattern_fns = [_pattern_branch(k) for k in kinds]
     blend_fns = [
         (lambda op: lambda src, dst: blend_mod.blend_src_over_dst(
@@ -157,7 +161,28 @@ def render_tiles(f32_buf, instances, transforms, tile_insts, tile_origins,
 
         return jax.lax.fori_loop(0, slots, body, init)
 
-    return jax.vmap(tile_fn)(tile_origins, tile_insts, init_tiles)
+    # chunked vmap: XLA's TPU gather lowering can materialize per-batch
+    # operand copies for atlas sampling; bounding the batch bounds the
+    # scratch (96-tile passes with image sampling OOM'd at 24GB otherwise)
+    if nt <= nt_chunk:
+        return jax.vmap(tile_fn)(tile_origins, tile_insts, init_tiles)
+    pad = (-nt) % nt_chunk
+    if pad:
+        tile_origins = jnp.concatenate(
+            [tile_origins, jnp.repeat(tile_origins[:1], pad, 0)], 0)
+        tile_insts = jnp.concatenate(
+            [tile_insts, jnp.full((pad, slots), -1, tile_insts.dtype)], 0)
+        init_tiles = jnp.concatenate(
+            [init_tiles, jnp.repeat(init_tiles[:1], pad, 0)], 0)
+    n_chunks = (nt + pad) // nt_chunk
+    o_c = tile_origins.reshape(n_chunks, nt_chunk, 2)
+    i_c = tile_insts.reshape(n_chunks, nt_chunk, slots)
+    t_c = init_tiles.reshape(n_chunks, nt_chunk, 4, TILE_H, TILE_W)
+    out = jax.lax.map(
+        lambda args: jax.vmap(tile_fn)(args[0], args[1], args[2]),
+        (o_c, i_c, t_c))
+    out = out.reshape(n_chunks * nt_chunk, 4, TILE_H, TILE_W)
+    return out[:nt]
 
 
 def assemble_tiles(tiles, nx: int, ny: int, w: int, h: int):

@@ -24,7 +24,7 @@ from ..frame.gpu import (CLIP_STRIDE, INST_BLEND, INST_CLIP_ADDR,
                          INST_PRIM_ADDR, INST_SPATIAL, KIND_BOX_SHADOW,
                          KIND_CLEAR, KIND_CONIC_GRAD, KIND_GLYPH, KIND_IMAGE,
                          KIND_LINEAR_GRAD, KIND_PICTURE, KIND_RADIAL_GRAD,
-                         KIND_SOLID, KIND_BORDER)
+                         KIND_SOLID, KIND_BORDER, KIND_SUBPX_GLYPH)
 from ..ops import blend as blend_mod
 from ..ops import patterns as pk
 from ..ops.raster import gaussian_weights
@@ -225,6 +225,9 @@ class SoftwareRenderer:
                 color = pk.pattern_conic_gradient(np, _py_fori, pl, lx, ly, f32)
             elif kind == KIND_GLYPH:
                 color = pk.pattern_glyph(np, pl, lx, ly, self.alpha_atlas)
+            elif kind == KIND_SUBPX_GLYPH:
+                color = pk.pattern_subpx_glyph(np, pl, lx, ly,
+                                               self.color_atlas)
             elif kind == KIND_PICTURE:
                 color = pk.pattern_picture(np, pl, lx, ly, px, py,
                                             self.surface_atlas)

@@ -142,13 +142,15 @@ class RenderBackend:
         save_capture(self, root, bits or (CaptureBits.SCENE |
                                           CaptureBits.FRAME))
 
-    def render_software(self) -> np.ndarray:
-        """Render the same frame on the CPU fidelity oracle."""
+    def render_software(self, use_native: bool = False) -> np.ndarray:
+        """Render the same frame on the CPU fidelity oracle (optionally
+        through the native C++ span rasterizer)."""
         from .oracle.sw import SoftwareRenderer
         frame = self.build_frame()
         assert frame is not None
         # make sure uploads are reflected in the host mirrors
         self.renderer.apply_uploads(self.resources.take_uploads())
         sw = SoftwareRenderer(self.renderer.color_atlas_host,
-                              self.renderer.alpha_atlas_host)
+                              self.renderer.alpha_atlas_host,
+                              use_native=use_native)
         return sw.render(frame)

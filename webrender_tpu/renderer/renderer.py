@@ -317,7 +317,8 @@ class Renderer:
             tiles = render_tiles_pallas_dense(
                 cached[0], cached[1], origins, clear,
                 f32_buf.reshape(-1, 128), self.alpha_atlas,
-                self.surface_atlas, kinds=kinds, blends=blends)
+                self.surface_atlas, self.color_atlas,
+                kinds=kinds, blends=blends)
         else:
             tiles = render_tiles(
                 f32_buf, instances, transforms, jnp.asarray(p.tile_insts),
@@ -372,7 +373,7 @@ class Renderer:
                 tiles = render_tiles_pallas_dense(
                     jnp.asarray(dense), jnp.asarray(counts),
                     jnp.asarray(origins), clear, f32_buf.reshape(-1, 128),
-                    self.alpha_atlas, self.surface_atlas,
+                    self.alpha_atlas, self.surface_atlas, self.color_atlas,
                     kinds=kinds, blends=blends)
             else:
                 tiles = render_tiles(

@@ -51,6 +51,31 @@ class CachedGlyph:
     top: float
     width: int
     height: int
+    subpixel: bool = False          # region holds rgb LCD masks (color atlas)
+
+
+def _subpixel_masks(alpha: np.ndarray) -> np.ndarray:
+    """(h, w) coverage → (h, w+1, 4) LCD channel masks: r/g/b sample the
+    coverage at x−1/3, x, x+1/3 (linear taps; the FreeType LCD + FIR
+    pipeline approximated on the already box-filtered raster)."""
+    h, w = alpha.shape
+    pad = np.zeros((h, w + 2), np.float32)
+    pad[:, 1:w + 1] = alpha
+
+    def tap(off):
+        # sample pad at x + off (x in -0.5-extended grid), linear interp
+        xs = np.arange(w + 1, dtype=np.float32) + off
+        x0 = np.floor(xs).astype(np.int32)
+        fr = xs - x0
+        x0 = np.clip(x0, -1, w)
+        x1 = np.clip(x0 + 1, 0, w + 1)
+        return pad[:, x0 + 1] * (1.0 - fr) + pad[:, x1] * fr
+
+    r = tap(-1.0 / 3.0 - 0.0)
+    g = tap(0.0)
+    b = tap(1.0 / 3.0)
+    out = np.stack([r, g, b, np.maximum(np.maximum(r, g), b)], axis=-1)
+    return out.astype(np.float32)
 
 
 def _to_premult_rgba_f32(desc: ImageDescriptor, data: ImageData,
@@ -326,7 +351,8 @@ class ResourceCache:
 
     def request_glyphs(self, font_instance_key: int,
                        glyph_indices, subpixel_quantize: bool = True,
-                       scale: float = 1.0) -> Dict[int, CachedGlyph]:
+                       scale: float = 1.0,
+                       render_mode=None) -> Dict[int, CachedGlyph]:
         """resource_cache.rs request_glyphs :1092 → GlyphRasterizer.
 
         `scale`: device scale of the text's transform — glyphs raster at
@@ -338,14 +364,17 @@ class ResourceCache:
         font_key, size, options = fi
         size = size * scale
         from ..api.font import FontInstanceFlags
-        mono = options.render_mode == FontRenderMode.MONO
+        mode = render_mode if render_mode is not None else \
+            options.render_mode
+        mono = mode == FontRenderMode.MONO
+        subpx = mode == FontRenderMode.SUBPIXEL
         bold = size / 16.0 if (options.flags &
                                FontInstanceFlags.SYNTHETIC_BOLD) else 0.0
         italics = options.synthetic_italics.angle_deg
         out = {}
         for gi in set(glyph_indices):
             cache_key = (font_key.namespace, font_key.key, size, gi,
-                         mono, bold, italics)
+                         mono, bold, italics, subpx)
             cached = self.glyphs.get(cache_key)
             if cached is None:
                 alpha, left, top, _adv = self.fonts.rasterize(
@@ -354,12 +383,32 @@ class ResourceCache:
                 h, w = alpha.shape
                 if h == 0 or w == 0:
                     cached = CachedGlyph(None, left, top, w, h)
-                else:
-                    region = self.alpha_alloc.alloc(w, h)
-                    assert region is not None, "alpha atlas full"
-                    region = AtlasRegion(region.x, region.y, w, h)
+                elif subpx:
+                    # LCD-style per-channel masks: taps at x∓1/3 px of the
+                    # coverage (platform LCD raster + FIR filter role);
+                    # stored as rgb in the COLOR atlas
+                    masks = _subpixel_masks(alpha)
+                    h2, w2 = masks.shape[:2]
+                    # 2-texel zero border: bilinear taps of the 1-texel-
+                    # inset uv ring never reach atlas neighbours, keeping
+                    # the Pallas DMA path bit-identical to clamped sampling
+                    pm = np.zeros((h2 + 4, w2 + 4, 4), np.float32)
+                    pm[2:2 + h2, 2:2 + w2] = masks
+                    region = self.color_alloc.alloc(w2 + 4, h2 + 4)
+                    assert region is not None, "color atlas full (subpx)"
+                    region = AtlasRegion(region.x, region.y, w2 + 4, h2 + 4)
                     self.pending_uploads.append(
-                        PendingUpload(ATLAS_ALPHA, region, alpha))
+                        PendingUpload(ATLAS_COLOR, region, pm))
+                    cached = CachedGlyph(region, left, top, w2, h2,
+                                         subpixel=True)
+                else:
+                    pa = np.zeros((h + 4, w + 4), np.float32)
+                    pa[2:2 + h, 2:2 + w] = alpha
+                    region = self.alpha_alloc.alloc(w + 4, h + 4)
+                    assert region is not None, "alpha atlas full"
+                    region = AtlasRegion(region.x, region.y, w + 4, h + 4)
+                    self.pending_uploads.append(
+                        PendingUpload(ATLAS_ALPHA, region, pa))
                     cached = CachedGlyph(region, left, top, w, h)
                 self.glyphs[cache_key] = cached
             out[gi] = cached

@@ -294,7 +294,15 @@ class SceneBuilder:
             if isinstance(item, PopAllShadowsItem):
                 if shadow is not None:
                     for pic in shadow.shadow_pics:
-                        if pic.children:
+                        if not pic.children:
+                            continue
+                        if pic.shadow.blur_radius <= 0:
+                            # fast path (scene_building.rs push_shadow
+                            # should_inflate/fast shadows): blur-0 shadows
+                            # draw directly — no surface, so root text keeps
+                            # subpixel AA (text/shadow-fast-clip.yaml)
+                            top.picture.children.extend(pic.children)
+                        else:
                             top.picture.children.append(pic)
                     top.picture.children.extend(shadow.originals)
                     shadow = None

@@ -97,7 +97,7 @@ def parse_reftest_manifest(path: Path) -> List[ReftestCase]:
                 if "disable-aa" in args:
                     case.font_render_mode = "mono"
                 if "disable-subpixel" in args:
-                    pass  # we default to grayscale AA already
+                    case.font_render_mode = "alpha"
             elif func in ("zoom", "force_subpixel_aa_where_possible", "dpi"):
                 pass  # rendering options not yet supported; render as default
             else:

@@ -681,8 +681,14 @@ class YamlFrameReader:
                            flags, synthetic_italics_deg: float = 0.0) -> int:
         from ..api.font import (FontInstanceOptions, FontRenderMode,
                                 SyntheticItalics)
-        render_mode = FontRenderMode.MONO \
-            if self.font_render_mode == "mono" else FontRenderMode.ALPHA
+        if self.font_render_mode == "mono":
+            render_mode = FontRenderMode.MONO
+        elif self.font_render_mode == "alpha":
+            render_mode = FontRenderMode.ALPHA
+        else:
+            # subpixel AA is the default (FontInstanceOptions default /
+            # wrench without disable-subpixel)
+            render_mode = FontRenderMode.SUBPIXEL
         k = (font_key, size, int(flags), synthetic_italics_deg, render_mode)
         if k in self.font_instance_map:
             return self.font_instance_map[k]
