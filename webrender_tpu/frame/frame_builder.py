@@ -1661,11 +1661,8 @@ class FrameBuilder:
             # (text/allow-subpixel.yaml)
             subpx = False
             mode_override = FontRenderMode.ALPHA
-        glyphs = self.resources.request_glyphs(
-            prim.font_instance_key, [g for g, _, _ in prim.glyphs],
-            scale=gscale, render_mode=mode_override)
-        if not glyphs:
-            return
+        is_mono0 = fi0 is not None and \
+            fi0[2].render_mode == FontRenderMode.MONO
         inv = 1.0 / gscale
         clip_addr, clip_count, clip_bbox = self._serialize_clips(
             c.clip_chain, c.spatial_node)
@@ -1675,21 +1672,46 @@ class FrameBuilder:
         sx_, sy_ = H[0, 0], H[1, 1]
         tx_, ty_ = H[2, 0], H[2, 1]
         snap_dev = axis_aligned and abs(sx_) > 1e-9 and abs(sy_) > 1e-9
-        fi = self.resources.font_instance(prim.font_instance_key)
-        mono = fi is not None and \
-            fi[2].render_mode == FontRenderMode.MONO
+        mono = is_mono0
         clip_rect = c.clip_rect
-        for (gi, gx, gy) in prim.glyphs:
-            cg = glyphs.get(gi)
+
+        # quantized subpixel X positioning (wr_glyph_rasterizer
+        # SubpixelOffset::quantize): 8ths bucketed to quarters; mono text
+        # snaps whole pixels. Glyph bitmaps raster per offset bucket.
+        _OFF8 = (0.0, 0.25, 0.25, 0.5, 0.5, 0.75, 0.75, 1.0)
+
+        def pen_x(gx):
+            v = gx * sx_ + tx_ if snap_dev else gx
+            if mono or not snap_dev:
+                return float(round(v)), 0.0
+            base = math.floor(v)
+            off = _OFF8[int((v - base) * 8.0) & 7]
+            if off == 1.0:
+                return base + 1.0, 0.0
+            return float(base), off
+
+        pens = [pen_x(gx) for (gi, gx, gy) in prim.glyphs]
+        ids_by_off: Dict[float, List[int]] = {}
+        for (gi, _, _), (_, off) in zip(prim.glyphs, pens):
+            ids_by_off.setdefault(off, []).append(gi)
+        glyph_sets = {
+            off: self.resources.request_glyphs(
+                prim.font_instance_key, ids, scale=gscale,
+                render_mode=mode_override, subpx_x=off)
+            for off, ids in ids_by_off.items()}
+
+        for (gi, gx, gy), (dev_x, off) in zip(prim.glyphs, pens):
+            cg = glyph_sets[off].get(gi)
             if cg is None or cg.region is None:
                 continue
-            # snap the pen to whole device pixels *after* the transform
-            # (glyph raster is grid-fitted; text/snap-text-offset.yaml)
+            # pen snapped to whole device pixels *after* the transform
+            # (glyph raster is grid-fitted; text/snap-text-offset.yaml);
+            # the subpixel fraction lives in the bitmap raster
             if snap_dev:
-                px = (round(gx * sx_ + tx_) - tx_) / sx_ + cg.left * inv
+                px = (dev_x - tx_) / sx_ + cg.left * inv
                 py = (round(gy * sy_ + ty_) - ty_) / sy_ - cg.top * inv
             else:
-                px = round(gx) + cg.left * inv
+                px = dev_x + cg.left * inv
                 py = round(gy) - cg.top * inv
             # the uv rect is the 1-texel-inset ring of the padded upload:
             # a transparent frame around the content so bilinear taps never

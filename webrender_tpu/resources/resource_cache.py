@@ -54,10 +54,12 @@ class CachedGlyph:
     subpixel: bool = False          # region holds rgb LCD masks (color atlas)
 
 
-def _subpixel_masks(alpha: np.ndarray) -> np.ndarray:
+def _subpixel_masks(alpha: np.ndarray, shift: float = 0.0) -> np.ndarray:
     """(h, w) coverage → (h, w+1, 4) LCD channel masks: r/g/b sample the
     coverage at x−1/3, x, x+1/3 (linear taps; the FreeType LCD + FIR
-    pipeline approximated on the already box-filtered raster)."""
+    pipeline approximated on the already box-filtered raster). `shift`
+    renders the glyph at a quantized subpixel x offset
+    (wr_glyph_rasterizer SubpixelOffset)."""
     h, w = alpha.shape
     pad = np.zeros((h, w + 2), np.float32)
     pad[:, 1:w + 1] = alpha
@@ -71,11 +73,25 @@ def _subpixel_masks(alpha: np.ndarray) -> np.ndarray:
         x1 = np.clip(x0 + 1, 0, w + 1)
         return pad[:, x0 + 1] * (1.0 - fr) + pad[:, x1] * fr
 
-    r = tap(-1.0 / 3.0 - 0.0)
-    g = tap(0.0)
-    b = tap(1.0 / 3.0)
+    r = tap(-shift - 1.0 / 3.0)
+    g = tap(-shift)
+    b = tap(-shift + 1.0 / 3.0)
     out = np.stack([r, g, b, np.maximum(np.maximum(r, g), b)], axis=-1)
     return out.astype(np.float32)
+
+
+def _shift_bitmap(alpha: np.ndarray, shift: float) -> np.ndarray:
+    """(h, w) coverage → (h, w+1) coverage resampled at x − shift (the
+    grayscale subpixel-position raster)."""
+    h, w = alpha.shape
+    pad = np.zeros((h, w + 2), np.float32)
+    pad[:, 1:w + 1] = alpha
+    xs = np.arange(w + 1, dtype=np.float32) - shift
+    x0 = np.floor(xs).astype(np.int32)
+    fr = xs - x0
+    x0 = np.clip(x0, -1, w)
+    x1 = np.clip(x0 + 1, 0, w + 1)
+    return (pad[:, x0 + 1] * (1.0 - fr) + pad[:, x1] * fr).astype(np.float32)
 
 
 def _to_premult_rgba_f32(desc: ImageDescriptor, data: ImageData,
@@ -127,6 +143,7 @@ class FontContext:
         from matplotlib import ft2font
         self._ft = ft2font
         self.faces: Dict[Tuple[int, int], object] = {}
+        self._design_adv: Dict[Tuple[int, int, int], float] = {}
 
     def add_font(self, key: FontKey, data: Optional[bytes], path: Optional[str],
                  index: int = 0) -> None:
@@ -145,6 +162,22 @@ class FontContext:
     def glyph_index(self, key: FontKey, ch: str) -> int:
         face = self.faces[(key.namespace, key.key)]
         return face.get_char_index(ord(ch))
+
+    def linear_advance(self, key: FontKey, size: float, gi: int) -> float:
+        """Design-space advance scaled linearly to `size` px — FreeType's
+        per-size metrics round through ppem, so advance(2s) != 2*advance(s)
+        and layouts at different scales drift (text/mix-blend-layers);
+        WR's Au-quantized sizes scale exactly."""
+        k = (key.namespace, key.key, gi)
+        da = self._design_adv.get(k)
+        if da is None:
+            face = self.faces[(key.namespace, key.key)]
+            upem = face.units_per_EM
+            face.set_size(float(upem), 72)
+            g = face.load_glyph(gi, self._ft.LoadFlags.NO_HINTING)
+            da = g.linearHoriAdvance / 65536.0 / float(upem)
+            self._design_adv[k] = da
+        return da * size
 
     def rasterize(self, key: FontKey, size: float, glyph_index: int,
                   mono: bool = False, synthetic_bold: float = 0.0,
@@ -352,7 +385,8 @@ class ResourceCache:
     def request_glyphs(self, font_instance_key: int,
                        glyph_indices, subpixel_quantize: bool = True,
                        scale: float = 1.0,
-                       render_mode=None) -> Dict[int, CachedGlyph]:
+                       render_mode=None,
+                       subpx_x: float = 0.0) -> Dict[int, CachedGlyph]:
         """resource_cache.rs request_glyphs :1092 → GlyphRasterizer.
 
         `scale`: device scale of the text's transform — glyphs raster at
@@ -374,7 +408,7 @@ class ResourceCache:
         out = {}
         for gi in set(glyph_indices):
             cache_key = (font_key.namespace, font_key.key, size, gi,
-                         mono, bold, italics, subpx)
+                         mono, bold, italics, subpx, subpx_x)
             cached = self.glyphs.get(cache_key)
             if cached is None:
                 alpha, left, top, _adv = self.fonts.rasterize(
@@ -387,7 +421,7 @@ class ResourceCache:
                     # LCD-style per-channel masks: taps at x∓1/3 px of the
                     # coverage (platform LCD raster + FIR filter role);
                     # stored as rgb in the COLOR atlas
-                    masks = _subpixel_masks(alpha)
+                    masks = _subpixel_masks(alpha, subpx_x)
                     h2, w2 = masks.shape[:2]
                     # 2-texel zero border: bilinear taps of the 1-texel-
                     # inset uv ring never reach atlas neighbours, keeping
@@ -402,6 +436,9 @@ class ResourceCache:
                     cached = CachedGlyph(region, left, top, w2, h2,
                                          subpixel=True)
                 else:
+                    if subpx_x > 0.0 and not mono:
+                        alpha = _shift_bitmap(alpha, subpx_x)
+                        h, w = alpha.shape
                     pa = np.zeros((h + 4, w + 4), np.float32)
                     pa[2:2 + h, 2:2 + w] = alpha
                     region = self.alpha_alloc.alloc(w + 4, h + 4)

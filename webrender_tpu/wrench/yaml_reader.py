@@ -947,7 +947,8 @@ class YamlFrameReader:
             if gi == 0:
                 cursor_x += size / 3.0
                 continue
-            alpha, left, top, advance = ctx.rasterize(font_key, size, gi)
+            alpha, left, top, _adv = ctx.rasterize(font_key, size, gi)
+            advance = ctx.linear_advance(font_key, size, gi)
             if alpha.size == 0:
                 glyphs.append((gi, cursor_x, cursor_y))
                 cursor_x += advance if advance > 0 else size / 3.0
