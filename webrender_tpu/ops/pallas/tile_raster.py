@@ -75,6 +75,16 @@ def pallas_pass_supported(instances: np.ndarray, tile_insts: np.ndarray,
                     abs(t[2]) < 1e-9 and abs(t[5]) < 1e-9 and
                     abs(t[8] - 1) < 1e-6):
                 return False
+            # the DMA window path assumes a 1:1 rect<->uv mapping: scaled
+            # sampling (downscaled blur chains, raster-root local mode)
+            # falls back to the XLA path
+            pp = f32_buf[int(rec[INST_PRIM_ADDR]):
+                         int(rec[INST_PRIM_ADDR]) + 41]
+            if pp.shape[0] >= 41:
+                if abs((pp[10] - pp[8]) - (pp[2] - pp[0])) > 1e-3 or \
+                        abs((pp[11] - pp[9]) - (pp[3] - pp[1])) > 1e-3 or \
+                        pp[37] > 0.5:
+                    return False
         else:
             return False
         n = int(rec[INST_CLIP_COUNT])
