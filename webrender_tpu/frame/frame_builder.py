@@ -1531,8 +1531,17 @@ class FrameBuilder:
         addr, n = self._gradient_stops_addr(prim.stops)
         ts = prim.tile_size
         sp = prim.tile_spacing
-        tile = [ts.width or c.local_rect.w, ts.height or c.local_rect.h,
-                sp.width, sp.height]
+        tw = ts.width or c.local_rect.w
+        th = ts.height or c.local_rect.h
+        # gradient.rs optimize/adjust: a single tile covering the rect
+        # renders exactly like an untiled gradient — normalize the tile
+        # size to the rect so float noise in the authored size can't flip
+        # a hard-stop tie (gradient/linear-adjust-tile-size.yaml)
+        if sp.width == 0 and sp.height == 0 and \
+                tw >= c.local_rect.w - 0.5 and \
+                th >= c.local_rect.h - 0.5:
+            tw, th = c.local_rect.w, c.local_rect.h
+        tile = [tw, th, sp.width, sp.height]
         ext = float(prim.gradient.extend_mode.value)
         g = prim.gradient
         if isinstance(prim, LinearGradientPrim):
