@@ -130,3 +130,44 @@ def test_options_and_memory_report():
     assert backend.renderer.picture_caching is False
     report = backend.resources.memory_report()
     assert report["color_atlas"] > 0
+
+
+def test_occlusion_culling():
+    """Instances fully under an opaque solid are dropped from the tile lists
+    (rectangle_occlusion.rs role) without changing pixels."""
+    pid = PipelineId(0, 1)
+    b = DisplayListBuilder(pid)
+    b.begin()
+    root = SpatialId.root_scroll_node(pid)
+    common = CommonItemProperties(Rect(0, 0, 1000, 1000), root)
+    # ten hidden rects, then one opaque cover
+    for i in range(10):
+        b.push_rect(common, Rect(0, 0, 400, 300), ColorF(1, 0, 0, 1))
+    b.push_rect(common, Rect(0, 0, 400, 300), ColorF(0, 0, 1, 1))
+    _, dl = b.end()
+    txn = Transaction()
+    txn.set_root_pipeline(pid)
+    txn.set_display_list(Epoch(0), dl)
+    txn.generate_frame()
+    backend = RenderBackend((400, 300))
+    backend.send_transaction(txn)
+    frame = backend.build_frame()
+    p = frame.passes[-1]
+    # interior tiles keep only the cover (edge tiles keep everything:
+    # the opaque rect is shrunk by the 1px AA margin)
+    counts = (p.tile_insts >= 0).sum(1)
+    assert counts.min() == 1 and (counts == 1).sum() >= 4, counts
+    img = backend.render_software()
+    assert tuple(img[150, 200]) == (0, 0, 255, 255)
+
+
+def test_debug_overlay():
+    from webrender_tpu.util.options import (WebRenderOptions, DebugFlags,
+                                            apply_options)
+    backend = RenderBackend((256, 128))
+    apply_options(backend, WebRenderOptions(
+        debug_flags=DebugFlags.PROFILER_DBG, use_pallas_kernels=False))
+    build_simple(backend, with_hit_test=False)
+    img = backend.render()
+    # overlay text rendered in the top-left corner
+    assert (img[:40, :250, 1] > 200).any()

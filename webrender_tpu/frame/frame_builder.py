@@ -119,6 +119,10 @@ class Frame:
 @dataclass
 class _InstanceMeta:
     bbox: Tuple[float, float, float, float]  # device AABB (AA-inflated)
+    # device rect known fully opaque (occlusion culling — the
+    # rectangle_occlusion.rs role): instances binned under an opaque
+    # full-tile cover are dropped from that tile's list
+    opaque: Optional[Tuple[float, float, float, float]] = None
 
 
 class FrameBuilder:
@@ -504,7 +508,8 @@ class FrameBuilder:
             if seg or i == 0:
                 tile_insts, tile_counts, nx, ny = bin_instances(
                     seg, [self.metas[j].bbox for j in seg], (ox, oy), (w, h),
-                    step=step)
+                    step=step,
+                    opaque=[self.metas[j].opaque for j in seg])
                 self.passes.append(RenderPass(
                     PASS_RASTER, target, region, (float(ox), float(oy)),
                     clear=clear if i == 0 else None,
@@ -1509,7 +1514,14 @@ class FrameBuilder:
         idx = self.gb.push_instance(kind, self._row(c.spatial_node),
                                     addr, clip_addr,
                                     clip_count, blend, edge_aa)
-        self.metas.append(_InstanceMeta(bbox))
+        meta = _InstanceMeta(bbox)
+        if kind == KIND_SOLID and blend == BLEND_NORMAL and \
+                clip_count == 0 and axis_aligned and \
+                len(payload_tail) >= 4 and payload_tail[3] >= 1.0:
+            # interior of an opaque axis-aligned solid (1px AA margin)
+            meta.opaque = (bbox[0] + 1.0, bbox[1] + 1.0,
+                           bbox[2] - 1.0, bbox[3] - 1.0)
+        self.metas.append(meta)
         out.append(idx)
 
     def _gradient_stops_addr(self, stops) -> Tuple[int, int]:

@@ -24,6 +24,7 @@ def bin_instances(inst_indices: Sequence[int],
                   size: Tuple[int, int],
                   min_slots: int = 8,
                   step: float = 1.0,
+                  opaque=None,
                   ) -> Tuple[np.ndarray, np.ndarray, int, int]:
     """Bin instances into the tile grid of one render target.
 
@@ -43,7 +44,13 @@ def bin_instances(inst_indices: Sequence[int],
     lists: List[List[int]] = [[] for _ in range(nt)]
     tw = TILE_W * step
     th = TILE_H * step
-    for idx, (x0, y0, x1, y1) in zip(inst_indices, bboxes):
+    # occlusion culling (rectangle_occlusion.rs role): remember, per tile,
+    # the position of the latest instance whose opaque rect covers the
+    # whole tile — everything binned before it is invisible there
+    occl = [0] * nt
+    opq = opaque if opaque is not None else [None] * len(inst_indices)
+    for (idx, (x0, y0, x1, y1)), op in zip(
+            zip(inst_indices, bboxes), opq):
         # ±1 covers anti-aliasing spill beyond the tight bbox
         tx0 = int(np.floor((x0 - 1 - ox) / tw))
         ty0 = int(np.floor((y0 - 1 - oy) / th))
@@ -57,6 +64,19 @@ def bin_instances(inst_indices: Sequence[int],
             base = ty * nx
             for tx in range(tx0, tx1):
                 lists[base + tx].append(idx)
+        if op is not None:
+            # tiles fully inside the opaque rect
+            fx0 = int(np.ceil((op[0] - ox) / tw))
+            fy0 = int(np.ceil((op[1] - oy) / th))
+            fx1 = int(np.floor((op[2] - ox) / tw))
+            fy1 = int(np.floor((op[3] - oy) / th))
+            for ty in range(max(fy0, 0), min(fy1, ny)):
+                base = ty * nx
+                for tx in range(max(fx0, 0), min(fx1, nx)):
+                    occl[base + tx] = len(lists[base + tx]) - 1
+    for t in range(nt):
+        if occl[t] > 0:
+            lists[t] = lists[t][occl[t]:]
 
     max_count = max((len(l) for l in lists), default=0)
     slots = max(min_slots, 1 << max(0, (max_count - 1)).bit_length())

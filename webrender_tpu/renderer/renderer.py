@@ -155,6 +155,10 @@ class Renderer:
         self.alpha_atlas_host = np.zeros(alpha_atlas_size, np.float32)
         # picture cache state: persistent root tile grid + content hashes
         self._root_tiles = None
+        self._root_fb = None
+        # DebugFlags bitmask (util/options.py); bit 0 = PROFILER_DBG
+        self.debug_flags = 0
+        self.profiler = None
         self._root_hashes = None
         self._root_shape = None
         self.last_dirty_tiles = -1  # PictureCacheDebugInfo analog
@@ -257,8 +261,28 @@ class Renderer:
         # not an f32 intermediate (f32*255 can round 229.49999 up to 229.5);
         # ties round half-up like GL unorm conversion
         v = rgba.astype(np.float64) * 255.0
-        return np.clip(np.floor(np.nan_to_num(v) + 0.5), 0,
-                       255).astype(np.uint8)
+        out = np.clip(np.floor(np.nan_to_num(v) + 0.5), 0,
+                      255).astype(np.uint8)
+        if self.debug_flags & 1:  # DebugFlags.PROFILER_DBG
+            from ..util.debug_overlay import draw_profiler_overlay
+            prof = getattr(self, "profiler", None)
+            counters = []
+            if prof is not None:
+                for name, budget in (("frame_build_time", 6.0),
+                                     ("renderer_time", 8.0),
+                                     ("scene_build_time", 4.0)):
+                    val = prof.get(name)
+                    if val is not None:
+                        counters.append((name, float(val), budget))
+            counters.append(("passes", float(len(frame.passes)), 0.0))
+            counters.append(("instances", float(frame.instances.shape[0]),
+                             0.0))
+            counters.append(("dirty tiles",
+                             float(getattr(self, "last_dirty_tiles", 0) or 0),
+                             0.0))
+            out = np.ascontiguousarray(out)
+            draw_profiler_overlay(out, counters)
+        return out
 
     # ------------------------------------------------------------------
     def _pass_dispatch_sets(self, p: RenderPass, frame: Frame):
@@ -389,7 +413,13 @@ class Renderer:
         self._root_hashes = p.tile_hashes
         self._root_shape = shape_key
         x, y, rw, rh = p.region
-        return _assemble(self._root_tiles, nx=p.nx, ny=p.ny, w=rw, h=rh)
+        if dirty.size == 0 and self._root_fb is not None:
+            # unchanged frame: recomposite is a no-op — reuse the assembled
+            # framebuffer (picture caching fast path)
+            return self._root_fb
+        fb = _assemble(self._root_tiles, nx=p.nx, ny=p.ny, w=rw, h=rh)
+        self._root_fb = fb
+        return fb
 
     def _run_blur(self, p: RenderPass) -> None:
         sx, sy, sw, sh = p.src_region

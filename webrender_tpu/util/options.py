@@ -58,5 +58,7 @@ def apply_options(backend, options: WebRenderOptions) -> None:
     r = backend.renderer
     r.picture_caching = options.enable_picture_caching and not (
         options.debug_flags & DebugFlags.DISABLE_PICTURE_CACHING)
+    r.debug_flags = int(options.debug_flags)
+    r.profiler = backend.profiler
     if options.use_pallas_kernels is not None:
         r.use_pallas = options.use_pallas_kernels

@@ -71,6 +71,10 @@ class Profiler:
         for hook in self.hooks:
             hook(name, value)
 
+    def get(self, name: str):
+        buf = self.samples.get(name)
+        return buf[-1] if buf else None
+
     @contextmanager
     def timer(self, name: str):
         t0 = time.perf_counter()
