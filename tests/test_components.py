@@ -171,3 +171,23 @@ def test_debug_overlay():
     img = backend.render()
     # overlay text rendered in the top-left corner
     assert (img[:40, :250, 1] > 200).any()
+
+
+def test_display_list_serialization():
+    """peek-poke role: built display lists round-trip through flat bytes
+    bit-exactly (api/serialize.py)."""
+    from webrender_tpu.api.serialize import (serialize_display_list,
+                                             deserialize_display_list)
+    pid = PipelineId(0, 1)
+    b = DisplayListBuilder(pid)
+    b.begin()
+    root = SpatialId.root_scroll_node(pid)
+    common = CommonItemProperties(Rect(0, 0, 1000, 1000), root)
+    b.push_rect(common, Rect(10, 10, 100, 50), ColorF(0, 1, 0, 0.5))
+    b.push_hit_test(Rect(10, 10, 100, 50), ROOT_CLIP_CHAIN, root,
+                    PrimitiveFlags.IS_BACKFACE_VISIBLE, (7, 3))
+    _, dl = b.end()
+    blob = serialize_display_list(dl)
+    dl2 = deserialize_display_list(blob)
+    assert len(dl2.items) == len(dl.items)
+    assert dl2.items[0] == dl.items[0]
