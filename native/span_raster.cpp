@@ -339,6 +339,20 @@ inline float linear_to_srgb1(float c) {
                          : 1.055f * std::pow(std::max(c, 0.f), 1.f / 2.4f)
                                - 0.055f;
 }
+// deterministic atan2 matching ops/patterns.py atan2_shared exactly
+inline float atan2_shared(float y, float x) {
+  float ax = std::fabs(x), ay = std::fabs(y);
+  float hi = std::max(ax, ay), lo = std::min(ax, ay);
+  float z = lo / (hi > 0.f ? hi : 1.f);
+  float z2 = z * z;
+  float p = ((((-0.0117212f * z2 + 0.05265332f) * z2 - 0.11643287f) * z2 +
+              0.19354346f) * z2 - 0.33262348f) * z2;
+  float a = z + z * p;
+  if (ay > ax) a = 1.5707963267948966f - a;
+  if (x < 0.f) a = 3.141592653589793f - a;
+  return y < 0.f ? -a : a;
+}
+
 inline void premult_convert(float col[4], bool to_linear) {
   float a = col[3];
   float safe = a > 1e-6f ? a : 1.f;
@@ -558,7 +572,7 @@ int wr_raster_pass(
               t = (d - p[16]) * scale;
             } else {
               float dx = tx - p[8], dy = ty - p[9];
-              float theta = std::atan2(dy, dx) + (1.5707963267948966f - p[10]);
+              float theta = atan2_shared(dy, dx) + (1.5707963267948966f - p[10]);
               float tr_ = theta / 6.283185307179586f;
               tr_ = tr_ - std::floor(tr_);
               float denom = p[17] - p[16];

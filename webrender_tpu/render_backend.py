@@ -107,6 +107,7 @@ class RenderBackend:
     def build_frame(self) -> Optional[Frame]:
         if self.built_scene is None:
             return None
+        self.resources.begin_frame()
         with self.profiler.timer("frame_build_time"):
             frame = self.frame_builder.build(
                 self.built_scene, self.resources, self.device_size, self.dpr,

@@ -281,6 +281,11 @@ class ResourceCache:
         self.alpha_atlas_size = alpha_atlas_size
         self.color_alloc = ShelfAllocator(color_atlas_size[1], color_atlas_size[0])
         self.alpha_alloc = ShelfAllocator(alpha_atlas_size[1], alpha_atlas_size[0])
+        # texture_cache.rs eviction role: a frame stamp marks cache use;
+        # on atlas pressure the caches are flushed and re-filled on demand
+        # (the reference's ClearCaches / eviction-notice flow, collapsed)
+        self.frame_id = 0
+        self._glyph_last_use: Dict = {}
         self.images: Dict[int, ImageTemplate] = {}
         self.fonts = FontContext()
         self.font_instances: Dict[Tuple[int, int], Tuple[FontKey, float, FontInstanceOptions]] = {}
@@ -429,6 +434,9 @@ class ResourceCache:
                     pm = np.zeros((h2 + 4, w2 + 4, 4), np.float32)
                     pm[2:2 + h2, 2:2 + w2] = masks
                     region = self.color_alloc.alloc(w2 + 4, h2 + 4)
+                    if region is None:
+                        self.clear_image_caches()  # eviction on pressure
+                        region = self.color_alloc.alloc(w2 + 4, h2 + 4)
                     assert region is not None, "color atlas full (subpx)"
                     region = AtlasRegion(region.x, region.y, w2 + 4, h2 + 4)
                     self.pending_uploads.append(
@@ -442,6 +450,9 @@ class ResourceCache:
                     pa = np.zeros((h + 4, w + 4), np.float32)
                     pa[2:2 + h, 2:2 + w] = alpha
                     region = self.alpha_alloc.alloc(w + 4, h + 4)
+                    if region is None:
+                        self.clear_glyph_caches()  # eviction on pressure
+                        region = self.alpha_alloc.alloc(w + 4, h + 4)
                     assert region is not None, "alpha atlas full"
                     region = AtlasRegion(region.x, region.y, w + 4, h + 4)
                     self.pending_uploads.append(
@@ -449,7 +460,37 @@ class ResourceCache:
                     cached = CachedGlyph(region, left, top, w, h)
                 self.glyphs[cache_key] = cached
             out[gi] = cached
+            self._glyph_last_use[cache_key] = self.frame_id
         return out
+
+    # ------------------------------------------------------------------
+    # cache pressure (texture_cache.rs eviction / ClearCaches role)
+    # ------------------------------------------------------------------
+    def begin_frame(self) -> None:
+        self.frame_id += 1
+
+    def clear_glyph_caches(self) -> None:
+        """Drop all cached glyph atlas entries; they re-rasterize on the
+        next request (the texture cache's eviction response)."""
+        self.glyphs.clear()
+        self._glyph_last_use.clear()
+        self.alpha_alloc = ShelfAllocator(self.alpha_alloc.width,
+                                          self.alpha_alloc.height)
+
+    def clear_image_caches(self) -> None:
+        for tpl in self.images.values():
+            tpl.region = None
+            tpl.uploaded_generation = -1
+        self.color_alloc = ShelfAllocator(self.color_alloc.width,
+                                          self.color_alloc.height)
+        # subpixel glyph masks live in the color atlas too
+        self.glyphs.clear()
+        self._glyph_last_use.clear()
+
+    def memory_pressure(self) -> None:
+        """render_api ClearCaches / NotifyMemoryPressure."""
+        self.clear_glyph_caches()
+        self.clear_image_caches()
 
     def font_instance(self, font_instance_key: int):
         return self.font_instances.get((0, font_instance_key))
