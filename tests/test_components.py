@@ -191,3 +191,44 @@ def test_display_list_serialization():
     dl2 = deserialize_display_list(blob)
     assert len(dl2.items) == len(dl.items)
     assert dl2.items[0] == dl.items[0]
+
+
+def test_multi_document_and_screenshot():
+    from webrender_tpu.render_backend import MultiDocumentBackend
+    from webrender_tpu.api.transaction import DocumentId
+    host = MultiDocumentBackend()
+    host.renderer.use_pallas = False
+    did = DocumentId(0, 7)
+    host.add_document(did, (64, 64))
+    pid = PipelineId(0, 9)
+    b = DisplayListBuilder(pid)
+    b.begin()
+    root = SpatialId.root_scroll_node(pid)
+    b.push_rect(CommonItemProperties(Rect(0, 0, 64, 64), root),
+                Rect(0, 0, 64, 64), ColorF(1, 0, 0, 1))
+    _, dl = b.end()
+    txn = Transaction()
+    txn.set_root_pipeline(pid)
+    txn.set_display_list(Epoch(0), dl)
+    txn.generate_frame()
+    host.send_transaction(did, txn)
+    img = host.render(did)
+    assert tuple(img[32, 32]) == (255, 0, 0, 255)
+    shot = host.renderer.get_screenshot((0, 0, 64, 64), (16, 16))
+    assert shot.shape == (16, 16, 4)
+    assert tuple(shot[8, 8]) == (255, 0, 0, 255)
+
+
+def test_compositor_trait():
+    from webrender_tpu.renderer.compositor import DrawCompositor, SwCompositor
+    for cls in (DrawCompositor, SwCompositor):
+        c = cls()
+        c.create_surface(1, (32, 32), is_opaque=True)
+        tile = np.zeros((32, 32, 4), np.uint8)
+        tile[..., 1] = 255
+        tile[..., 3] = 255
+        c.set_tile(1, 0, 0, tile)
+        c.set_tile(1, 1, 0, tile)
+        c.add_surface(1, (0, 0))
+        out = c.composite((64, 32))
+        assert tuple(out[16, 48]) == (0, 255, 0, 255)

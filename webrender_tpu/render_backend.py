@@ -35,12 +35,13 @@ class RenderBackend:
 
     def __init__(self, device_size: Tuple[int, int], dpr: float = 1.0,
                  background_color: Optional[ColorF] = ColorF.WHITE,
-                 renderer: Optional[Renderer] = None):
+                 renderer: Optional[Renderer] = None,
+                 resources: Optional[ResourceCache] = None):
         self.device_size = device_size
         self.dpr = dpr
         self.background_color = background_color
         self.scene = Scene()
-        self.resources = ResourceCache()
+        self.resources = resources or ResourceCache()
         self.renderer = renderer or Renderer()
         self.frame_builder = FrameBuilder()
         self.built_scene: Optional[BuiltScene] = None
@@ -155,3 +156,38 @@ class RenderBackend:
                               self.renderer.alpha_atlas_host,
                               use_native=use_native)
         return sw.render(frame)
+
+
+class MultiDocumentBackend:
+    """render_backend.rs Documents map (:785 run loop dispatches per
+    DocumentId): independent documents — own scene, scroll state and frame
+    builder — share one Renderer (HBM atlases) and one ResourceCache, like
+    the reference\'s per-document `Document` structs behind a single
+    backend thread."""
+
+    def __init__(self):
+        self.renderer = Renderer()
+        self.resources = ResourceCache()
+        self.documents: Dict[object, RenderBackend] = {}
+
+    def add_document(self, document_id, device_size: Tuple[int, int],
+                     dpr: float = 1.0,
+                     background_color: Optional[ColorF] = ColorF.WHITE
+                     ) -> None:
+        self.documents[document_id] = RenderBackend(
+            device_size, dpr, background_color,
+            renderer=self.renderer, resources=self.resources)
+
+    def delete_document(self, document_id) -> None:
+        self.documents.pop(document_id, None)
+
+    def send_transaction(self, document_id, txn: Transaction) -> None:
+        self.documents[document_id].send_transaction(txn)
+
+    def render(self, document_id) -> np.ndarray:
+        # per-document picture caches: invalidate the renderer\'s root tile
+        # cache when switching documents (each document has its own grid)
+        self.renderer._root_tiles = None
+        self.renderer._root_fb = None
+        self.renderer._root_hashes = None
+        return self.documents[document_id].render()

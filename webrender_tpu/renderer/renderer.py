@@ -159,6 +159,7 @@ class Renderer:
         # DebugFlags bitmask (util/options.py); bit 0 = PROFILER_DBG
         self.debug_flags = 0
         self.profiler = None
+        self.last_framebuffer = None
         self._root_hashes = None
         self._root_shape = None
         self.last_dirty_tiles = -1  # PictureCacheDebugInfo analog
@@ -255,6 +256,7 @@ class Renderer:
             self.apply_uploads(resources.take_uploads())
 
         framebuffer = self.render_device(frame)
+        self.last_framebuffer = framebuffer  # screenshots (screen_capture)
         img = np.asarray(framebuffer)  # [4, H, W]
         rgba = np.transpose(img, (1, 2, 0))
         # unorm8 conversion in f64: GL's float->u8 rounds the exact product,
@@ -283,6 +285,24 @@ class Renderer:
             out = np.ascontiguousarray(out)
             draw_profiler_overlay(out, counters)
         return out
+
+    # ------------------------------------------------------------------
+    def get_screenshot(self, rect=None, size=None) -> Optional[np.ndarray]:
+        """screen_capture.rs AsyncScreenshotGrabber (:55): crop + scale the
+        last rendered framebuffer on-device, read back RGBA8. The device
+        resize happens asynchronously in the XLA stream; readback blocks
+        like map_and_recycle_screenshot."""
+        fb = self.last_framebuffer
+        if fb is None:
+            return None
+        H, W = fb.shape[1], fb.shape[2]
+        x, y, w, h = rect or (0, 0, W, H)
+        crop = jax.lax.dynamic_slice(fb, (0, y, x), (4, h, w))
+        if size is not None and (size[0] != w or size[1] != h):
+            crop = jax.image.resize(crop, (4, size[1], size[0]), "linear")
+        arr = np.asarray(crop)
+        v = np.transpose(arr, (1, 2, 0)).astype(np.float64) * 255.0
+        return np.clip(np.floor(v + 0.5), 0, 255).astype(np.uint8)
 
     # ------------------------------------------------------------------
     def _pass_dispatch_sets(self, p: RenderPass, frame: Frame):
