@@ -144,6 +144,9 @@ class FontContext:
         self._ft = ft2font
         self.faces: Dict[Tuple[int, int], object] = {}
         self._design_adv: Dict[Tuple[int, int, int], float] = {}
+        self._sources: Dict[Tuple[int, int], Tuple] = {}
+        import threading
+        self._tls = threading.local()
 
     def add_font(self, key: FontKey, data: Optional[bytes], path: Optional[str],
                  index: int = 0) -> None:
@@ -152,6 +155,25 @@ class FontContext:
         else:
             face = self._ft.FT2Font(path)
         self.faces[(key.namespace, key.key)] = face
+        self._sources[(key.namespace, key.key)] = (data, path)
+
+    def thread_local_face(self, key: FontKey):
+        """FT faces are not thread-safe: worker threads of the glyph pool
+        open their own face from the stored source (rasterizer.rs keeps
+        per-worker FreeType contexts the same way)."""
+        import threading
+        tl = self._tls
+        k = (key.namespace, key.key)
+        faces = getattr(tl, "faces", None)
+        if faces is None:
+            faces = tl.faces = {}
+        face = faces.get(k)
+        if face is None:
+            data, path = self._sources[k]
+            face = self._ft.FT2Font(io.BytesIO(data)) if data is not None \
+                else self._ft.FT2Font(path)
+            faces[k] = face
+        return face
 
     def has_font(self, key: FontKey) -> bool:
         return (key.namespace, key.key) in self.faces
@@ -181,7 +203,7 @@ class FontContext:
 
     def rasterize(self, key: FontKey, size: float, glyph_index: int,
                   mono: bool = False, synthetic_bold: float = 0.0,
-                  synthetic_italics_deg: float = 0.0):
+                  synthetic_italics_deg: float = 0.0, face=None):
         """Render one glyph → (alpha f32 (h, w), left, top, advance).
 
         left/top: FreeType bitmap bearings — bitmap origin is at
@@ -189,7 +211,8 @@ class FontContext:
         1-bit (FontRenderMode::Mono); synthetic bold/italics emulate the
         wr_glyph_rasterizer embolden/oblique transforms.
         """
-        face = self.faces[(key.namespace, key.key)]
+        if face is None:
+            face = self.faces[(key.namespace, key.key)]
         face.set_size(size, 72)  # size in px when dpi=72
         glyph = face.load_glyph(glyph_index, self._ft.LoadFlags.RENDER)
         x0, y0, x1, y1 = glyph.bbox  # 26.6 fixed point
@@ -286,6 +309,7 @@ class ResourceCache:
         # (the reference's ClearCaches / eviction-notice flow, collapsed)
         self.frame_id = 0
         self._glyph_last_use: Dict = {}
+        self._glyph_pool = None
         self.images: Dict[int, ImageTemplate] = {}
         self.fonts = FontContext()
         self.font_instances: Dict[Tuple[int, int], Tuple[FontKey, float, FontInstanceOptions]] = {}
@@ -387,6 +411,11 @@ class ResourceCache:
         crops[ck] = result
         return result
 
+    # GlyphRasterizer rayon-pool role (rasterizer.rs:141): uncached glyph
+    # batches rasterize on a thread pool when enabled (GLYPH_BATCH_SIZE=32)
+    GLYPH_BATCH_SIZE = 32
+    glyph_workers: int = 0   # 0 = synchronous (single-core hosts)
+
     def request_glyphs(self, font_instance_key: int,
                        glyph_indices, subpixel_quantize: bool = True,
                        scale: float = 1.0,
@@ -411,14 +440,36 @@ class ResourceCache:
                                FontInstanceFlags.SYNTHETIC_BOLD) else 0.0
         italics = options.synthetic_italics.angle_deg
         out = {}
-        for gi in set(glyph_indices):
+        ids = sorted(set(glyph_indices))
+        raster_cache = {}
+        missing = [gi for gi in ids
+                   if (font_key.namespace, font_key.key, size, gi, mono,
+                       bold, italics, subpx, subpx_x) not in self.glyphs]
+        if self.glyph_workers > 0 and len(missing) > 1:
+            # rasterizer.rs:141 — batch uncached glyphs across the pool
+            import concurrent.futures
+            if self._glyph_pool is None:
+                self._glyph_pool = concurrent.futures.ThreadPoolExecutor(
+                    self.glyph_workers)
+
+            def raster_one(gi):
+                face = self.fonts.thread_local_face(font_key)
+                return gi, self.fonts.rasterize(
+                    font_key, size, gi, mono=mono, synthetic_bold=bold,
+                    synthetic_italics_deg=italics, face=face)
+            for gi, res in self._glyph_pool.map(
+                    raster_one, missing,
+                    chunksize=self.GLYPH_BATCH_SIZE):
+                raster_cache[gi] = res
+        for gi in ids:
             cache_key = (font_key.namespace, font_key.key, size, gi,
                          mono, bold, italics, subpx, subpx_x)
             cached = self.glyphs.get(cache_key)
             if cached is None:
-                alpha, left, top, _adv = self.fonts.rasterize(
-                    font_key, size, gi, mono=mono, synthetic_bold=bold,
-                    synthetic_italics_deg=italics)
+                alpha, left, top, _adv = raster_cache.get(gi) or \
+                    self.fonts.rasterize(
+                        font_key, size, gi, mono=mono, synthetic_bold=bold,
+                        synthetic_italics_deg=italics)
                 h, w = alpha.shape
                 if h == 0 or w == 0:
                     cached = CachedGlyph(None, left, top, w, h)
