@@ -639,3 +639,18 @@ class StickyFrameItem:
 
 
 DisplayItem = object  # union of the dataclasses above
+
+
+@dataclass(frozen=True)
+class RetainedItemsItem:
+    """display_item.rs DisplayItem::RetainedItems — an item group captured by
+    the builder for reuse in later display lists (display_item_cache.rs)."""
+    key: int
+    items: tuple = ()
+
+
+@dataclass(frozen=True)
+class ReuseItemsItem:
+    """display_item.rs DisplayItem::ReuseItems(ItemKey) — splice the cached
+    item group `key` here during scene building."""
+    key: int

@@ -21,7 +21,8 @@ from .display_item import (
     PopReferenceFrameItem, PopStackingContextItem, PrimitiveFlags,
     PushReferenceFrameItem, PushShadowItem, PushStackingContextItem,
     RadialGradient, RadialGradientItem, RasterSpace, RectangleItem,
-    RectClipItem, ReferenceFrameKind, RepeatingImageItem, RoundedRectClipItem,
+    RectClipItem, ReferenceFrameKind, RepeatingImageItem,
+    RetainedItemsItem, ReuseItemsItem, RoundedRectClipItem,
     ScrollFrameItem, Shadow, SpatialId, StackingContextFlags, StickyFrameItem,
     TextItem, TransformStyle, YuvImageItem, ROOT_CLIP_CHAIN,
 )
@@ -33,6 +34,9 @@ class BuiltDisplayList:
     """The product of DisplayListBuilder.end() (display_list.rs BuiltDisplayList)."""
     pipeline_id: PipelineId
     items: List[object] = field(default_factory=list)
+    # display_item_cache.rs: retained item groups shipped alongside the list
+    cache_data: List[object] = field(default_factory=list)
+    cache_size: int = 0
 
     def __iter__(self):
         return iter(self.items)
@@ -57,6 +61,10 @@ class DisplayListBuilder:
         self._next_clip_index = 0
         self._next_clip_chain_index = 0
         self._save_state: Optional[int] = None
+        # display-item cache state (display_item_cache.rs builder side)
+        self._cache_data: List[object] = []
+        self._next_cache_key = 0
+        self._group_start: Optional[int] = None
 
     # --- lifecycle (display_list.rs begin :2196 / end :2203) ---------------
     def begin(self) -> None:
@@ -66,7 +74,9 @@ class DisplayListBuilder:
         self._next_clip_chain_index = 0
 
     def end(self) -> Tuple[PipelineId, BuiltDisplayList]:
-        return self.pipeline_id, BuiltDisplayList(self.pipeline_id, list(self.items))
+        return self.pipeline_id, BuiltDisplayList(
+            self.pipeline_id, list(self.items), list(self._cache_data),
+            self._next_cache_key)
 
     # save/restore (display_list.rs save/restore/clear_save) — used by
     # rawtests to speculatively build and roll back.
@@ -78,6 +88,34 @@ class DisplayListBuilder:
         assert self._save_state is not None
         del self.items[self._save_state:]
         self._save_state = None
+
+    # --- display-item cache (display_item_cache.rs builder side) ----------
+    def start_item_group(self) -> None:
+        """Begin capturing items for retention (display_list.rs
+        start_item_group)."""
+        assert self._group_start is None, "nested item groups"
+        self._group_start = len(self.items)
+
+    def finish_item_group(self) -> Optional[int]:
+        """End the capture: items since start move into the list\'s
+        cache_data under a fresh key and a ReuseItems marker replaces them.
+        Returns the key (None if the group was empty)."""
+        assert self._group_start is not None
+        group = tuple(self.items[self._group_start:])
+        del self.items[self._group_start:]
+        self._group_start = None
+        if not group:
+            return None
+        key = self._next_cache_key
+        self._next_cache_key += 1
+        self._cache_data.append(RetainedItemsItem(key, group))
+        self.items.append(ReuseItemsItem(key))
+        return key
+
+    def push_reuse_items(self, key: int) -> None:
+        """Splice a previously retained group (display_list.rs
+        push_reuse_items)."""
+        self.items.append(ReuseItemsItem(key))
 
     def clear_save(self) -> None:
         self._save_state = None
