@@ -114,6 +114,9 @@ class Frame:
     fb_size: Tuple[int, int]              # (w, h)
     clear_color: Tuple[float, float, float, float]
     inst_bboxes: Optional[np.ndarray] = None  # [N, 4] device AABBs (oracle/debug)
+    # rows of surface atlas this frame needs; the renderer grows its HBM
+    # surface array to cover it (FrameAtlas soft height)
+    surface_rows: int = 2048
 
 
 @dataclass
@@ -195,8 +198,13 @@ class FrameBuilder:
         bboxes = np.zeros((instances.shape[0], 4), np.float32)
         for i, m in enumerate(self.metas):
             bboxes[i] = m.bbox
+        used = self.surface_atlas.used_height
+        rows = self.surface_atlas_size[0]
+        while rows < used:
+            rows *= 2
         return Frame(f32_buf, instances, self.palette, self.passes,
-                     (w, h), bg.premultiplied(), bboxes)
+                     (w, h), bg.premultiplied(), bboxes,
+                     surface_rows=rows)
 
     def _compute_tile_hashes(self, f32_buf: np.ndarray,
                              instances: np.ndarray) -> None:

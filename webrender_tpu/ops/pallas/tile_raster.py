@@ -114,8 +114,6 @@ def _eval_stops_row(row, n, t, repeat):
                                0.0, 1.0),
                       jnp.where(t >= o1, 1.0, 0.0))
         w = jnp.where(i < n, w, 0.0)
-        for c in range(4):
-            out = out.at[c].set(out[c] + (row[i * 8 + 1 + c] - out[c]) * w)                 if False else out
         c1 = jnp.stack([jnp.broadcast_to(row[i * 8 + 1 + c], shape)
                         for c in range(4)], 0)
         out = out + (c1 - out) * w[None]

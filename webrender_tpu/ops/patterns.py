@@ -98,11 +98,13 @@ def _corner_coverage(xp, lx, ly, cx, cy, rx, ry, sign_x, sign_y, scale):
     active = (rx > 0.0) & (ry > 0.0)
     rx_s = xp.where(active, rx, 1.0)
     ry_s = xp.where(active, ry, 1.0)
-    dx = (cx - lx) * sign_x
-    dy = (cy - ly) * sign_y
+    # clamp: giant local coords (1e9 "unbounded" rects) would overflow f32
+    # in the squares below; anything past a few radii is fully outside
+    dx = xp.clip((cx - lx) * sign_x, -1e6, 1e6)
+    dy = xp.clip((cy - ly) * sign_y, -1e6, 1e6)
     in_region = (dx > 0.0) & (dy > 0.0) & active
-    ex = dx / rx_s
-    ey = dy / ry_s
+    ex = xp.clip(dx / rx_s, -1e4, 1e4)
+    ey = xp.clip(dy / ry_s, -1e4, 1e4)
     g = xp.sqrt(ex * ex + ey * ey)
     grad = xp.sqrt((dx / (rx_s * rx_s)) ** 2 + (dy / (ry_s * ry_s)) ** 2)
     grad = xp.where(grad > 1e-6, grad, 1e-6)

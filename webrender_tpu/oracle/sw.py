@@ -18,7 +18,6 @@ from ..frame.frame_builder import (Frame, PASS_BLUR_H, PASS_BLUR_V,
                                    PASS_CHANNEL_LUT, PASS_COPY,
                                    PASS_ARITH, PASS_DOWNSCALE, PASS_RASTER,
                                    PASS_SRGB, TARGET_ROOT)
-from ..ops import blend as blend_mod
 from ..frame.gpu import (CLIP_STRIDE, INST_BLEND, INST_CLIP_ADDR,
                          INST_CLIP_COUNT, INST_EDGE_AA, INST_KIND,
                          INST_PRIM_ADDR, INST_SPATIAL, KIND_BOX_SHADOW,
@@ -63,6 +62,10 @@ class SoftwareRenderer:
             assert native.available(), "native span rasterizer not built"
 
     def render(self, frame: Frame) -> np.ndarray:
+        if frame.surface_rows > self.surface_atlas.shape[1]:
+            self.surface_atlas = np.zeros(
+                (4, frame.surface_rows, self.surface_atlas.shape[2]),
+                np.float32)
         fb: Optional[np.ndarray] = None
         for p in frame.passes:
             if p.kind == PASS_RASTER:

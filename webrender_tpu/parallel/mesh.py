@@ -1,19 +1,25 @@
-"""Multi-chip rendering: shard the tile grid across a device mesh.
+"""Multi-chip rendering: shard the frame's tile grid across a device mesh.
 
 The TPU-native analog of the reference's tile-parallel composition
-(`compositor/sw_compositor.rs` splits tile bands across worker threads —
-SURVEY.md §2.7.6): the frame's tile grid is the natural data-parallel axis.
-Each device rasterizes its shard of tiles with the same instance/gpu-buffer
-arrays (replicated — they are small relative to texel data), so no
-collectives are needed in the raster pass itself; the assembled framebuffer
-stays sharded row-wise for a subsequent sharded composite/encode stage, and
-only readback gathers (an all-gather over ICI if the host needs the full
-frame).
+(`compositor/sw_compositor.rs:743` splits tile bands across worker threads
+with an overlap-dependency graph — SURVEY.md §2.7.6): the frame's tile grid
+is the natural data-parallel axis.  Each device rasterizes its shard of
+tiles via `shard_map` with the shared instance/GPU-buffer arrays replicated
+(they are small relative to texel data), so the raster pass itself needs no
+collectives; painter-order blending happens inside each tile, never across
+tiles, so there is no overlap-dependency graph to honor.  Vertical blur of
+a row-sharded image exchanges halo rows with neighbor devices over ICI via
+`ppermute` — the only cross-device communication in the pipeline.  Readback
+(or a final composite to one host) is an implicit all-gather.
+
+Determinism: every sharded path below is bit-identical to its unsharded
+equivalent (asserted by tests/test_multichip.py) because per-tile /
+per-pixel FP evaluation order does not change — only placement does.
 """
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -22,6 +28,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..frame.tiles import TILE_H, TILE_W
 from ..ops.raster import render_tiles
+
+MESH_AXIS = "tiles"
+
+
+def make_mesh(devices=None, n: Optional[int] = None) -> Mesh:
+    """1-D mesh over `devices` (default: all) along the tile axis."""
+    if devices is None:
+        devices = jax.devices()
+    if n is not None:
+        if len(devices) < n:
+            raise RuntimeError(
+                f"mesh requires {n} devices, backend has {len(devices)} "
+                f"(set XLA_FLAGS=--xla_force_host_platform_device_count={n} "
+                f"with JAX_PLATFORMS=cpu before jax initializes)")
+        devices = devices[:n]
+    return Mesh(np.array(devices), (MESH_AXIS,))
 
 
 def pad_tiles_for_mesh(tile_insts: np.ndarray, tile_origins: np.ndarray,
@@ -42,18 +64,119 @@ def pad_tiles_for_mesh(tile_insts: np.ndarray, tile_origins: np.ndarray,
 def render_tiles_sharded(mesh: Mesh, f32_buf, instances, transforms,
                          tile_insts, tile_origins, clear_color,
                          color_atlas, alpha_atlas, surface_atlas,
-                         *, kinds, blends):
-    """Run one raster pass with the tile axis sharded over `mesh`'s 'tiles'
-    axis. Inputs arrive as host arrays; outputs are sharded device tiles."""
-    tile_sharding = NamedSharding(mesh, P("tiles"))
+                         *, kinds, blends, step: float = 1.0):
+    """One raster pass with the tile axis sharded over `mesh`.
+
+    Same contract as ops.raster.render_tiles: returns [nt, 4, TH, TW]
+    premultiplied tiles (tile axis device-sharded).  Inputs may be host or
+    device arrays; the tile axis is padded to a mesh multiple and the pad
+    is stripped from the result.  Each device executes the identical
+    per-tile program on its shard — bit-equal to the unsharded path.
+    """
+    n = mesh.devices.size
+    nt = int(tile_insts.shape[0])
+    ti = np.asarray(tile_insts)
+    to = np.asarray(tile_origins)
+    ti, to = pad_tiles_for_mesh(ti, to, n)
+    clear = np.asarray(clear_color, np.float32)
+    per_tile_clear = clear.ndim > 1
+    if per_tile_clear and clear.shape[0] != ti.shape[0]:
+        pad = np.zeros((ti.shape[0] - clear.shape[0],) + clear.shape[1:],
+                       np.float32)
+        clear = np.concatenate([clear, pad], 0)
+
+    kinds = tuple(kinds)
+    blends = tuple(blends)
+
+    def shard_fn(fb, ins, tr, t_i, t_o, cl, ca, aa, sa):
+        return render_tiles(fb, ins, tr, t_i, t_o, cl, ca, aa, sa,
+                            kinds=kinds, blends=blends, step=step)
+
+    in_specs = (P(), P(), P(), P(MESH_AXIS), P(MESH_AXIS),
+                P(MESH_AXIS) if per_tile_clear else P(), P(), P(), P())
+    fn = jax.shard_map(shard_fn, mesh=mesh, in_specs=in_specs,
+                       out_specs=P(MESH_AXIS), check_vma=False)
+    tile_sh = NamedSharding(mesh, P(MESH_AXIS))
     repl = NamedSharding(mesh, P())
-    ti = jax.device_put(tile_insts, tile_sharding)
-    to = jax.device_put(tile_origins, tile_sharding)
-    args = [jax.device_put(x, repl) for x in
-            (f32_buf, instances, transforms)]
-    clear = jax.device_put(clear_color, repl)
-    atlases = [jax.device_put(x, repl) for x in
-               (color_atlas, alpha_atlas, surface_atlas)]
-    return render_tiles(args[0], args[1], args[2], ti, to, clear,
-                        atlases[0], atlases[1], atlases[2],
-                        kinds=kinds, blends=blends)
+    args = (jax.device_put(jnp.asarray(f32_buf), repl),
+            jax.device_put(jnp.asarray(instances), repl),
+            jax.device_put(jnp.asarray(transforms), repl),
+            jax.device_put(jnp.asarray(ti), tile_sh),
+            jax.device_put(jnp.asarray(to), tile_sh),
+            jax.device_put(jnp.asarray(clear),
+                           tile_sh if per_tile_clear else repl),
+            jax.device_put(color_atlas, repl),
+            jax.device_put(alpha_atlas, repl),
+            jax.device_put(surface_atlas, repl))
+    out = fn(*args)
+    return out[:nt]
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "axis", "mesh"))
+def _blur_rows_sharded(src, weights, *, radius: int, axis: int, mesh: Mesh):
+    """shard_map body wrapper (jit so the shard_map traces once)."""
+
+    def shard_fn(x, w):
+        # x: [4, h/n, w] local rows.  Vertical blur (axis 0 of the image =
+        # dim 1 here) needs `radius` halo rows from each neighbor, fetched
+        # over ICI with ppermute; horizontal blur needs no halo because the
+        # width axis is unsharded.
+        n = mesh.devices.size
+        if axis == 0:
+            if radius >= x.shape[1]:
+                # halo wider than a shard: fall back to gather-all
+                full = jax.lax.all_gather(x, MESH_AXIS, axis=1, tiled=True)
+                pad = [(0, 0), (radius, radius), (0, 0)]
+                fp = jnp.pad(full, pad)
+                out = jnp.zeros_like(full)
+                for k in range(2 * radius + 1):
+                    out = out + w[k] * fp[:, k:k + full.shape[1], :]
+                i = jax.lax.axis_index(MESH_AXIS)
+                h = x.shape[1]
+                return jax.lax.dynamic_slice(
+                    out, (0, i * h, 0), (4, h, full.shape[2]))
+            # rows above come from the previous shard's bottom rows,
+            # rows below from the next shard's top rows; edge shards
+            # receive zeros (transparent beyond the image, matching
+            # blur_region's zero padding)
+            top_halo = jax.lax.ppermute(
+                x[:, -radius:, :], MESH_AXIS,
+                perm=[(i, i + 1) for i in range(n - 1)])
+            bot_halo = jax.lax.ppermute(
+                x[:, :radius, :], MESH_AXIS,
+                perm=[(i + 1, i) for i in range(n - 1)])
+            ext = jnp.concatenate([top_halo, x, bot_halo], axis=1)
+            out = jnp.zeros_like(x)
+            for k in range(2 * radius + 1):
+                out = out + w[k] * ext[:, k:k + x.shape[1], :]
+            return out
+        # horizontal: pure local work
+        pad = [(0, 0), (0, 0), (radius, radius)]
+        ext = jnp.pad(x, pad)
+        out = jnp.zeros_like(x)
+        for k in range(2 * radius + 1):
+            out = out + w[k] * ext[:, :, k:k + x.shape[2]]
+        return out
+
+    fn = jax.shard_map(shard_fn, mesh=mesh,
+                       in_specs=(P(None, MESH_AXIS, None), P()),
+                       out_specs=P(None, MESH_AXIS, None), check_vma=False)
+    return fn(src, weights)
+
+
+def blur_image_sharded(mesh: Mesh, src, weights, *, radius: int, axis: int):
+    """Separable gaussian blur of a planar [4, h, w] image with the row axis
+    sharded over `mesh`; vertical blurs halo-exchange boundary rows via
+    `ppermute` (the ICI path).  Transparent beyond the edges — bit-equal to
+    ops.raster.blur_region."""
+    n = mesh.devices.size
+    c, h, w = src.shape
+    ph = (-h) % n
+    x = jnp.asarray(src)
+    if ph:
+        x = jnp.pad(x, ((0, 0), (0, ph), (0, 0)))
+    rows_sh = NamedSharding(mesh, P(None, MESH_AXIS, None))
+    x = jax.device_put(x, rows_sh)
+    out = _blur_rows_sharded(x, jnp.asarray(weights), radius=radius,
+                             axis=axis, mesh=mesh)
+    return out[:, :h, :]

@@ -24,6 +24,7 @@ from .api.transaction import (AddFont, AddFontInstance, AddImage, DeleteFont,
 from .api.units import Point2D, Rect, Transform
 from .frame.frame_builder import Frame, FrameBuilder
 from .renderer.renderer import Renderer
+from .resources.atlas import AtlasFullError
 from .resources.resource_cache import ResourceCache
 from .scene.scene import BuiltScene, Scene
 from .scene.scene_builder import build_scene
@@ -110,9 +111,21 @@ class RenderBackend:
             return None
         self.resources.begin_frame()
         with self.profiler.timer("frame_build_time"):
-            frame = self.frame_builder.build(
-                self.built_scene, self.resources, self.device_size, self.dpr,
-                scroll_offsets=self.scroll_offsets, properties=self.properties)
+            try:
+                frame = self.frame_builder.build(
+                    self.built_scene, self.resources, self.device_size,
+                    self.dpr, scroll_offsets=self.scroll_offsets,
+                    properties=self.properties)
+            except AtlasFullError:
+                # OOM recovery (renderer/mod.rs:1289): clear every cache and
+                # rebuild once; a scene that still exceeds the atlases after
+                # a full clear is a genuine error
+                self.resources.memory_pressure()
+                self.profiler.bump("atlas_oom_recoveries")
+                frame = self.frame_builder.build(
+                    self.built_scene, self.resources, self.device_size,
+                    self.dpr, scroll_offsets=self.scroll_offsets,
+                    properties=self.properties)
         self.last_frame = frame
         self.profiler.set("raster_passes", float(len(frame.passes)))
         self.profiler.set("instances", float(frame.instances.shape[0]))

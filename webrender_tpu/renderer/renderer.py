@@ -141,10 +141,15 @@ class Renderer:
                  color_atlas_size=(4096, 4096),
                  alpha_atlas_size=(2048, 2048),
                  surface_atlas_size=(2048, 4096),
-                 use_pallas: Optional[bool] = None):
+                 use_pallas: Optional[bool] = None,
+                 mesh=None):
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
+        # multi-chip: a 1-D jax.sharding.Mesh shards raster passes by tiles
+        # and large blurs by rows (parallel/mesh.py — the sw_compositor.rs
+        # tile-band worker model mapped onto devices)
+        self.mesh = mesh
         self.picture_caching = True  # dirty-tile skipping (picture.rs role)
         self.color_atlas = jnp.zeros((4,) + color_atlas_size, jnp.float32)
         self.alpha_atlas = jnp.zeros(alpha_atlas_size, jnp.float32)
@@ -163,6 +168,10 @@ class Renderer:
         self._root_hashes = None
         self._root_shape = None
         self.last_dirty_tiles = -1  # PictureCacheDebugInfo analog
+        # per-pass engine evidence: which raster engine ran each pass
+        # (pallas / xla / sharded) — exported by bench + reftest artifacts
+        self.last_engine = None
+        self.engine_counts: Dict[str, int] = {}
 
     # ------------------------------------------------------------------
     def apply_uploads(self, uploads: List[PendingUpload]) -> None:
@@ -191,6 +200,12 @@ class Renderer:
         compositing stays on device)."""
         if resources is not None:
             self.apply_uploads(resources.take_uploads())
+        # grow the surface atlas if the frame's FrameAtlas overflowed the
+        # current array (pow2-bucketed; per-frame content, so fresh zeros)
+        if frame.surface_rows > self.surface_atlas.shape[1]:
+            self.surface_atlas = jnp.zeros(
+                (4, frame.surface_rows, self.surface_atlas.shape[2]),
+                jnp.float32)
         f32_buf = jnp.asarray(frame.f32_buf)
         instances = jnp.asarray(frame.instances)
         transforms = jnp.asarray(frame.transforms)
@@ -322,6 +337,56 @@ class Renderer:
                             oy + ys.reshape(-1) * TILE_H * step], axis=1)
         return origins.astype(np.float32)
 
+    def _dispatch_raster(self, frame: Frame, f32_buf, instances, transforms,
+                         tile_insts: np.ndarray, origins: np.ndarray, clear,
+                         kinds, blends, step: float = 1.0,
+                         dense_cache_holder=None, allow_pallas: bool = True):
+        """Run one raster pass over `tile_insts`, routed to the best engine:
+        multi-chip sharded (mesh set), Pallas (supported + TPU), or the XLA
+        fallback.  Returns [nt, 4, TH, TW] tiles; records the engine used in
+        `self.last_engine` (device-correctness evidence for artifacts)."""
+        if self.mesh is not None and \
+                tile_insts.shape[0] >= self.mesh.devices.size:
+            from ..parallel.mesh import render_tiles_sharded
+            self.last_engine = "sharded"
+            self.engine_counts["sharded"] = \
+                self.engine_counts.get("sharded", 0) + 1
+            return render_tiles_sharded(
+                self.mesh, f32_buf, instances, transforms, tile_insts,
+                origins, clear, self.color_atlas, self.alpha_atlas,
+                self.surface_atlas, kinds=kinds, blends=blends, step=step)
+        use_pallas = False
+        if self.use_pallas and allow_pallas and step == 1.0:
+            from ..ops.pallas.tile_raster import (build_dense_records,
+                                                 pallas_pass_supported,
+                                                 render_tiles_pallas_dense)
+            use_pallas = pallas_pass_supported(
+                frame.instances, tile_insts, frame.transforms, frame.f32_buf)
+        if use_pallas:
+            cached = getattr(dense_cache_holder, "_dense_cache", None) \
+                if dense_cache_holder is not None else None
+            if cached is None:
+                dense = build_dense_records(frame.f32_buf, frame.instances,
+                                            frame.transforms, tile_insts)
+                counts = (tile_insts >= 0).sum(1).astype(np.int32)
+                cached = (jnp.asarray(dense), jnp.asarray(counts))
+                if dense_cache_holder is not None:
+                    dense_cache_holder._dense_cache = cached
+            self.last_engine = "pallas"
+            self.engine_counts["pallas"] = \
+                self.engine_counts.get("pallas", 0) + 1
+            return render_tiles_pallas_dense(
+                cached[0], cached[1], jnp.asarray(origins), clear,
+                f32_buf.reshape(-1, 128), self.alpha_atlas,
+                self.surface_atlas, self.color_atlas,
+                kinds=kinds, blends=blends)
+        self.last_engine = "xla"
+        self.engine_counts["xla"] = self.engine_counts.get("xla", 0) + 1
+        return render_tiles(
+            f32_buf, instances, transforms, jnp.asarray(tile_insts),
+            jnp.asarray(origins), clear, self.color_atlas, self.alpha_atlas,
+            self.surface_atlas, kinds=kinds, blends=blends, step=step)
+
     def _run_raster(self, p: RenderPass, frame: Frame, f32_buf, instances,
                     transforms, framebuffer):
         # picture caching: root pass with per-tile hashes renders only the
@@ -332,7 +397,6 @@ class Renderer:
             return self._run_root_cached(p, frame, f32_buf, instances,
                                          transforms)
         kinds, blends = self._pass_dispatch_sets(p, frame)
-        origins = jnp.asarray(self._tile_origins(p))
         x_, y_, rw_, rh_ = p.region
         if p.clear is not None:
             clear = jnp.asarray(np.asarray(p.clear, np.float32))
@@ -342,33 +406,10 @@ class Renderer:
                 jax.lax.dynamic_slice(self.surface_atlas, (0, y_, x_),
                                       (4, rh_, rw_))
             clear = _disassemble(src, nx=p.nx, ny=p.ny)
-        use_pallas = False
-        if self.use_pallas and p.clear is not None and p.raster_step == 1.0:
-            from ..ops.pallas.tile_raster import (build_dense_records,
-                                                 pallas_pass_supported,
-                                                 render_tiles_pallas_dense)
-            use_pallas = pallas_pass_supported(
-                frame.instances, p.tile_insts, frame.transforms,
-                frame.f32_buf)
-        if use_pallas:
-            cached = getattr(p, "_dense_cache", None)
-            if cached is None:
-                dense = build_dense_records(frame.f32_buf, frame.instances,
-                                            frame.transforms, p.tile_insts)
-                counts = (p.tile_insts >= 0).sum(1).astype(np.int32)
-                cached = (jnp.asarray(dense), jnp.asarray(counts))
-                p._dense_cache = cached
-            tiles = render_tiles_pallas_dense(
-                cached[0], cached[1], origins, clear,
-                f32_buf.reshape(-1, 128), self.alpha_atlas,
-                self.surface_atlas, self.color_atlas,
-                kinds=kinds, blends=blends)
-        else:
-            tiles = render_tiles(
-                f32_buf, instances, transforms, jnp.asarray(p.tile_insts),
-                origins, clear, self.color_atlas, self.alpha_atlas,
-                self.surface_atlas, kinds=kinds, blends=blends,
-                step=p.raster_step)
+        tiles = self._dispatch_raster(
+            frame, f32_buf, instances, transforms, p.tile_insts,
+            self._tile_origins(p), clear, kinds, blends, step=p.raster_step,
+            dense_cache_holder=p, allow_pallas=p.clear is not None)
         x, y, rw, rh = p.region
         if p.target == TARGET_ROOT:
             return _write_region(
@@ -402,29 +443,9 @@ class Renderer:
             origins = self._tile_origins(p)[padded]
             kinds, blends = self._pass_dispatch_sets(p, frame)
             clear = jnp.asarray(np.asarray(p.clear, np.float32))
-            use_pallas = False
-            if self.use_pallas:
-                from ..ops.pallas.tile_raster import (build_dense_records,
-                                                     pallas_pass_supported,
-                                                     render_tiles_pallas_dense)
-                use_pallas = pallas_pass_supported(
-                    frame.instances, sub_insts, frame.transforms,
-                    frame.f32_buf)
-            if use_pallas:
-                dense = build_dense_records(frame.f32_buf, frame.instances,
-                                            frame.transforms, sub_insts)
-                counts = (sub_insts >= 0).sum(1).astype(np.int32)
-                tiles = render_tiles_pallas_dense(
-                    jnp.asarray(dense), jnp.asarray(counts),
-                    jnp.asarray(origins), clear, f32_buf.reshape(-1, 128),
-                    self.alpha_atlas, self.surface_atlas, self.color_atlas,
-                    kinds=kinds, blends=blends)
-            else:
-                tiles = render_tiles(
-                    f32_buf, instances, transforms, jnp.asarray(sub_insts),
-                    jnp.asarray(origins), clear, self.color_atlas,
-                    self.alpha_atlas, self.surface_atlas,
-                    kinds=kinds, blends=blends)
+            tiles = self._dispatch_raster(
+                frame, f32_buf, instances, transforms, sub_insts, origins,
+                clear, kinds, blends)
             if full and dirty.size == nt:
                 self._root_tiles = tiles
             else:
@@ -457,5 +478,10 @@ class Renderer:
         weights = jnp.asarray(gaussian_weights(sigma, radius))
         src = jax.lax.dynamic_slice(self.surface_atlas, (0, sy, sx),
                                     (4, sh, sw))
-        blurred = blur_region(src, weights, radius=radius, axis=axis)
+        if self.mesh is not None and sh >= 2 * self.mesh.devices.size:
+            from ..parallel.mesh import blur_image_sharded
+            blurred = blur_image_sharded(self.mesh, src, weights,
+                                         radius=radius, axis=axis)
+        else:
+            blurred = blur_region(src, weights, radius=radius, axis=axis)
         self.surface_atlas = _copy_region(self.surface_atlas, blurred, dx, dy)

@@ -21,7 +21,7 @@ import numpy as np
 from ..api.font import (FontInstanceKey, FontInstanceOptions, FontKey,
                         FontRenderMode, GlyphDimensions)
 from ..api.image import ImageData, ImageDescriptor, ImageFormat
-from .atlas import AtlasRegion, ShelfAllocator
+from .atlas import AtlasFullError, AtlasRegion, ShelfAllocator
 
 ATLAS_COLOR = 0
 ATLAS_ALPHA = 1
@@ -316,24 +316,61 @@ class ResourceCache:
         self.glyphs: Dict[Tuple, CachedGlyph] = {}
         self.pending_uploads: List[PendingUpload] = []
         self.blob_handler: Optional[BlobImageHandler] = None
+        # LRU stamps + derived caches (crops of huge images, converted YUV)
+        self._image_last_use: Dict[int, int] = {}
+        self._crop_cache: Dict[Tuple, Tuple] = {}
+        self._crop_last_use: Dict[Tuple, int] = {}
+        self._yuv_cache: Dict[Tuple, Tuple] = {}
+        self._yuv_last_use: Dict[Tuple, int] = {}
+        # monotonically increasing generation shared across add/update so a
+        # deleted-then-re-added key never reuses a stale derived-cache entry
+        self._generation = 0
 
     # --- transaction resource updates (render_api.rs ResourceUpdate) -------
     def add_image_template(self, key: int, descriptor: ImageDescriptor,
                            data: ImageData, tiling=None) -> None:
         """resource_cache.rs:792"""
-        self.images[key] = ImageTemplate(descriptor, data)
+        old = self.images.get(key)
+        if old is not None:
+            self._release_image_entries(key, old)
+        self._generation += 1
+        self.images[key] = ImageTemplate(descriptor, data,
+                                         generation=self._generation)
 
     def update_image_template(self, key: int, descriptor: ImageDescriptor,
                               data: ImageData, dirty_rect=None) -> None:
         tpl = self.images.get(key)
-        gen = tpl.generation + 1 if tpl else 0
-        region = tpl.region if tpl and tpl.descriptor.width == descriptor.width \
-            and tpl.descriptor.height == descriptor.height else None
-        self.images[key] = ImageTemplate(descriptor, data, generation=gen,
+        self._generation += 1
+        region = None
+        if tpl and tpl.descriptor.width == descriptor.width \
+                and tpl.descriptor.height == descriptor.height:
+            region = tpl.region
+        elif tpl is not None:
+            self._release_image_entries(key, tpl)
+        self.images[key] = ImageTemplate(descriptor, data,
+                                         generation=self._generation,
                                          region=region)
 
     def delete_image_template(self, key: int) -> None:
-        self.images.pop(key, None)
+        tpl = self.images.pop(key, None)
+        if tpl is not None:
+            self._release_image_entries(key, tpl)
+        self._image_last_use.pop(key, None)
+
+    def _release_image_entries(self, key: int, tpl: ImageTemplate) -> None:
+        """Free the template's atlas region and every derived-cache entry
+        (crops, yuv conversions) referencing it."""
+        if tpl.region is not None:
+            self.color_alloc.free(tpl.region)
+            tpl.region = None
+        for ck in [k for k in self._crop_cache if k[0] == key]:
+            region = self._crop_cache.pop(ck)[0]
+            self._crop_last_use.pop(ck, None)
+            self.color_alloc.free(region)
+        for yk in [k for k in self._yuv_cache if key in yk[1]]:
+            region = self._yuv_cache.pop(yk)[0]
+            self._yuv_last_use.pop(yk, None)
+            self.color_alloc.free(region)
 
     def add_font(self, key: FontKey, data=None, path=None, index=0) -> None:
         self.fonts.add_font(key, data, path, index)
@@ -355,10 +392,74 @@ class ResourceCache:
         """render_api.rs set_blob_image_handler role."""
         self.blob_handler = handler
 
+    # ------------------------------------------------------------------
+    # allocation with eviction pressure (texture_cache.rs LRU eviction:
+    # only entries NOT touched this frame are evicted, so regions already
+    # embedded in the frame being built stay valid)
+    # ------------------------------------------------------------------
+    def _evict_stale_images(self) -> int:
+        freed = 0
+        for key, tpl in self.images.items():
+            if tpl.region is not None and \
+                    self._image_last_use.get(key, -1) < self.frame_id:
+                self.color_alloc.free(tpl.region)
+                tpl.region = None
+                tpl.uploaded_generation = -1
+                freed += 1
+        for ck in [k for k, lu in self._crop_last_use.items()
+                   if lu < self.frame_id]:
+            entry = self._crop_cache.pop(ck, None)
+            self._crop_last_use.pop(ck, None)
+            if entry is not None:
+                self.color_alloc.free(entry[0])
+                freed += 1
+        for yk in [k for k, lu in self._yuv_last_use.items()
+                   if lu < self.frame_id]:
+            entry = self._yuv_cache.pop(yk, None)
+            self._yuv_last_use.pop(yk, None)
+            if entry is not None:
+                self.color_alloc.free(entry[0])
+                freed += 1
+        return freed
+
+    def _evict_stale_glyphs(self) -> int:
+        """Free glyphs not used this frame (both atlases — grayscale masks
+        live in the alpha atlas, LCD masks in the color atlas)."""
+        freed = 0
+        for gk in [k for k, lu in self._glyph_last_use.items()
+                   if lu < self.frame_id]:
+            cg = self.glyphs.pop(gk, None)
+            self._glyph_last_use.pop(gk, None)
+            if cg is not None and cg.region is not None:
+                (self.color_alloc if cg.subpixel
+                 else self.alpha_alloc).free(cg.region)
+                freed += 1
+        return freed
+
+    def _alloc_color(self, w: int, h: int, what: str) -> AtlasRegion:
+        region = self.color_alloc.alloc(w, h)
+        if region is None:
+            self._evict_stale_images()
+            self._evict_stale_glyphs()
+            region = self.color_alloc.alloc(w, h)
+        if region is None:
+            raise AtlasFullError(f"color atlas full ({what}, {w}x{h})")
+        return region
+
+    def _alloc_alpha(self, w: int, h: int, what: str) -> AtlasRegion:
+        region = self.alpha_alloc.alloc(w, h)
+        if region is None:
+            self._evict_stale_glyphs()
+            region = self.alpha_alloc.alloc(w, h)
+        if region is None:
+            raise AtlasFullError(f"alpha atlas full ({what}, {w}x{h})")
+        return region
+
     def request_image(self, key: int):
         tpl = self.images.get(key)
         if tpl is None:
             return None
+        self._image_last_use[key] = self.frame_id
         if tpl.data.pixels is None and tpl.data.blob is not None:
             # blob rasterization (doc/blob.md async path, run lazily)
             assert self.blob_handler is not None, "no blob image handler"
@@ -368,9 +469,8 @@ class ResourceCache:
                 ImageFormat.RGBA8, tpl.descriptor.width,
                 tpl.descriptor.height, flags=tpl.descriptor.flags)
         if tpl.region is None:
-            tpl.region = self.color_alloc.alloc(tpl.descriptor.width,
-                                                tpl.descriptor.height)
-            assert tpl.region is not None, "color atlas full"
+            tpl.region = self._alloc_color(tpl.descriptor.width,
+                                           tpl.descriptor.height, "image")
         if tpl.uploaded_generation != tpl.generation:
             texels = _to_premult_rgba_f32(tpl.descriptor, tpl.data)
             up_region = AtlasRegion(tpl.region.x, tpl.region.y,
@@ -395,20 +495,27 @@ class ResourceCache:
         y1 = min(desc.height, int(np.ceil(img_rect[3])) + 1)
         cw = max(1, min(x1 - x0, self.MAX_DIRECT_DIM))
         ch = max(1, min(y1 - y0, self.MAX_DIRECT_DIM))
-        crops = getattr(self, "_crop_cache", None)
-        if crops is None:
-            crops = self._crop_cache = {}
         ck = (key, x0, y0, cw, ch, tpl.generation)
-        hit = crops.get(ck)
+        hit = self._crop_cache.get(ck)
         if hit is not None:
+            self._crop_last_use[ck] = self.frame_id
             return hit
-        region = self.color_alloc.alloc(cw, ch)
-        assert region is not None, "color atlas full (crop)"
+        # bound the per-key crop count: scrolling over a huge image must not
+        # leak atlas space (evict this key's crops not used this frame)
+        mine = [k for k in self._crop_cache if k[0] == key]
+        if len(mine) >= 4:
+            for k in mine:
+                if self._crop_last_use.get(k, -1) < self.frame_id:
+                    entry = self._crop_cache.pop(k)
+                    self._crop_last_use.pop(k, None)
+                    self.color_alloc.free(entry[0])
+        region = self._alloc_color(cw, ch, "crop")
         region = AtlasRegion(region.x, region.y, cw, ch)
         texels = _to_premult_rgba_f32(desc, tpl.data, crop=(x0, y0, cw, ch))
         self.pending_uploads.append(PendingUpload(ATLAS_COLOR, region, texels))
         result = (region, desc, (x0, y0))
-        crops[ck] = result
+        self._crop_cache[ck] = result
+        self._crop_last_use[ck] = self.frame_id
         return result
 
     # GlyphRasterizer rayon-pool role (rasterizer.rs:141): uncached glyph
@@ -484,11 +591,7 @@ class ResourceCache:
                     # the Pallas DMA path bit-identical to clamped sampling
                     pm = np.zeros((h2 + 4, w2 + 4, 4), np.float32)
                     pm[2:2 + h2, 2:2 + w2] = masks
-                    region = self.color_alloc.alloc(w2 + 4, h2 + 4)
-                    if region is None:
-                        self.clear_image_caches()  # eviction on pressure
-                        region = self.color_alloc.alloc(w2 + 4, h2 + 4)
-                    assert region is not None, "color atlas full (subpx)"
+                    region = self._alloc_color(w2 + 4, h2 + 4, "subpx glyph")
                     region = AtlasRegion(region.x, region.y, w2 + 4, h2 + 4)
                     self.pending_uploads.append(
                         PendingUpload(ATLAS_COLOR, region, pm))
@@ -500,11 +603,7 @@ class ResourceCache:
                         h, w = alpha.shape
                     pa = np.zeros((h + 4, w + 4), np.float32)
                     pa[2:2 + h, 2:2 + w] = alpha
-                    region = self.alpha_alloc.alloc(w + 4, h + 4)
-                    if region is None:
-                        self.clear_glyph_caches()  # eviction on pressure
-                        region = self.alpha_alloc.alloc(w + 4, h + 4)
-                    assert region is not None, "alpha atlas full"
+                    region = self._alloc_alpha(w + 4, h + 4, "glyph")
                     region = AtlasRegion(region.x, region.y, w + 4, h + 4)
                     self.pending_uploads.append(
                         PendingUpload(ATLAS_ALPHA, region, pa))
@@ -522,7 +621,11 @@ class ResourceCache:
 
     def clear_glyph_caches(self) -> None:
         """Drop all cached glyph atlas entries; they re-rasterize on the
-        next request (the texture cache's eviction response)."""
+        next request (the texture cache's eviction response).  Subpixel
+        (LCD) masks live in the color atlas and are freed individually."""
+        for cg in self.glyphs.values():
+            if cg.subpixel and cg.region is not None:
+                self.color_alloc.free(cg.region)
         self.glyphs.clear()
         self._glyph_last_use.clear()
         self.alpha_alloc = ShelfAllocator(self.alpha_alloc.width,
@@ -532,16 +635,25 @@ class ResourceCache:
         for tpl in self.images.values():
             tpl.region = None
             tpl.uploaded_generation = -1
+        self._crop_cache.clear()
+        self._crop_last_use.clear()
+        self._yuv_cache.clear()
+        self._yuv_last_use.clear()
         self.color_alloc = ShelfAllocator(self.color_alloc.width,
                                           self.color_alloc.height)
         # subpixel glyph masks live in the color atlas too
         self.glyphs.clear()
         self._glyph_last_use.clear()
+        self.alpha_alloc = ShelfAllocator(self.alpha_alloc.width,
+                                          self.alpha_alloc.height)
 
     def memory_pressure(self) -> None:
-        """render_api ClearCaches / NotifyMemoryPressure."""
+        """render_api ClearCaches / NotifyMemoryPressure.  Pending uploads
+        are dropped too: they address regions of the cleared allocators and
+        every consumer re-requests (and re-uploads) after a clear."""
         self.clear_glyph_caches()
         self.clear_image_caches()
+        self.pending_uploads.clear()
 
     def font_instance(self, font_instance_key: int):
         return self.font_instances.get((0, font_instance_key))
@@ -555,11 +667,9 @@ class ResourceCache:
         cache_key = ("yuv", tuple(yuv_keys),
                      tuple(self.images[k].generation
                            for k in yuv_keys if k in self.images))
-        cached = getattr(self, "_yuv_cache", None)
-        if cached is None:
-            cached = self._yuv_cache = {}
-        hit = cached.get(cache_key)
+        hit = self._yuv_cache.get(cache_key)
         if hit is not None:
+            self._yuv_last_use[cache_key] = self.frame_id
             return hit
         planes = []
         for k in yuv_keys:
@@ -622,12 +732,12 @@ class ResourceCache:
                 (2.0 * kb * (1.0 - kb) / kg) * u
         rgba = np.clip(np.stack(
             [r, g, b, np.ones_like(y)], axis=-1), 0.0, 1.0).astype(np.float32)
-        region = self.color_alloc.alloc(w, h)
-        assert region is not None, "color atlas full (yuv)"
+        region = self._alloc_color(w, h, "yuv")
         region = AtlasRegion(region.x, region.y, w, h)
         self.pending_uploads.append(PendingUpload(ATLAS_COLOR, region, rgba))
         result = (region, w, h)
-        cached[cache_key] = result
+        self._yuv_cache[cache_key] = result
+        self._yuv_last_use[cache_key] = self.frame_id
         return result
 
     # --- observability -------------------------------------------------------

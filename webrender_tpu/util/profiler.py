@@ -75,6 +75,10 @@ class Profiler:
         buf = self.samples.get(name)
         return buf[-1] if buf else None
 
+    def bump(self, name: str, by: float = 1.0) -> None:
+        """Monotonic event counter (profiler.rs event counters)."""
+        self.set(name, (self.get(name) or 0.0) + by)
+
     @contextmanager
     def timer(self, name: str):
         t0 = time.perf_counter()
