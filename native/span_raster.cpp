@@ -727,6 +727,53 @@ int wr_raster_pass(
             // (cov already includes coverage rect + clips)
             break;
           }
+          case 11: {  // line decoration (pattern_line_dec)
+            bool axis_v = p[13] > 0.5f;
+            float par = axis_v ? (ly - p[1]) : (lx - p[0]);
+            float perp = axis_v ? (lx - p[0]) : (ly - p[1]);
+            float hh = axis_v ? (p[2] - p[0]) : (p[3] - p[1]);
+            float aa = std::sqrt(sx * sy);
+            float style = p[12];
+            float alpha = 1.f;
+            if (style >= 0.5f && style < 1.5f) {  // dotted
+              float diameter = clampf(hh, 1.f, 64.f);
+              float period = 2.f * diameter;
+              float pxd = par - std::floor(par / period) * period;
+              float pyd = perp - std::floor(perp / diameter) * diameter;
+              float r = diameter * 0.5f;
+              float dd = std::sqrt((pxd - r) * (pxd - r) +
+                                   (pyd - r) * (pyd - r)) - r;
+              alpha = clampf(0.5f - dd * aa, 0.f, 1.f);
+            } else if (style < 2.5f && style >= 1.5f) {  // dashed
+              float dash = clampf(3.f * hh, 1.f, 64.f);
+              float period = 2.f * dash;
+              float pxs = par - std::floor(par / period) * period;
+              alpha = std::floor(pxs + 0.5f) <= dash ? 1.f : 0.f;
+            } else if (style >= 2.5f) {  // wavy
+              float lt = std::max(p[14], 1.f);
+              float half_lt = lt * 0.5f;
+              float slope = hh - lt;
+              float flat = std::max((lt - 1.f) * 2.f, 1.f);
+              float half_period = slope + flat;
+              float mid = hh * 0.5f;
+              float m2 = par - std::floor(par / (2.f * half_period)) *
+                                   (2.f * half_period);
+              float flip = m2 <= half_period ? -1.f : 1.f;
+              float peak_h = mid + (mid - half_lt) * flip;
+              float pxm = par - std::floor(par / half_period) * half_period;
+              const float inv_s2 = 0.70710678118654752f;
+              float d1 = (1.f * (0.f - pxm) + (-flip) * (peak_h - perp)) *
+                         inv_s2;
+              float d2 = (0.f * (0.f - pxm) + (-flip) * (peak_h - perp));
+              float d3 = (-1.f * (flat - pxm) + (-flip) * (peak_h - perp)) *
+                         inv_s2;
+              float dist = std::fabs(std::max(std::max(d1, d2), d3));
+              alpha = clampf(0.5f - (dist - half_lt) * aa, 0.f, 1.f);
+              if (half_lt <= 1.f) alpha = alpha > 0.5f ? 1.f : 0.f;
+            }
+            for (int ch = 0; ch < 4; ch++) color[ch] = p[8 + ch] * alpha;
+            break;
+          }
           case 10: {  // subpixel glyph: rgb LCD masks in the color atlas
             float gsu = (p[10] - p[8]) / std::max(p[2] - p[0], 1e-6f);
             float gsv = (p[11] - p[9]) / std::max(p[3] - p[1], 1e-6f);

@@ -1,8 +1,14 @@
 #!/usr/bin/env python
 """Run the reference's reftest corpus. Usage:
   python run_reftests.py [--engine oracle|device] [--suite NAME ...] [-v]
+                         [--json OUT.json]
+
+The JSON artifact records per-suite pass/fail/skip, every failure with its
+diff stats, every skip with its reason, and (device engine) the raster
+engine mix — evidence of which passes ran Pallas vs XLA vs sharded.
 """
 import argparse
+import json
 import sys
 import time
 from pathlib import Path
@@ -22,9 +28,11 @@ def main():
     ap.add_argument("--engine", default="oracle")
     ap.add_argument("--suite", nargs="*", default=SUITES)
     ap.add_argument("-v", "--verbose", action="store_true")
+    ap.add_argument("--json", default=None)
     args = ap.parse_args()
     harness = ReftestHarness(engine=args.engine)
     grand = [0, 0, 0]
+    suites_out = []
     for suite in args.suite:
         manifest = BASE / suite / "reftest.list"
         if not manifest.exists():
@@ -36,13 +44,32 @@ def main():
         grand[0] += p
         grand[1] += f
         grand[2] += s
+        dt = time.time() - t0
         print(f"{suite:22s} pass={p:3d} fail={f:3d} skip={s:3d}"
-              f"  ({time.time()-t0:.1f}s)", flush=True)
+              f"  ({dt:.1f}s)", flush=True)
+        fails = [{"line": r.case.line[:120], "detail": r.detail[:160]}
+                 for r in results if not r.passed]
+        skips = {}
+        for r in results:
+            if r.skipped:
+                skips[r.detail] = skips.get(r.detail, 0) + 1
+        suites_out.append({"suite": suite, "pass": p, "fail": f, "skip": s,
+                           "seconds": round(dt, 1), "failures": fails,
+                           "skip_reasons": skips})
         if args.verbose:
             for r in results:
                 if not r.passed:
                     print(f"   FAIL {r.case.line[:90]} | {r.detail[:110]}")
     print(f"{'TOTAL':22s} pass={grand[0]} fail={grand[1]} skip={grand[2]}")
+    if args.engine == "device":
+        print(f"engine mix: {harness.engine_counts}")
+    if args.json:
+        with open(args.json, "w") as fjs:
+            json.dump({"engine": args.engine,
+                       "total": {"pass": grand[0], "fail": grand[1],
+                                 "skip": grand[2]},
+                       "engine_mix": harness.engine_counts,
+                       "suites": suites_out}, fjs, indent=1)
     return 0
 
 

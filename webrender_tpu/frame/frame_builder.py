@@ -46,13 +46,13 @@ from .gpu import (BLEND_ADD, BLEND_CH_CLEAR, BLEND_CLEAR,
                   BLEND_PD_OUT, BLEND_PD_XOR, CLIP_STRIDE,
                   GRAD_LUT_SIZE, GpuBufferBuilder, KIND_BORDER,
                   KIND_BOX_SHADOW, KIND_CLEAR, KIND_CONIC_GRAD, KIND_GLYPH,
-                  KIND_IMAGE, KIND_LINEAR_GRAD, KIND_PICTURE,
+                  KIND_IMAGE, KIND_LINEAR_GRAD, KIND_LINE_DEC, KIND_PICTURE,
                   KIND_RADIAL_GRAD, KIND_SOLID, KIND_SUBPX_GLYPH,
                   gradient_stops_records,
                   identity_color_matrix, pad_pow2, pad_pow2_rows)
 from .tiles import TILE_H, TILE_W, bin_instances
 from .transforms import (build_transform_palette, device_bounds_of_rect,
-                         node_homography)
+                         device_bounds_of_rects, node_homography)
 
 PASS_RASTER = 0
 PASS_BLUR_H = 1
@@ -119,13 +119,54 @@ class Frame:
     surface_rows: int = 2048
 
 
-@dataclass
-class _InstanceMeta:
-    bbox: Tuple[float, float, float, float]  # device AABB (AA-inflated)
-    # device rect known fully opaque (occlusion culling — the
-    # rectangle_occlusion.rs role): instances binned under an opaque
-    # full-tile cover are dropped from that tile's list
-    opaque: Optional[Tuple[float, float, float, float]] = None
+class _MetaStore:
+    """Per-instance device AABBs + opaque interiors as growing numpy
+    buffers (SoA — the per-frame bump-allocated FrameVec role of
+    frame_allocator.rs; lets binning/hashing run vectorized)."""
+
+    def __init__(self, cap: int = 1024):
+        self._cap = cap
+        self.bbox = np.zeros((cap, 4), np.float32)
+        # opaque interior rect (occlusion culling — rectangle_occlusion.rs):
+        # instances binned under an opaque full-tile cover are dropped
+        self.opaque = np.zeros((cap, 4), np.float32)
+        self.opaque_mask = np.zeros(cap, bool)
+        self.n = 0
+
+    def _ensure(self, need: int) -> None:
+        if need <= self._cap:
+            return
+        cap = self._cap
+        while cap < need:
+            cap *= 2
+        for name in ("bbox", "opaque"):
+            buf = np.zeros((cap, 4), np.float32)
+            buf[: self.n] = getattr(self, name)[: self.n]
+            setattr(self, name, buf)
+        m = np.zeros(cap, bool)
+        m[: self.n] = self.opaque_mask[: self.n]
+        self.opaque_mask = m
+        self._cap = cap
+
+    def push(self, bbox, opaque=None) -> int:
+        self._ensure(self.n + 1)
+        i = self.n
+        self.bbox[i] = bbox
+        if opaque is not None:
+            self.opaque[i] = opaque
+            self.opaque_mask[i] = True
+        self.n += 1
+        return i
+
+    def push_block(self, bboxes: np.ndarray, opaques: np.ndarray = None,
+                   mask: np.ndarray = None) -> None:
+        k = bboxes.shape[0]
+        self._ensure(self.n + k)
+        self.bbox[self.n: self.n + k] = bboxes
+        if opaques is not None:
+            self.opaque[self.n: self.n + k] = opaques
+            self.opaque_mask[self.n: self.n + k] = mask
+        self.n += k
 
 
 class FrameBuilder:
@@ -161,7 +202,7 @@ class FrameBuilder:
         self.palette = np.concatenate([self.palette, dev_row], axis=0)
 
         self.gb = GpuBufferBuilder()
-        self.metas: List[_InstanceMeta] = []
+        self.metas = _MetaStore()
         self.passes: List[RenderPass] = []
         self.surface_atlas = FrameAtlas(self.surface_atlas_size[1],
                                         self.surface_atlas_size[0])
@@ -196,8 +237,7 @@ class FrameBuilder:
         # transform + clip content in paint order)
         self._compute_tile_hashes(f32_buf, instances)
         bboxes = np.zeros((instances.shape[0], 4), np.float32)
-        for i, m in enumerate(self.metas):
-            bboxes[i] = m.bbox
+        bboxes[: self.metas.n] = self.metas.bbox[: self.metas.n]
         used = self.surface_atlas.used_height
         rows = self.surface_atlas_size[0]
         while rows < used:
@@ -206,41 +246,67 @@ class FrameBuilder:
                      (w, h), bg.premultiplied(), bboxes,
                      surface_rows=rows)
 
+    _FNV_OFFSET = np.uint64(0xcbf29ce484222325)
+    _FNV_PRIME = np.uint64(0x100000001b3)
+
     def _compute_tile_hashes(self, f32_buf: np.ndarray,
                              instances: np.ndarray) -> None:
+        """Per-tile content hashes (picture.rs dependency tracking role),
+        fully vectorized: one FNV-1a fold over each instance's payload /
+        clip / transform content, then a per-tile fold over the slot
+        matrix — no Python loop over tiles or instances."""
         root_passes = [p for p in self.passes
                        if p.target == TARGET_ROOT and p.kind == PASS_RASTER]
         if len(root_passes) != 1:
             return  # backdrop-segmented targets re-render fully
         p = root_passes[0]
-        inst_hash: Dict[int, int] = {}
+        N = instances.shape[0]
+        PRIME = self._FNV_PRIME
 
-        def hash_instance(i: int) -> int:
-            h = inst_hash.get(i)
-            if h is None:
-                rec = instances[i]
-                addr = int(rec[2])
-                clip_addr = int(rec[3])
-                clip_n = int(rec[4])
-                payload = f32_buf[addr:addr + 64].tobytes()
-                clips = f32_buf[clip_addr:clip_addr + clip_n * CLIP_STRIDE
-                                ].tobytes() if clip_n else b""
-                trow = self.palette[int(rec[1])].tobytes()
-                h = hash((rec[0].item(), rec[5].item(), rec[6].item(),
-                          payload, clips, trow))
-                inst_hash[i] = h
-            return h
+        with np.errstate(over="ignore"):
+            h = np.full(N, self._FNV_OFFSET)
+            # instance fields (kind, blend, edge)
+            for c in (0, 5, 6):
+                h = (h ^ instances[:, c].astype(np.uint64)) * PRIME
+            # payload content: 64 f32 = 32 u64 words per instance
+            offs = np.clip(instances[:, 2].astype(np.int64)[:, None]
+                           + np.arange(64)[None, :], 0, f32_buf.size - 1)
+            pay = np.ascontiguousarray(f32_buf[offs]).view(np.uint64)
+            for c in range(pay.shape[1]):
+                h = (h ^ pay[:, c]) * PRIME
+            # transform palette row content
+            trows = self.palette[instances[:, 1]]
+            tr = np.ascontiguousarray(trows, np.float32).view(
+                np.uint32).astype(np.uint64)
+            for c in range(tr.shape[1]):
+                h = (h ^ tr[:, c]) * PRIME
+            # clip content: few unique (addr, count) groups (clip chains are
+            # cached at serialization) — hash each group once
+            caddr = instances[:, 3].astype(np.int64)
+            ccount = instances[:, 4].astype(np.int64)
+            groups = {}
+            ch = np.zeros(N, np.uint64)
+            for i in np.nonzero(ccount > 0)[0]:
+                key = (caddr[i], ccount[i])
+                g = groups.get(key)
+                if g is None:
+                    blob = f32_buf[key[0]: key[0] + key[1] * CLIP_STRIDE]
+                    g = np.uint64(hash(blob.tobytes())
+                                  & 0xFFFFFFFFFFFFFFFF)
+                    groups[key] = g
+                ch[i] = g
+            h = (h ^ ch) * PRIME
 
-        nt = p.tile_insts.shape[0]
-        hashes = np.empty(nt, np.uint64)
-        base = hash(p.clear)
-        for t in range(nt):
-            row = p.tile_insts[t]
-            ids = row[row >= 0]
-            hashes[t] = np.uint64(
-                hash((base, tuple(hash_instance(int(i)) for i in ids)))
-                & 0xFFFFFFFFFFFFFFFF)
-        p.tile_hashes = hashes
+            # per-tile fold in slot order
+            nt, slots = p.tile_insts.shape
+            ti = p.tile_insts
+            ih = np.where(ti >= 0, h[np.maximum(ti, 0)],
+                          np.uint64(0x9e3779b97f4a7c15))
+            th = np.full(nt, self._FNV_OFFSET ^
+                         np.uint64(hash(p.clear) & 0xFFFFFFFFFFFFFFFF))
+            for s in range(slots):
+                th = (th ^ ih[:, s]) * PRIME
+        p.tile_hashes = th
 
     # ------------------------------------------------------------------
     # picture traversal / surfaces
@@ -258,8 +324,141 @@ class FrameBuilder:
                 self._emit_child(child, out)
                 self._poly_clip = prev
             return
+        batch: List = []
         for child in pic.children:
+            if type(child) is RectanglePrim:
+                batch.append(child)
+                continue
+            self._flush_rect_batch(batch, out)
             self._emit_child(child, out)
+        self._flush_rect_batch(batch, out)
+
+    def _flush_rect_batch(self, batch: List, out: List[int]) -> None:
+        """Vectorized solid-rect prepare: consecutive RectanglePrims are
+        grouped by (spatial, clip chain) and processed as numpy blocks —
+        the prepare.rs hot loop without per-prim Python (painter order is
+        preserved: the batch only spans consecutive children)."""
+        if not batch:
+            return
+        if len(batch) < 4:
+            for prim in batch:
+                self._prepare_prim(prim, out)
+            batch.clear()
+            return
+        groups: List[Tuple[Tuple, List]] = []
+        for prim in batch:
+            c = prim.common
+            key = (c.spatial_node, c.clip_chain, c.backface_cull_spatial,
+                   c.is_backface_visible, c.containing_block)
+            if groups and groups[-1][0] == key:
+                groups[-1][1].append(prim)
+            else:
+                groups.append((key, [prim]))
+        for _, prims in groups:
+            if len(prims) < 4:
+                for prim in prims:
+                    self._prepare_prim(prim, out)
+            else:
+                self._prepare_rects_vec(prims, out)
+        batch.clear()
+
+    def _prepare_rects_vec(self, prims: List, out: List[int]) -> None:
+        c0: PrimCommon = prims[0].common
+        pal = self._pal(c0.spatial_node)
+        if int(pal[11]) & 1:
+            return
+        if not c0.is_backface_visible and self._prim_backfacing(c0):
+            return
+        if self._sc_backface_culled(c0.backface_cull_spatial):
+            return
+        axis_aligned = self.resolved[c0.spatial_node].is_2d_axis_aligned \
+            and self._rctx is None
+        M = len(prims)
+        rects = np.array([(p.common.local_rect.x0, p.common.local_rect.y0,
+                           p.common.local_rect.x1, p.common.local_rect.y1)
+                          for p in prims], np.float64)
+        clips = np.array([(p.common.clip_rect.x0, p.common.clip_rect.y0,
+                           p.common.clip_rect.x1, p.common.clip_rect.y1)
+                          for p in prims], np.float64)
+        colors = np.array([(p.color.r, p.color.g, p.color.b, p.color.a)
+                           for p in prims], np.float64)
+        H = self._H(c0.spatial_node)
+        finite = np.isfinite(rects).all(1)
+        if axis_aligned:
+            # _snap_rect vectorized (half-even rounding like Python round)
+            sx, sy = H[0, 0], H[1, 1]
+            tx, ty = H[2, 0], H[2, 1]
+            if abs(sx) >= 1e-9 and abs(sy) >= 1e-9 and \
+                    np.isfinite((sx, sy, tx, ty)).all():
+                snapped = np.empty_like(rects)
+                snapped[:, 0] = (np.round(rects[:, 0] * sx + tx) - tx) / sx
+                snapped[:, 1] = (np.round(rects[:, 1] * sy + ty) - ty) / sy
+                snapped[:, 2] = (np.round(rects[:, 2] * sx + tx) - tx) / sx
+                snapped[:, 3] = (np.round(rects[:, 3] * sy + ty) - ty) / sy
+                rects = np.where(finite[:, None], snapped, rects)
+        cov = np.empty_like(rects)
+        cov[:, 0] = np.maximum(rects[:, 0], clips[:, 0])
+        cov[:, 1] = np.maximum(rects[:, 1], clips[:, 1])
+        cov[:, 2] = np.minimum(rects[:, 2], clips[:, 2])
+        cov[:, 3] = np.minimum(rects[:, 3], clips[:, 3])
+        keep = (cov[:, 2] > cov[:, 0]) & (cov[:, 3] > cov[:, 1])
+        if axis_aligned:
+            edge_aa = ((cov[:, 0] <= rects[:, 0]) * 1
+                       + (cov[:, 1] <= rects[:, 1]) * 2
+                       + (cov[:, 2] >= rects[:, 2]) * 4
+                       + (cov[:, 3] >= rects[:, 3]) * 8)
+        else:
+            edge_aa = np.full(M, 0xF, np.int64)
+        clip_addr, clip_count, clip_bbox = self._serialize_clips(
+            c0.clip_chain, c0.spatial_node)
+        db = device_bounds_of_rects(H, cov)
+        if clip_bbox is not None:
+            db[:, 0] = np.maximum(db[:, 0], clip_bbox[0])
+            db[:, 1] = np.maximum(db[:, 1], clip_bbox[1])
+            db[:, 2] = np.minimum(db[:, 2], clip_bbox[2])
+            db[:, 3] = np.minimum(db[:, 3], clip_bbox[3])
+        vp = self.viewport
+        db[:, 0] = np.maximum(db[:, 0], vp.x0 - 4096)
+        db[:, 1] = np.maximum(db[:, 1], vp.y0 - 4096)
+        db[:, 2] = np.minimum(db[:, 2], vp.x1 + 4096)
+        db[:, 3] = np.minimum(db[:, 3], vp.y1 + 4096)
+        keep &= np.isfinite(db).all(1) & finite
+        keep &= (db[:, 2] > db[:, 0]) & (db[:, 3] > db[:, 1])
+        if not keep.any():
+            return
+        k = int(keep.sum())
+        # premultiplied colors quantized to the u8 grid (_premult)
+        a = colors[keep, 3]
+        prem = np.empty((k, 4), np.float64)
+        prem[:, 0] = colors[keep, 0] * a
+        prem[:, 1] = colors[keep, 1] * a
+        prem[:, 2] = colors[keep, 2] * a
+        prem[:, 3] = a
+        prem = np.round(prem * 255.0) / 255.0
+        pay = np.empty((k, 12), np.float32)
+        pay[:, 0:4] = rects[keep]
+        pay[:, 4:8] = cov[keep]
+        pay[:, 8:12] = prem
+        addrs = self.gb.push_f32_block(pay)
+        row = self._row(c0.spatial_node)
+        inst = np.empty((k, 8), np.int64)
+        inst[:, 0] = KIND_SOLID
+        inst[:, 1] = row
+        inst[:, 2] = addrs
+        inst[:, 3] = clip_addr
+        inst[:, 4] = clip_count
+        inst[:, 5] = BLEND_NORMAL
+        inst[:, 6] = edge_aa[keep]
+        inst[:, 7] = 0
+        idxs = self.gb.push_instance_block(inst)
+        opq = np.empty((k, 4), np.float32)
+        opq[:, 0] = db[keep, 0] + 1.0
+        opq[:, 1] = db[keep, 1] + 1.0
+        opq[:, 2] = db[keep, 2] - 1.0
+        opq[:, 3] = db[keep, 3] - 1.0
+        omask = (prem[:, 3] >= 1.0) & (clip_count == 0) & axis_aligned
+        self.metas.push_block(db[keep].astype(np.float32), opq, omask)
+        out.extend(idxs.tolist())
 
     def _emit_child(self, child, out: List[int]) -> None:
         if isinstance(child, PicturePrim):
@@ -514,10 +713,12 @@ class FrameBuilder:
                 if inst is not None:
                     seg.insert(0, inst)
             if seg or i == 0:
+                seg_ids = np.asarray(seg, np.int64)
                 tile_insts, tile_counts, nx, ny = bin_instances(
-                    seg, [self.metas[j].bbox for j in seg], (ox, oy), (w, h),
+                    seg_ids, self.metas.bbox[seg_ids], (ox, oy), (w, h),
                     step=step,
-                    opaque=[self.metas[j].opaque for j in seg])
+                    opaque=self.metas.opaque[seg_ids],
+                    opaque_mask=self.metas.opaque_mask[seg_ids])
                 self.passes.append(RenderPass(
                     PASS_RASTER, target, region, (float(ox), float(oy)),
                     clear=clear if i == 0 else None,
@@ -589,7 +790,7 @@ class FrameBuilder:
         idx = self.gb.push_instance(KIND_PICTURE, self.device_spatial, addr,
                                     clip_addr, clip_count, BLEND_NORMAL,
                                     edge_aa=0)
-        self.metas.append(_InstanceMeta(tuple(bbox)))
+        self.metas.push(tuple(bbox))
         return idx
 
     def _accumulate_filters(self, filters, filter_datas, spatial: int):
@@ -736,7 +937,7 @@ class FrameBuilder:
         for i in child_insts:
             if isinstance(i, tuple):
                 continue
-            b = self.metas[i].bbox
+            b = self.metas.bbox[i]
             bbox = b if bbox is None else (
                 min(bbox[0], b[0]), min(bbox[1], b[1]),
                 max(bbox[2], b[2]), max(bbox[3], b[3]))
@@ -828,7 +1029,7 @@ class FrameBuilder:
             if clip_bbox is not None:
                 dbb = (max(dbb[0], clip_bbox[0]), max(dbb[1], clip_bbox[1]),
                        min(dbb[2], clip_bbox[2]), min(dbb[3], clip_bbox[3]))
-            self.metas.append(_InstanceMeta(dbb))
+            self.metas.push(dbb)
             out.append(idx)
             return
 
@@ -1007,11 +1208,11 @@ class FrameBuilder:
                 idx = self.gb.push_instance(
                     KIND_PICTURE, self.device_spatial, addr, 0, 0,
                     e.get("blend", BLEND_NORMAL), edge_aa=0)
-                self.metas.append(_InstanceMeta(tuple(cov)))
+                self.metas.push(tuple(cov))
                 insts.append(idx)
+            ins_ids = np.asarray(insts, np.int64)
             tile_insts, tile_counts, nx, ny = bin_instances(
-                insts, [self.metas[i].bbox for i in insts], (x0, y0),
-                (cw, ch))
+                ins_ids, self.metas.bbox[ins_ids], (x0, y0), (cw, ch))
             self.passes.append(RenderPass(
                 PASS_RASTER, TARGET_SURFACE, (dst.x, dst.y, cw, ch),
                 (float(x0), float(y0)), clear=clear, tile_insts=tile_insts,
@@ -1027,11 +1228,11 @@ class FrameBuilder:
                 addr = self.gb.push_f32(payload)
                 idx = self.gb.push_instance(KIND_SOLID, self.device_spatial,
                                             addr, 0, 0, BLEND_NORMAL, 0)
-                self.metas.append(_InstanceMeta(tuple(cov)))
+                self.metas.push(tuple(cov))
                 insts.append(idx)
+            ins_ids = np.asarray(insts, np.int64)
             tile_insts, tile_counts, nx, ny = bin_instances(
-                insts, [self.metas[i].bbox for i in insts], (x0, y0),
-                (cw, ch))
+                ins_ids, self.metas.bbox[ins_ids], (x0, y0), (cw, ch))
             self.passes.append(RenderPass(
                 PASS_RASTER, TARGET_SURFACE, (dst.x, dst.y, cw, ch),
                 (float(x0), float(y0)), clear=(0, 0, 0, 0),
@@ -1253,7 +1454,7 @@ class FrameBuilder:
         if clip_bbox is not None:
             bbox = (max(bbox[0], clip_bbox[0]), max(bbox[1], clip_bbox[1]),
                     min(bbox[2], clip_bbox[2]), min(bbox[3], clip_bbox[3]))
-        self.metas.append(_InstanceMeta(bbox))
+        self.metas.push(bbox)
         out.append(idx)
 
     # ------------------------------------------------------------------
@@ -1440,10 +1641,19 @@ class FrameBuilder:
             self._prepare_box_shadow(prim, c, out)
             return
         if isinstance(prim, LineDecorationPrim):
-            # v0: solid lines as rects (cs_line_decoration patterns TODO)
+            from ..api.display_item import LineOrientation
+            if prim.style == LineStyle.SOLID:
+                self._emit_rect_like(prim, c, axis_aligned, out,
+                                     KIND_SOLID, list(_premult(prim.color)),
+                                     BLEND_NORMAL)
+                return
+            axis = 0.0 if prim.orientation == LineOrientation.HORIZONTAL \
+                else 1.0
+            tail = list(_premult(prim.color)) + [
+                float(prim.style.value), axis,
+                float(prim.wavy_line_thickness)]
             self._emit_rect_like(prim, c, axis_aligned, out,
-                                 KIND_SOLID, list(_premult(prim.color)),
-                                 BLEND_NORMAL)
+                                 KIND_LINE_DEC, tail, BLEND_NORMAL)
             return
         if isinstance(prim, NormalBorderPrim):
             self._prepare_border(prim, c, axis_aligned, out)
@@ -1522,14 +1732,14 @@ class FrameBuilder:
         idx = self.gb.push_instance(kind, self._row(c.spatial_node),
                                     addr, clip_addr,
                                     clip_count, blend, edge_aa)
-        meta = _InstanceMeta(bbox)
+        opaque = None
         if kind == KIND_SOLID and blend == BLEND_NORMAL and \
                 clip_count == 0 and axis_aligned and \
                 len(payload_tail) >= 4 and payload_tail[3] >= 1.0:
             # interior of an opaque axis-aligned solid (1px AA margin)
-            meta.opaque = (bbox[0] + 1.0, bbox[1] + 1.0,
-                           bbox[2] - 1.0, bbox[3] - 1.0)
-        self.metas.append(meta)
+            opaque = (bbox[0] + 1.0, bbox[1] + 1.0,
+                      bbox[2] - 1.0, bbox[3] - 1.0)
+        self.metas.push(bbox, opaque)
         out.append(idx)
 
     def _gradient_stops_addr(self, stops) -> Tuple[int, int]:
@@ -1707,93 +1917,138 @@ class FrameBuilder:
         # quantized subpixel X positioning (wr_glyph_rasterizer
         # SubpixelOffset::quantize): 8ths bucketed to quarters; mono text
         # snaps whole pixels. Glyph bitmaps raster per offset bucket.
-        _OFF8 = (0.0, 0.25, 0.25, 0.5, 0.5, 0.75, 0.75, 1.0)
+        # The whole run is prepared VECTORIZED (prepare.rs hot path as
+        # numpy array ops; one payload/instance block push per run).
+        _OFF8 = np.array((0.0, 0.25, 0.25, 0.5, 0.5, 0.75, 0.75, 1.0))
 
-        def pen_x(gx):
-            v = gx * sx_ + tx_ if snap_dev else gx
-            if mono or not snap_dev:
-                return float(round(v)), 0.0
-            base = math.floor(v)
-            off = _OFF8[int((v - base) * 8.0) & 7]
-            if off == 1.0:
-                return base + 1.0, 0.0
-            return float(base), off
+        G = len(prim.glyphs)
+        if G == 0:
+            return
+        gis = np.fromiter((g[0] for g in prim.glyphs), np.int64, G)
+        gxs = np.fromiter((g[1] for g in prim.glyphs), np.float64, G)
+        gys = np.fromiter((g[2] for g in prim.glyphs), np.float64, G)
+        v = gxs * sx_ + tx_ if snap_dev else gxs
+        if mono or not snap_dev:
+            dev_x = np.round(v)
+            off = np.zeros(G)
+        else:
+            base = np.floor(v)
+            o = _OFF8[((v - base) * 8.0).astype(np.int64) & 7]
+            dev_x = np.where(o == 1.0, base + 1.0, base)
+            off = np.where(o == 1.0, 0.0, o)
 
-        pens = [pen_x(gx) for (gi, gx, gy) in prim.glyphs]
-        ids_by_off: Dict[float, List[int]] = {}
-        for (gi, _, _), (_, off) in zip(prim.glyphs, pens):
-            ids_by_off.setdefault(off, []).append(gi)
-        glyph_sets = {
-            off: self.resources.request_glyphs(
-                prim.font_instance_key, ids, scale=gscale,
-                render_mode=mode_override, subpx_x=off)
-            for off, ids in ids_by_off.items()}
+        # rasterize per offset bucket; per-bucket metric tables indexed by
+        # unique glyph id (searchsorted gather, no per-glyph dict walk;
+        # repeat frames hit the resource cache's metric-table cache)
+        metrics = np.zeros((G, 6), np.float64)  # left top w h rx ry
+        present = np.zeros(G, bool)
+        is_subpx = False
+        for o in np.unique(off):
+            sel = off == o
+            ids = np.unique(gis[sel])
+            table, ok, subpx = self.resources.request_glyph_metrics(
+                prim.font_instance_key, tuple(ids.tolist()), gscale,
+                mode_override, float(o))
+            is_subpx = is_subpx or subpx
+            pos = np.searchsorted(ids, gis[sel])
+            metrics[sel] = table[pos]
+            present[sel] = ok[pos]
 
-        for (gi, gx, gy), (dev_x, off) in zip(prim.glyphs, pens):
-            cg = glyph_sets[off].get(gi)
-            if cg is None or cg.region is None:
-                continue
+        inv64 = float(inv)
+        left, top = metrics[:, 0], metrics[:, 1]
+        bw = metrics[:, 2] + 2.0
+        bh = metrics[:, 3] + 2.0
+        if snap_dev:
             # pen snapped to whole device pixels *after* the transform
             # (glyph raster is grid-fitted; text/snap-text-offset.yaml);
             # the subpixel fraction lives in the bitmap raster
-            if snap_dev:
-                px = (dev_x - tx_) / sx_ + cg.left * inv
-                py = (round(gy * sy_ + ty_) - ty_) / sy_ - cg.top * inv
-            else:
-                px = dev_x + cg.left * inv
-                py = round(gy) - cg.top * inv
-            # the uv rect is the 1-texel-inset ring of the padded upload:
-            # a transparent frame around the content so bilinear taps never
-            # touch atlas neighbours (resource_cache glyph border)
-            bw = cg.width + 2
-            bh = cg.height + 2
-            rect = Rect(px - inv, py - inv, bw * inv, bh * inv)
-            cov = rect.intersection(clip_rect)
-            if cov is None:
-                continue
-            if snap_dev and mono:
-                # mono (grid-fitted, no AA) glyphs are not cut mid-raster
-                # by the run's local clip: partially-visible glyphs draw
-                # whole (text/snap-clip.yaml vs its unclipped ref);
-                # AA text clips pixel-exact (shadow-partial-glyph.yaml)
-                cov = rect
-            db = device_bounds_of_rect(self._H(c.spatial_node),
-                                       cov.x0, cov.y0, cov.x1, cov.y1)
-            bbox = db
-            if clip_bbox is not None:
-                bbox = (max(bbox[0], clip_bbox[0]),
-                        max(bbox[1], clip_bbox[1]),
-                        min(bbox[2], clip_bbox[2]),
-                        min(bbox[3], clip_bbox[3]))
-            if bbox[2] <= bbox[0] or bbox[3] <= bbox[1]:
-                continue
-            geom = [rect.x0, rect.y0, rect.x1, rect.y1,
-                    cov.x0, cov.y0, cov.x1, cov.y1,
-                    cg.region.x + 1, cg.region.y + 1,
-                    cg.region.x + 1 + bw, cg.region.y + 1 + bh]
-            if cg.subpixel:
-                # dual-source pair: punch dst per channel by mask·a, then
-                # add color·mask·a (ps_text_run dual-source blending)
-                a = col[3]
-                addr = self.gb.push_f32(geom + [a, a, a, a])
-                idx = self.gb.push_instance(
-                    KIND_SUBPX_GLYPH, self._row(c.spatial_node), addr,
-                    clip_addr, clip_count, BLEND_CH_CLEAR, 0)
-                self.metas.append(_InstanceMeta(bbox))
-                out.append(idx)
-                addr = self.gb.push_f32(geom + col)
-                idx = self.gb.push_instance(
-                    KIND_SUBPX_GLYPH, self._row(c.spatial_node), addr,
-                    clip_addr, clip_count, BLEND_ADD, 0)
-                self.metas.append(_InstanceMeta(bbox))
-                out.append(idx)
-                continue
-            addr = self.gb.push_f32(geom + col)
-            idx = self.gb.push_instance(KIND_GLYPH,
-                                        self._row(c.spatial_node), addr,
-                                        clip_addr, clip_count, BLEND_NORMAL, 0)
-            self.metas.append(_InstanceMeta(bbox))
-            out.append(idx)
+            pxg = (dev_x - tx_) / sx_ + left * inv64
+            pyg = (np.round(gys * sy_ + ty_) - ty_) / sy_ - top * inv64
+        else:
+            pxg = dev_x + left * inv64
+            pyg = np.round(gys) - top * inv64
+        # the uv rect is the 1-texel-inset ring of the padded upload:
+        # a transparent frame around the content so bilinear taps never
+        # touch atlas neighbours (resource_cache glyph border)
+        rx0 = pxg - inv64
+        ry0 = pyg - inv64
+        rx1 = rx0 + bw * inv64
+        ry1 = ry0 + bh * inv64
+        cx0 = np.maximum(rx0, clip_rect.x0)
+        cy0 = np.maximum(ry0, clip_rect.y0)
+        cx1 = np.minimum(rx1, clip_rect.x1)
+        cy1 = np.minimum(ry1, clip_rect.y1)
+        keep = present & (cx1 > cx0) & (cy1 > cy0)
+        if snap_dev and mono:
+            # mono (grid-fitted, no AA) glyphs are not cut mid-raster
+            # by the run's local clip: partially-visible glyphs draw
+            # whole (text/snap-clip.yaml vs its unclipped ref);
+            # AA text clips pixel-exact (shadow-partial-glyph.yaml)
+            cx0, cy0, cx1, cy1 = rx0, ry0, rx1, ry1
+        db = device_bounds_of_rects(
+            self._H(c.spatial_node), np.stack([cx0, cy0, cx1, cy1], 1))
+        if clip_bbox is not None:
+            db[:, 0] = np.maximum(db[:, 0], clip_bbox[0])
+            db[:, 1] = np.maximum(db[:, 1], clip_bbox[1])
+            db[:, 2] = np.minimum(db[:, 2], clip_bbox[2])
+            db[:, 3] = np.minimum(db[:, 3], clip_bbox[3])
+        keep &= (db[:, 2] > db[:, 0]) & (db[:, 3] > db[:, 1])
+        if not keep.any():
+            return
+        k = int(keep.sum())
+        geom = np.empty((k, 16), np.float32)
+        geom[:, 0] = rx0[keep]
+        geom[:, 1] = ry0[keep]
+        geom[:, 2] = rx1[keep]
+        geom[:, 3] = ry1[keep]
+        geom[:, 4] = cx0[keep]
+        geom[:, 5] = cy0[keep]
+        geom[:, 6] = cx1[keep]
+        geom[:, 7] = cy1[keep]
+        geom[:, 8] = metrics[keep, 4] + 1.0
+        geom[:, 9] = metrics[keep, 5] + 1.0
+        geom[:, 10] = metrics[keep, 4] + 1.0 + bw[keep]
+        geom[:, 11] = metrics[keep, 5] + 1.0 + bh[keep]
+        row = self._row(c.spatial_node)
+        if is_subpx:
+            # dual-source pair per glyph: punch dst per channel by mask·a,
+            # then add color·mask·a (ps_text_run dual-source blending)
+            a = col[3]
+            pay = np.empty((2 * k, 16), np.float32)
+            pay[0::2] = geom
+            pay[1::2] = geom
+            pay[0::2, 12:16] = (a, a, a, a)
+            pay[1::2, 12:16] = col
+            addrs = self.gb.push_f32_block(pay)
+            inst = np.empty((2 * k, 8), np.int64)
+            inst[:, 0] = KIND_SUBPX_GLYPH
+            inst[:, 1] = row
+            inst[:, 2] = addrs
+            inst[:, 3] = clip_addr
+            inst[:, 4] = clip_count
+            inst[0::2, 5] = BLEND_CH_CLEAR
+            inst[1::2, 5] = BLEND_ADD
+            inst[:, 6] = 0
+            inst[:, 7] = 0
+            idxs = self.gb.push_instance_block(inst)
+            bb2 = np.repeat(db[keep], 2, axis=0)
+            self.metas.push_block(bb2.astype(np.float32))
+            out.extend(idxs.tolist())
+            return
+        geom[:, 12:16] = col
+        addrs = self.gb.push_f32_block(geom)
+        inst = np.empty((k, 8), np.int64)
+        inst[:, 0] = KIND_GLYPH
+        inst[:, 1] = row
+        inst[:, 2] = addrs
+        inst[:, 3] = clip_addr
+        inst[:, 4] = clip_count
+        inst[:, 5] = BLEND_NORMAL
+        inst[:, 6] = 0
+        inst[:, 7] = 0
+        idxs = self.gb.push_instance_block(inst)
+        self.metas.push_block(db[keep].astype(np.float32))
+        out.extend(idxs.tolist())
 
     def _prepare_box_shadow(self, prim: BoxShadowPrim, c: PrimCommon,
                             out: List[int]) -> None:
@@ -1841,7 +2096,7 @@ class FrameBuilder:
         idx = self.gb.push_instance(KIND_BOX_SHADOW,
                                     self._row(c.spatial_node), addr,
                                     clip_addr, clip_count, BLEND_NORMAL, 0)
-        self.metas.append(_InstanceMeta(bbox))
+        self.metas.push(bbox)
         out.append(idx)
 
     def _prepare_border(self, prim: NormalBorderPrim, c: PrimCommon,
@@ -1903,7 +2158,7 @@ class FrameBuilder:
                                     self._row(c.spatial_node), addr,
                                     clip_addr, clip_count, BLEND_NORMAL,
                                     edge_aa)
-        self.metas.append(_InstanceMeta(bbox))
+        self.metas.push(bbox)
         out.append(idx)
 
     def _prepare_nine_patch(self, prim: NinePatchBorderPrim, c: PrimCommon,

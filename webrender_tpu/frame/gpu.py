@@ -57,8 +57,9 @@ KIND_CLEAR = 7
 KIND_BOX_SHADOW = 8
 KIND_BORDER = 9
 KIND_SUBPX_GLYPH = 10   # subpixel-AA glyph: rgb per-channel masks
+KIND_LINE_DEC = 11      # dotted/dashed/wavy line decorations
 
-N_KINDS = 11
+N_KINDS = 12
 
 # instance record fields
 INST_KIND = 0
@@ -99,7 +100,11 @@ class GpuBufferBuilder:
     def __init__(self):
         self._f32: List[np.ndarray] = []
         self._f32_len = 0
-        self._instances: List[List[int]] = []
+        # instance chunks: plain lists (scalar pushes) interleaved with
+        # numpy blocks (batch pushes); concatenated once at finish()
+        self._inst_chunks: List = []
+        self._inst_tail: List[List[int]] = []
+        self._inst_len = 0
 
     # --- f32 buffer --------------------------------------------------------
     ALIGN = 128  # lane-aligned addresses let Pallas read payload rows
@@ -114,19 +119,45 @@ class GpuBufferBuilder:
         self._f32_len += arr.size
         return addr
 
+    def push_f32_block(self, rows: np.ndarray) -> np.ndarray:
+        """Batch push: rows [N, K] (K padded to ALIGN) → per-row addresses
+        [N] (the vectorized prepare paths write whole payload blocks)."""
+        n, k = rows.shape
+        pad = (-k) % self.ALIGN
+        if pad:
+            rows = np.concatenate(
+                [rows, np.zeros((n, pad), np.float32)], axis=1)
+            k += pad
+        addr = self._f32_len
+        self._f32.append(np.ascontiguousarray(rows, np.float32).reshape(-1))
+        self._f32_len += n * k
+        return addr + np.arange(n, dtype=np.int64) * k
+
     # --- instances ---------------------------------------------------------
     def push_instance(self, kind: int, spatial: int, prim_addr: int,
                       clip_addr: int = 0, clip_count: int = 0,
                       blend: int = BLEND_NORMAL, edge_aa: int = 0xF,
                       flags: int = 0) -> int:
-        idx = len(self._instances)
-        self._instances.append([kind, spatial, prim_addr, clip_addr,
+        idx = self._inst_len
+        self._inst_tail.append([kind, spatial, prim_addr, clip_addr,
                                 clip_count, blend, edge_aa, flags])
+        self._inst_len += 1
         return idx
+
+    def push_instance_block(self, rows: np.ndarray) -> np.ndarray:
+        """Batch push of [N, INST_FIELDS] int records → instance ids [N]."""
+        if self._inst_tail:
+            self._inst_chunks.append(
+                np.asarray(self._inst_tail, np.int32))
+            self._inst_tail = []
+        base = self._inst_len
+        self._inst_chunks.append(rows.astype(np.int32))
+        self._inst_len += rows.shape[0]
+        return base + np.arange(rows.shape[0], dtype=np.int64)
 
     @property
     def num_instances(self) -> int:
-        return len(self._instances)
+        return self._inst_len
 
     # --- finalize ----------------------------------------------------------
     def finish(self) -> Tuple[np.ndarray, np.ndarray]:
@@ -134,8 +165,12 @@ class GpuBufferBuilder:
             f32 = np.concatenate(self._f32)
         else:
             f32 = np.zeros(4, np.float32)
-        if self._instances:
-            inst = np.asarray(self._instances, dtype=np.int32)
+        if self._inst_tail:
+            self._inst_chunks.append(np.asarray(self._inst_tail, np.int32))
+            self._inst_tail = []
+        if self._inst_chunks:
+            inst = np.concatenate(self._inst_chunks, axis=0) \
+                if len(self._inst_chunks) > 1 else self._inst_chunks[0]
         else:
             inst = np.zeros((1, INST_FIELDS), np.int32)
         # tail pad so fixed-size payload reads never run off the end,

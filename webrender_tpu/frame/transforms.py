@@ -75,3 +75,25 @@ def device_bounds_of_rect(H: np.ndarray, x0, y0, x1, y1):
     xs = [p[0] for p in pts]
     ys = [p[1] for p in pts]
     return min(xs), min(ys), max(xs), max(ys)
+
+
+def device_bounds_of_rects(H: np.ndarray, rects: np.ndarray) -> np.ndarray:
+    """Vectorized device_bounds_of_rect: rects [G, 4] (x0,y0,x1,y1) →
+    device AABBs [G, 4] under one homography (same math, batched)."""
+    g = rects.shape[0]
+    corners = np.empty((g, 4, 3), np.float64)
+    corners[..., 2] = 1.0
+    corners[:, 0, 0] = rects[:, 0]
+    corners[:, 0, 1] = rects[:, 1]
+    corners[:, 1, 0] = rects[:, 2]
+    corners[:, 1, 1] = rects[:, 1]
+    corners[:, 2, 0] = rects[:, 0]
+    corners[:, 2, 1] = rects[:, 3]
+    corners[:, 3, 0] = rects[:, 2]
+    corners[:, 3, 1] = rects[:, 3]
+    p = corners @ H
+    w = p[..., 2]
+    w = np.where(np.abs(w) > 1e-9, w, 1e-9)
+    xs = p[..., 0] / w
+    ys = p[..., 1] / w
+    return np.stack([xs.min(1), ys.min(1), xs.max(1), ys.max(1)], axis=1)

@@ -36,61 +36,138 @@ from ...frame.gpu import (KIND_SUBPX_GLYPH,
                           INST_PRIM_ADDR, INST_SPATIAL, KIND_BORDER,
                           KIND_BOX_SHADOW, KIND_CLEAR, KIND_CONIC_GRAD,
                           KIND_GLYPH, KIND_IMAGE, KIND_LINEAR_GRAD,
-                          KIND_PICTURE, KIND_RADIAL_GRAD, KIND_SOLID)
+                          KIND_LINE_DEC, KIND_PICTURE, KIND_RADIAL_GRAD,
+                          KIND_SOLID)
 from ...frame.tiles import TILE_H, TILE_W
 from .. import blend as blend_mod
 from .. import patterns as pk
 
 # kinds whose pattern is pure arithmetic (no texture fetch)
 MATH_KINDS = (KIND_SOLID, KIND_LINEAR_GRAD, KIND_RADIAL_GRAD,
-              KIND_CONIC_GRAD, KIND_CLEAR, KIND_BOX_SHADOW, KIND_BORDER)
-# kinds sampled via translation-only atlas windows
+              KIND_CONIC_GRAD, KIND_CLEAR, KIND_BOX_SHADOW, KIND_BORDER,
+              KIND_LINE_DEC)
+# kinds sampled via translation-only atlas windows (DMA + register roll)
 SAMPLED_KINDS = (KIND_GLYPH, KIND_PICTURE, KIND_SUBPX_GLYPH)
+
+# dense-record pseudo-kinds (pallas path only): axis-aligned scaled
+# sampling via the separable MXU path (two small matmuls — see
+# _sep_sample in the kernel).  KIND_IMAGE always routes here; glyph /
+# picture / subpx instances route here when the translation-1:1 fast
+# path doesn't apply.
+K_SEP_IMAGE = 12
+K_SEP_GLYPH = 13
+K_SEP_PICTURE = 14
+K_SEP_SUBPX = 15
+SEP_KINDS = (K_SEP_IMAGE, K_SEP_GLYPH, K_SEP_PICTURE, K_SEP_SUBPX)
 
 SAMP_H = TILE_H + 8      # sublane-aligned margin for the +1 bilinear tap
 SAMP_W = TILE_W + 128    # lane-aligned margin
+
+# separable-sampling atlas window: covers up to 2x minification of a tile
+# plus alignment slack (8 rows / 128 lanes) plus the +1 bilinear tap
+SEP_H = 136
+SEP_W = 384
+MAX_SEP_SPAN_Y = SEP_H - 8    # texel rows an instance may touch per tile
+MAX_SEP_SPAN_X = SEP_W - 128  # texel cols
+
+
+def _axis_aligned(t) -> bool:
+    return (abs(t[1]) < 1e-9 and abs(t[3]) < 1e-9 and
+            abs(t[2]) < 1e-9 and abs(t[5]) < 1e-9 and
+            abs(t[8] - 1) < 1e-6)
+
+
+def _is_translation(t) -> bool:
+    return _axis_aligned(t) and abs(t[0] - 1) < 1e-6 and abs(t[4] - 1) < 1e-6
+
+
+def _sep_spans(kind: int, t, pp):
+    """Texel span (x, y) the separable path needs windowed for one tile,
+    or None if the mapping isn't axis-aligned-expressible.
+    `t` is the inverse (screen→local) palette row; pp the payload."""
+    if not _axis_aligned(t):
+        return None
+    uv_w = abs(pp[10] - pp[8])
+    uv_h = abs(pp[11] - pp[9])
+    if kind == KIND_IMAGE:
+        du = t[0] * pp[22]
+        dv = t[4] * pp[23]
+    elif kind == KIND_PICTURE and pp.shape[0] >= 41 and pp[37] > 0.5:
+        du = t[0] * pp[40]
+        dv = t[4] * pp[40]
+    elif kind == KIND_PICTURE:
+        # device-space mapping: u advances with px directly
+        du = uv_w / max(abs(pp[2] - pp[0]), 1e-6)
+        dv = uv_h / max(abs(pp[3] - pp[1]), 1e-6)
+    else:  # glyph / subpx: uv over local rect, local over device via t
+        du = t[0] * uv_w / max(abs(pp[2] - pp[0]), 1e-6)
+        dv = t[4] * uv_h / max(abs(pp[3] - pp[1]), 1e-6)
+    # clamped sampling never leaves the uv rect, so the window need only
+    # cover min(tile span, uv rect) + the bilinear tap
+    span_x = min(TILE_W * abs(du), uv_w) + 2.0
+    span_y = min(TILE_H * abs(dv), uv_h) + 2.0
+    return span_x, span_y
+
+
+def _sampled_dense_kind(kind: int, t, pp):
+    """Dense-record kind for a sampled instance: the translation fast path
+    when exact, else the separable pseudo-kind, else None (XLA fallback)."""
+    if kind != KIND_IMAGE and _is_translation(t) and pp.shape[0] >= 41:
+        if abs((pp[10] - pp[8]) - (pp[2] - pp[0])) <= 1e-3 and \
+                abs((pp[11] - pp[9]) - (pp[3] - pp[1])) <= 1e-3 and \
+                pp[37] <= 0.5:
+            return kind
+    spans = _sep_spans(kind, t, pp)
+    if spans is None or spans[0] > MAX_SEP_SPAN_X or \
+            spans[1] > MAX_SEP_SPAN_Y:
+        return None
+    return {KIND_IMAGE: K_SEP_IMAGE, KIND_GLYPH: K_SEP_GLYPH,
+            KIND_PICTURE: K_SEP_PICTURE, KIND_SUBPX_GLYPH: K_SEP_SUBPX}[kind]
 
 
 def pallas_pass_supported(instances: np.ndarray, tile_insts: np.ndarray,
                           transforms: np.ndarray, f32_buf: np.ndarray) -> bool:
     """Host check: every instance in the pass must be expressible in the
-    Pallas kernel."""
+    Pallas kernel (math kinds, translation sampling, or the separable
+    axis-aligned sampling path — including image-mask clips)."""
     ids = np.unique(tile_insts[tile_insts >= 0])
     if ids.size == 0:
         return True
     used = instances[ids]
     for rec in used:
         kind = int(rec[INST_KIND])
+        addr = int(rec[INST_PRIM_ADDR])
         if kind in MATH_KINDS:
             if kind in (KIND_LINEAR_GRAD, KIND_RADIAL_GRAD, KIND_CONIC_GRAD):
-                addr = int(rec[INST_PRIM_ADDR])
-                if f32_buf[addr + 14] > 16:  # nstops beyond one row
+                if f32_buf[addr + 14] > MAX_PALLAS_STOPS:
                     return False
-        elif kind in SAMPLED_KINDS:
+        elif kind in SAMPLED_KINDS or kind == KIND_IMAGE:
             t = transforms[int(rec[INST_SPATIAL])]
-            if not (abs(t[0] - 1) < 1e-6 and abs(t[4] - 1) < 1e-6 and
-                    abs(t[1]) < 1e-9 and abs(t[3]) < 1e-9 and
-                    abs(t[2]) < 1e-9 and abs(t[5]) < 1e-9 and
-                    abs(t[8] - 1) < 1e-6):
+            pp = f32_buf[addr:addr + 41]
+            if _sampled_dense_kind(kind, t, pp) is None:
                 return False
-            # the DMA window path assumes a 1:1 rect<->uv mapping: scaled
-            # sampling (downscaled blur chains, raster-root local mode)
-            # falls back to the XLA path
-            pp = f32_buf[int(rec[INST_PRIM_ADDR]):
-                         int(rec[INST_PRIM_ADDR]) + 41]
-            if pp.shape[0] >= 41:
-                if abs((pp[10] - pp[8]) - (pp[2] - pp[0])) > 1e-3 or \
-                        abs((pp[11] - pp[9]) - (pp[3] - pp[1])) > 1e-3 or \
-                        pp[37] > 0.5:
-                    return False
         else:
             return False
         n = int(rec[INST_CLIP_COUNT])
-        addr = int(rec[INST_CLIP_ADDR])
+        caddr = int(rec[INST_CLIP_ADDR])
         for j in range(n):
-            ck = f32_buf[addr + j * CLIP_STRIDE + 14]
-            if 1.5 <= ck < 2.5:  # image mask needs the fallback path
-                return False
+            crec = f32_buf[caddr + j * CLIP_STRIDE:
+                           caddr + (j + 1) * CLIP_STRIDE]
+            if 1.5 <= crec[14] < 2.5:
+                # image-mask clip: needs axis-aligned mapping + window fit
+                ct = crec[96:108]
+                if not _axis_aligned(ct):
+                    return False
+                rw = max(abs(crec[2] - crec[0]), 1e-6)
+                rh = max(abs(crec[3] - crec[1]), 1e-6)
+                du = ct[0] * (crec[18] - crec[16]) / rw
+                dv = ct[4] * (crec[19] - crec[17]) / rh
+                span_x = min(TILE_W * abs(du),
+                             abs(crec[18] - crec[16])) + 2.0
+                span_y = min(TILE_H * abs(dv),
+                             abs(crec[19] - crec[17])) + 2.0
+                if span_x > MAX_SEP_SPAN_X or span_y > MAX_SEP_SPAN_Y:
+                    return False
     return True
 
 
@@ -146,6 +223,8 @@ def _pattern_math(kind_branch, p, lx, ly, sx, sy, f32_rows_ref, trow=None):
         return pk.pattern_box_shadow(jnp, p, lx, ly, sx, sy)
     if kind_branch == KIND_BORDER:
         return pk.pattern_border(jnp, p, lx, ly, sx, sy)
+    if kind_branch == KIND_LINE_DEC:
+        return pk.pattern_line_dec(jnp, p, lx, ly, sx, sy)
     raise ValueError(kind_branch)
 
 
@@ -161,7 +240,9 @@ REC_TROW = 69
 
 
 def build_dense_records(f32_buf, instances, transforms, tile_insts):
-    """Host-side gather into the dense per-tile record array (numpy)."""
+    """Host-side gather into the dense per-tile record array (numpy).
+    Sampled instances are re-kinded to the separable pseudo-kinds when the
+    translation fast path doesn't apply (see _sampled_dense_kind)."""
     nt, slots = tile_insts.shape
     dense = np.zeros((nt, slots, 128), np.float32)
     ids = tile_insts.reshape(-1)
@@ -174,41 +255,165 @@ def build_dense_records(f32_buf, instances, transforms, tile_insts):
     offs = np.clip(offs, 0, f32_buf.shape[0] - 1)
     dense_flat = dense.reshape(-1, 128)
     dense_flat[:, :64] = f32_buf[offs]
-    dense_flat[:, REC_KIND] = recs[:, INST_KIND]
+    trows = transforms[recs[:, INST_SPATIAL]]
+    kinds = recs[:, INST_KIND].astype(np.int32)
+    sampled = np.isin(kinds, SAMPLED_KINDS) | (kinds == KIND_IMAGE)
+    if sampled.any():
+        pay = dense_flat[:, :41]
+        t = trows
+        translation = (np.abs(t[:, 0] - 1) < 1e-6) & \
+            (np.abs(t[:, 4] - 1) < 1e-6) & (np.abs(t[:, 1]) < 1e-9) & \
+            (np.abs(t[:, 3]) < 1e-9) & (np.abs(t[:, 2]) < 1e-9) & \
+            (np.abs(t[:, 5]) < 1e-9) & (np.abs(t[:, 8] - 1) < 1e-6)
+        one2one = (np.abs((pay[:, 10] - pay[:, 8]) -
+                          (pay[:, 2] - pay[:, 0])) <= 1e-3) & \
+                  (np.abs((pay[:, 11] - pay[:, 9]) -
+                          (pay[:, 3] - pay[:, 1])) <= 1e-3) & \
+                  (pay[:, 37] <= 0.5)
+        fast = translation & one2one & (kinds != KIND_IMAGE)
+        sep_map = np.zeros(16, np.int32)
+        sep_map[KIND_IMAGE] = K_SEP_IMAGE
+        sep_map[KIND_GLYPH] = K_SEP_GLYPH
+        sep_map[KIND_PICTURE] = K_SEP_PICTURE
+        sep_map[KIND_SUBPX_GLYPH] = K_SEP_SUBPX
+        kinds = np.where(sampled & ~fast, sep_map[np.clip(kinds, 0, 15)],
+                         kinds)
+    dense_flat[:, REC_KIND] = kinds
     dense_flat[:, REC_BLEND] = recs[:, INST_BLEND]
     dense_flat[:, REC_EDGE] = recs[:, INST_EDGE_AA]
     dense_flat[:, REC_CLIP_COUNT] = recs[:, INST_CLIP_COUNT]
     dense_flat[:, REC_CLIP_ROW] = recs[:, INST_CLIP_ADDR] // 128
-    dense_flat[:, REC_TROW:REC_TROW + 12] = transforms[recs[:, INST_SPATIAL]]
+    dense_flat[:, REC_TROW:REC_TROW + 12] = trows
     dense_flat[~valid] = 0.0
     dense_flat[~valid, REC_KIND] = -1.0
     return dense
 
 
-@functools.partial(jax.jit, static_argnames=("kinds", "blends"))
+def classify_dense_kinds(f32_buf, instances, transforms) -> np.ndarray:
+    """Per-instance dense-record kind [N] (sampled instances re-kinded to
+    the separable pseudo-kinds when the translation fast path doesn't
+    apply) — host-side, vectorized; one pass per frame."""
+    kinds = instances[:, INST_KIND].astype(np.int32)
+    sampled = np.isin(kinds, SAMPLED_KINDS) | (kinds == KIND_IMAGE)
+    if not sampled.any():
+        return kinds
+    t = transforms[instances[:, INST_SPATIAL]]
+    addr = instances[:, INST_PRIM_ADDR].astype(np.int64)
+    offs = np.clip(addr[:, None] + np.array([0, 1, 2, 3, 8, 9, 10, 11, 37]),
+                   0, f32_buf.shape[0] - 1)
+    pay = f32_buf[offs]  # rect(4), uv(4), rr-flag
+    translation = (np.abs(t[:, 0] - 1) < 1e-6) & \
+        (np.abs(t[:, 4] - 1) < 1e-6) & (np.abs(t[:, 1]) < 1e-9) & \
+        (np.abs(t[:, 3]) < 1e-9) & (np.abs(t[:, 2]) < 1e-9) & \
+        (np.abs(t[:, 5]) < 1e-9) & (np.abs(t[:, 8] - 1) < 1e-6)
+    one2one = (np.abs((pay[:, 6] - pay[:, 4]) -
+                      (pay[:, 2] - pay[:, 0])) <= 1e-3) & \
+              (np.abs((pay[:, 7] - pay[:, 5]) -
+                      (pay[:, 3] - pay[:, 1])) <= 1e-3) & \
+              (pay[:, 8] <= 0.5)
+    fast = translation & one2one & (kinds != KIND_IMAGE)
+    sep_map = np.zeros(16, np.int32)
+    sep_map[KIND_IMAGE] = K_SEP_IMAGE
+    sep_map[KIND_GLYPH] = K_SEP_GLYPH
+    sep_map[KIND_PICTURE] = K_SEP_PICTURE
+    sep_map[KIND_SUBPX_GLYPH] = K_SEP_SUBPX
+    return np.where(sampled & ~fast, sep_map[np.clip(kinds, 0, 15)], kinds)
+
+
+@jax.jit
+def build_dense_records_device(f32_buf, instances, transforms, tile_insts,
+                               dense_kinds):
+    """Device-side dense-record gather: same layout as build_dense_records
+    but computed by XLA from the compact frame arrays — avoids building and
+    uploading the ~nt·slots·128·4B dense tensor from the host every frame
+    (dynamic scenes: the dense build was the end-to-end bottleneck)."""
+    nt, slots = tile_insts.shape
+    ids = tile_insts.reshape(-1)
+    valid = ids >= 0
+    safe = jnp.maximum(ids, 0)
+    recs = instances[safe]
+    addr = recs[:, INST_PRIM_ADDR]
+    offs = jnp.clip(addr[:, None] + jnp.arange(64)[None, :], 0,
+                    f32_buf.shape[0] - 1)
+    pay = f32_buf[offs]
+    kind = jnp.where(valid, dense_kinds[safe], -1)
+    cols = jnp.stack([
+        kind.astype(jnp.float32),
+        recs[:, INST_BLEND].astype(jnp.float32),
+        recs[:, INST_EDGE_AA].astype(jnp.float32),
+        recs[:, INST_CLIP_COUNT].astype(jnp.float32),
+        (recs[:, INST_CLIP_ADDR] // 128).astype(jnp.float32),
+    ], axis=1)
+    trows = transforms[recs[:, INST_SPATIAL]]
+    pad = jnp.zeros((ids.shape[0], 128 - 64 - 5 - trows.shape[1]),
+                    jnp.float32)
+    dense = jnp.concatenate([
+        jnp.where(valid[:, None], pay, 0.0), cols,
+        jnp.where(valid[:, None], trows, 0.0), pad], axis=1)
+    return dense.reshape(nt, slots, 128)
+
+
+def dense_dispatch_info(f32_buf, instances, tile_insts, dense_kinds):
+    """(kinds, blends, mask_clips) static dispatch sets for one dense pass:
+    kinds come from the per-instance dense kinds (pseudo-kinds included)."""
+    ids = np.unique(tile_insts[tile_insts >= 0])
+    kset = np.unique(dense_kinds[ids]) if ids.size else np.zeros(0, np.int32)
+    kinds = tuple(int(k) for k in kset if k >= 0)
+    blends = tuple(sorted(set(
+        int(b) for b in instances[ids][:, INST_BLEND]))) if ids.size else (0,)
+    mask_clips = False
+    for rec in instances[ids]:
+        caddr = int(rec[INST_CLIP_ADDR])
+        for j in range(int(rec[INST_CLIP_COUNT])):
+            ck = f32_buf[caddr + j * CLIP_STRIDE + 14]
+            if 1.5 <= ck < 2.5:
+                mask_clips = True
+                break
+        if mask_clips:
+            break
+    return kinds or (KIND_SOLID,), blends or (0,), mask_clips
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("kinds", "blends", "mask_clips"))
 def render_tiles_pallas_dense(dense, tile_counts, tile_origins, clear_color,
                               f32_rows, alpha_atlas, surface_atlas,
                               color_atlas,
                               *, kinds: Tuple[int, ...],
-                              blends: Tuple[int, ...]):
+                              blends: Tuple[int, ...],
+                              mask_clips: bool = False):
     """Dense-record pallas raster → [nt, 4, TILE_H, TILE_W].
 
     All per-instance state arrives in the tile's own VMEM block — no
-    scalar-indexed loads from shared tables in the hot loop."""
+    scalar-indexed loads from shared tables in the hot loop.  Sampling
+    runs on one of two paths: translation-exact DMA windows re-registered
+    with lane rolls, or the separable path for axis-aligned scaled
+    mappings — per-axis texel coordinates turned into bilinear weight
+    matrices (built from iota, no gathers) and contracted against the
+    DMA'd atlas window on the MXU: out = R[y,j] · win[j,k] · C[k,x]."""
     nt, slots, _ = dense.shape
     kinds = tuple(kinds)
     blends = tuple(blends)
     math_kinds = [k for k in kinds if k in MATH_KINDS]
     sampled_kinds = [k for k in kinds if k in SAMPLED_KINDS]
-    branch_kinds = math_kinds + sampled_kinds
+    sep_kinds = [k for k in kinds if k in SEP_KINDS]
+    branch_kinds = math_kinds + sampled_kinds + sep_kinds
     lut = np.zeros(16 + blend_mod.N_BLEND_OPS, np.int32)
     for pos, k in enumerate(branch_kinds):
         lut[k] = pos
     for pos, b in enumerate(blends):
         lut[16 + b] = pos
 
+    def _mm(a, b):
+        # f32-exact contraction (HIGHEST = 6-pass decomposition on the MXU)
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+
     def kernel(cnt_ref, or_ref, clear_ref, lut_ref, dense_ref, f32_rows_ref,
-               aa_hbm, sa_hbm, ca_hbm, out_ref, acc, samp, samp_sem):
+               aa_hbm, sa_hbm, ca_hbm, out_ref, acc, samp, samp_sem,
+               sep, sep_sem):
         col = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W),
                                        1).astype(jnp.float32)
         row = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W),
@@ -219,6 +424,55 @@ def render_tiles_pallas_dense(dense, tile_counts, tile_origins, clear_color,
         py = oy + row + 0.5
         for c in range(4):
             acc[c] = jnp.full((TILE_H, TILE_W), clear_ref[c], jnp.float32)
+
+        def _sep_sample(u1d, v1d, u0, v0, u1, v1, nearest, src_hbm,
+                        nplanes, chan0=0):
+            """Axis-aligned bilinear sampling on the MXU: u depends only on
+            x and v only on y, so the bilinear taps become two weight-matrix
+            contractions against a DMA'd atlas window — exactly the math of
+            patterns.sample_rgba (clamped to the uv rect's half-texel inset,
+            optional nearest snapping).  u1d: [1, TILE_W]; v1d: [TILE_H, 1].
+            Returns [nplanes, TILE_H, TILE_W] (or [TILE_H, TILE_W])."""
+            lo_u = u0 + 0.5
+            hi_u = jnp.maximum(u1 - 0.5, lo_u)
+            lo_v = v0 + 0.5
+            hi_v = jnp.maximum(v1 - 0.5, lo_v)
+            u = jnp.clip(u1d, lo_u, hi_u)
+            v = jnp.clip(v1d, lo_v, hi_v)
+            u = jnp.where(nearest > 0.5, jnp.floor(u) + 0.5, u)
+            v = jnp.where(nearest > 0.5, jnp.floor(v) + 0.5, v)
+            uf = u - 0.5
+            vf = v - 0.5
+            H = src_hbm.shape[-2]
+            W = src_hbm.shape[-1]
+            x0 = jnp.floor(jnp.min(uf)).astype(jnp.int32)
+            y0 = jnp.floor(jnp.min(vf)).astype(jnp.int32)
+            x0c = (jnp.clip(x0, 0, W - SEP_W) // 128) * 128
+            y0c = (jnp.clip(y0, 0, H - SEP_H) // 8) * 8
+            if len(src_hbm.shape) == 2:
+                cp = pltpu.make_async_copy(
+                    src_hbm.at[pl.ds(y0c, SEP_H), pl.ds(x0c, SEP_W)],
+                    sep.at[0], sep_sem)
+                cp.start()
+                cp.wait()
+            else:
+                for c in range(nplanes):
+                    cp = pltpu.make_async_copy(
+                        src_hbm.at[chan0 + c, pl.ds(y0c, SEP_H),
+                                   pl.ds(x0c, SEP_W)],
+                        sep.at[c], sep_sem)
+                    cp.start()
+                    cp.wait()
+            ur = uf - x0c.astype(jnp.float32)          # [1, TILE_W]
+            vr = vf - y0c.astype(jnp.float32)          # [TILE_H, 1]
+            kx = jax.lax.broadcasted_iota(
+                jnp.int32, (SEP_W, TILE_W), 0).astype(jnp.float32)
+            C = jnp.clip(1.0 - jnp.abs(kx - ur), 0.0, 1.0)
+            ky = jax.lax.broadcasted_iota(
+                jnp.int32, (TILE_H, SEP_H), 1).astype(jnp.float32)
+            R = jnp.clip(1.0 - jnp.abs(ky - vr), 0.0, 1.0)
+            outs = [_mm(R, _mm(sep[c], C)) for c in range(nplanes)]
+            return jnp.stack(outs, 0) if nplanes > 1 else outs[0]
 
         def body(i, carry):
             r = dense_ref[0, i]
@@ -235,10 +489,9 @@ def render_tiles_pallas_dense(dense, tile_counts, tile_origins, clear_color,
 
             def clip_body(j, cov):
                 crec = f32_rows_ref[clip_row + j]
-                # clip transforms are inlined in the record? no — clips may
-                # live in other spatial nodes; their palette row is stored
-                # in the record tail at serialization time (frame builder
-                # appends it at [96:108] of the clip row)
+                # clips may live in other spatial nodes; their palette row
+                # is inlined in the record tail at serialization time
+                # (frame builder appends it at [96:108] of the clip row)
                 ct = crec[96:108]
                 clx, cly = pk.inverse_map(jnp, ct, px, py)
                 csx = ct[9]
@@ -248,8 +501,35 @@ def render_tiles_pallas_dense(dense, tile_counts, tile_origins, clear_color,
                 rounded = pk.rounded_rect_coverage(
                     jnp, crec[0:4], crec[4:12], clx, cly, csx, csy)
                 poly = pk.polygon_coverage(jnp, crec, px, py)
-                ccov = jnp.where(crec[14] < 0.5, rect_cov,
-                                 jnp.where(crec[14] < 1.5, rounded, poly))
+                if mask_clips:
+                    # image-mask clip (kind 2): the mask value is the color
+                    # atlas's premultiplied RED plane (renderer/mod.rs:2336),
+                    # sampled through the separable path (axis-aligned only
+                    # — gated in pallas_pass_supported)
+                    def _mask_cov():
+                        rw = jnp.maximum(crec[2] - crec[0], 1e-6)
+                        rh = jnp.maximum(crec[3] - crec[1], 1e-6)
+                        mu = crec[16] + (clx[0:1, :] - crec[0]) / rw * \
+                            (crec[18] - crec[16])
+                        mv = crec[17] + (cly[:, 0:1] - crec[1]) / rh * \
+                            (crec[19] - crec[17])
+                        m = _sep_sample(mu, mv, crec[16], crec[17],
+                                        crec[18], crec[19], 0.0, ca_hbm,
+                                        1, chan0=0)
+                        return m * rect_cov
+                    is_mask = jnp.logical_and(crec[14] >= 1.5,
+                                              crec[14] < 2.5)
+                    masked = jax.lax.cond(
+                        is_mask, _mask_cov,
+                        lambda: jnp.zeros((TILE_H, TILE_W), jnp.float32))
+                    ccov = jnp.where(
+                        crec[14] < 0.5, rect_cov,
+                        jnp.where(crec[14] < 1.5, rounded,
+                                  jnp.where(crec[14] < 2.5, masked, poly)))
+                else:
+                    ccov = jnp.where(crec[14] < 0.5, rect_cov,
+                                     jnp.where(crec[14] < 1.5, rounded,
+                                               poly))
                 ccov = jnp.where(crec[12] > 0.5, 1.0 - ccov, ccov)
                 return cov * ccov
             cov = jax.lax.fori_loop(0, r[REC_CLIP_COUNT].astype(jnp.int32),
@@ -363,6 +643,66 @@ def render_tiles_pallas_dense(dense, tile_counts, tile_origins, clear_color,
                 srow = f32_rows[addr // 128]
                 return _eval_stops_row(srow, n, t, p[13]) * in_tile[None]
 
+            def sep_branch(kind_s, p, lx, ly, sx, sy, f32_rows, trow):
+                """Separable (axis-aligned) sampled kinds: per-axis uv
+                coordinates → MXU bilinear (see _sep_sample)."""
+                lx_row = lx[0:1, :]
+                ly_col = ly[:, 0:1]
+                if kind_s == K_SEP_IMAGE:
+                    stretch_w = jnp.maximum(p[18], 1e-6)
+                    stretch_h = jnp.maximum(p[19], 1e-6)
+                    oxl = lx_row - p[0]
+                    oyl = ly_col - p[1]
+                    period_x = stretch_w + p[20]
+                    period_y = stretch_h + p[21]
+                    period_x = jnp.where(period_x > 1e-6, period_x, 1e6)
+                    period_y = jnp.where(period_y > 1e-6, period_y, 1e6)
+                    tx = oxl - jnp.floor(oxl / period_x) * period_x
+                    ty = oyl - jnp.floor(oyl / period_y) * period_y
+                    in_x = (tx < stretch_w + 1e-4).astype(jnp.float32)
+                    in_y = (ty < stretch_h + 1e-4).astype(jnp.float32)
+                    u = p[8] + tx * p[22] - p[24]
+                    v = p[9] + ty * p[23] - p[25]
+                    texel = _sep_sample(u, v, p[8], p[9], p[10], p[11],
+                                        p[16], ca_hbm, 4)
+                    in_tile = in_x * in_y
+                    return jnp.stack(
+                        [texel[0] * p[12], texel[1] * p[13],
+                         texel[2] * p[14], texel[3] * p[15]], 0) * \
+                        in_tile[None]
+                if kind_s in (K_SEP_GLYPH, K_SEP_SUBPX):
+                    su = (p[10] - p[8]) / jnp.maximum(p[2] - p[0], 1e-6)
+                    sv = (p[11] - p[9]) / jnp.maximum(p[3] - p[1], 1e-6)
+                    u = p[8] + (lx_row - p[0]) * su
+                    v = p[9] + (ly_col - p[1]) * sv
+                    if kind_s == K_SEP_GLYPH:
+                        a = _sep_sample(u, v, p[8], p[9], p[10], p[11],
+                                        0.0, aa_hbm, 1)
+                        return jnp.stack([p[12] * a, p[13] * a,
+                                          p[14] * a, p[15] * a], 0)
+                    m = _sep_sample(u, v, p[8], p[9], p[10], p[11], 0.0,
+                                    ca_hbm, 4)
+                    m_avg = (m[0] + m[1] + m[2]) * (1.0 / 3.0)
+                    return jnp.stack([m[0] * p[12], m[1] * p[13],
+                                      m[2] * p[14], m_avg * p[15]], 0)
+                # K_SEP_PICTURE: device-space mapping, or raster-root
+                # local mode (p[37] — picture.rs raster roots)
+                w_ = jnp.maximum(p[2] - p[0], 1e-6)
+                h_ = jnp.maximum(p[3] - p[1], 1e-6)
+                su = (p[10] - p[8]) / w_
+                sv = (p[11] - p[9]) / h_
+                u = p[8] + (px[0:1, :] - p[0]) * su
+                v = p[9] + (py[:, 0:1] - p[1]) * sv
+                u = jnp.where(p[37] > 0.5,
+                              p[8] + lx_row * p[40] - p[38], u)
+                v = jnp.where(p[37] > 0.5,
+                              p[9] + ly_col * p[40] - p[39], v)
+                texel = _sep_sample(u, v, p[8], p[9], p[10], p[11], 0.0,
+                                    sa_hbm, 4)
+                texel = jnp.stack([texel[0] * p[12], texel[1] * p[13],
+                                   texel[2] * p[14], texel[3] * p[15]], 0)
+                return pk.apply_color_matrix(jnp, texel, p[16:36], p[36])
+
             branches = []
             for k in math_kinds:
                 if k in (KIND_LINEAR_GRAD, KIND_RADIAL_GRAD, KIND_CONIC_GRAD):
@@ -371,6 +711,8 @@ def render_tiles_pallas_dense(dense, tile_counts, tile_origins, clear_color,
                     branches.append(functools.partial(_pattern_math, k))
             branches += [functools.partial(sampled_branch, k)
                          for k in sampled_kinds]
+            branches += [functools.partial(sep_branch, k)
+                         for k in sep_kinds]
             kind_i = r[REC_KIND].astype(jnp.int32)
             pos = lut_ref[jnp.clip(kind_i, 0, 15)]
             if len(branches) == 1:
@@ -426,6 +768,8 @@ def render_tiles_pallas_dense(dense, tile_counts, tile_origins, clear_color,
         scratch_shapes=[
             pltpu.VMEM((4, TILE_H, TILE_W), jnp.float32),
             pltpu.VMEM((4, SAMP_H + 72, SAMP_W), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((4, SEP_H, SEP_W), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )

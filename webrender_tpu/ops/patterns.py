@@ -494,6 +494,72 @@ def pattern_border(xp, p, lx, ly, sx, sy):
     return color * ring[None]
 
 
+def pattern_line_dec(xp, p, lx, ly, sx, sy):
+    """Line decorations (cs_line_decoration.glsl, sizes from
+    prim_store/line_dec.rs:216): dotted / dashed / wavy underline patterns
+    evaluated analytically in the prim's local space (the reference bakes
+    one period into a cached task and repeats it; same math, no task).
+
+    Payload: [8:12] premult color  [12] style (LineStyle: 0 solid,
+    1 dotted, 2 dashed, 3 wavy)  [13] axis (0 horizontal, 1 vertical)
+    [14] wavy line thickness."""
+    x0, y0, x1, y1 = p[0], p[1], p[2], p[3]
+    axis_v = p[13] > 0.5
+    par = xp.where(axis_v, ly - y0, lx - x0)
+    perp = xp.where(axis_v, lx - x0, ly - y0)
+    hh = xp.where(axis_v, x1 - x0, y1 - y0)
+    aa = xp.sqrt(sx * sy)
+    style = p[12]
+
+    # dotted: circle of diameter h at the start of each 2h period
+    # (shader vParams: center = (radius, size.y/2))
+    diameter = xp.clip(hh, 1.0, 64.0)
+    period_dot = 2.0 * diameter
+    pxd = par - xp.floor(par / period_dot) * period_dot
+    pyd = perp - xp.floor(perp / diameter) * diameter
+    r = diameter * 0.5
+    dd = xp.sqrt((pxd - r) ** 2 + (pyd - r) ** 2) - r
+    a_dot = xp.clip(0.5 - dd * aa, 0.0, 1.0)
+
+    # dashed: on for floor(x+0.5) <= dash_len of each 2*dash_len period
+    dash_len = xp.clip(3.0 * hh, 1.0, 64.0)
+    period_dash = 2.0 * dash_len
+    pxs = par - xp.floor(par / period_dash) * period_dash
+    a_dash = xp.where(xp.floor(pxs + 0.5) <= dash_len, 1.0, 0.0)
+
+    # wavy: two 45° slopes + two flats per period (gecko's
+    # PaintDecorationLine, copied by the shader)
+    lt = xp.maximum(p[14], 1.0)
+    half_lt = lt * 0.5
+    slope = hh - lt
+    flat = xp.maximum((lt - 1.0) * 2.0, 1.0)
+    half_period = slope + flat
+    mid = hh * 0.5
+    m2 = par - xp.floor(par / (2.0 * half_period)) * (2.0 * half_period)
+    flip = xp.where(m2 <= half_period, -1.0, 1.0)
+    peak_h = mid + (mid - half_lt) * flip
+    pxm = par - xp.floor(par / half_period) * half_period
+    inv_s2 = 0.7071067811865476
+
+    def d2l(p0x, p0y, dx_, dy_, inv_len):
+        # dot(normalize(dir), p0 - p)  (shared.glsl distance_to_line)
+        return (dx_ * (p0x - pxm) + dy_ * (p0y - perp)) * inv_len
+    dist1 = d2l(0.0, peak_h, 1.0, -flip, inv_s2)
+    dist2 = d2l(0.0, peak_h, 0.0, -flip, 1.0)
+    dist3 = d2l(flat, peak_h, -1.0, -flip, inv_s2)
+    dist = xp.abs(xp.maximum(xp.maximum(dist1, dist2), dist3))
+    a_wavy = xp.clip(0.5 - (dist - half_lt) * aa, 0.0, 1.0)
+    # MAGIC_WAVY_LINE_AA_SNAP: thin lines disable AA
+    a_wavy = xp.where(half_lt <= 1.0,
+                      xp.where(a_wavy > 0.5, 1.0, 0.0), a_wavy)
+
+    alpha = xp.where(style < 0.5, 1.0,
+                     xp.where(style < 1.5, a_dot,
+                              xp.where(style < 2.5, a_dash, a_wavy)))
+    return xp.stack([p[8] * alpha, p[9] * alpha, p[10] * alpha,
+                     p[11] * alpha], 0)
+
+
 def apply_color_matrix(xp, color, m20, flag):
     """Straight-alpha 4x5 color matrix on premultiplied input (SVG
     feColorMatrix semantics; `m20` is the flattened matrix payload).

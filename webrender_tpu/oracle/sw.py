@@ -22,8 +22,9 @@ from ..frame.gpu import (CLIP_STRIDE, INST_BLEND, INST_CLIP_ADDR,
                          INST_CLIP_COUNT, INST_EDGE_AA, INST_KIND,
                          INST_PRIM_ADDR, INST_SPATIAL, KIND_BOX_SHADOW,
                          KIND_CLEAR, KIND_CONIC_GRAD, KIND_GLYPH, KIND_IMAGE,
-                         KIND_LINEAR_GRAD, KIND_PICTURE, KIND_RADIAL_GRAD,
-                         KIND_SOLID, KIND_BORDER, KIND_SUBPX_GLYPH)
+                         KIND_LINEAR_GRAD, KIND_LINE_DEC, KIND_PICTURE,
+                         KIND_RADIAL_GRAD, KIND_SOLID, KIND_BORDER,
+                         KIND_SUBPX_GLYPH)
 from ..ops import blend as blend_mod
 from ..ops import patterns as pk
 from ..ops.raster import gaussian_weights
@@ -240,6 +241,8 @@ class SoftwareRenderer:
                 color = pk.pattern_box_shadow(np, pl, lx, ly, sx, sy)
             elif kind == KIND_BORDER:
                 color = pk.pattern_border(np, pl, lx, ly, sx, sy)
+            elif kind == KIND_LINE_DEC:
+                color = pk.pattern_line_dec(np, pl, lx, ly, sx, sy)
             else:
                 continue
             src = (color * cov[None]).astype(np.float32)

@@ -357,19 +357,31 @@ class Renderer:
                 self.surface_atlas, kinds=kinds, blends=blends, step=step)
         use_pallas = False
         if self.use_pallas and allow_pallas and step == 1.0:
-            from ..ops.pallas.tile_raster import (build_dense_records,
-                                                 pallas_pass_supported,
-                                                 render_tiles_pallas_dense)
+            from ..ops.pallas.tile_raster import (
+                build_dense_records_device, classify_dense_kinds,
+                dense_dispatch_info, pallas_pass_supported,
+                render_tiles_pallas_dense)
             use_pallas = pallas_pass_supported(
                 frame.instances, tile_insts, frame.transforms, frame.f32_buf)
         if use_pallas:
             cached = getattr(dense_cache_holder, "_dense_cache", None) \
                 if dense_cache_holder is not None else None
             if cached is None:
-                dense = build_dense_records(frame.f32_buf, frame.instances,
-                                            frame.transforms, tile_insts)
+                dk = getattr(frame, "_dense_kinds", None)
+                if dk is None:
+                    dk = classify_dense_kinds(
+                        frame.f32_buf, frame.instances, frame.transforms)
+                    frame._dense_kinds = dk
+                # dense records are gathered ON DEVICE from the compact
+                # frame arrays (host builds were the dynamic-content
+                # bottleneck: ~nt·slots·512B per frame over PCIe)
+                dense = build_dense_records_device(
+                    f32_buf, instances, transforms,
+                    jnp.asarray(tile_insts), jnp.asarray(dk))
                 counts = (tile_insts >= 0).sum(1).astype(np.int32)
-                cached = (jnp.asarray(dense), jnp.asarray(counts))
+                pk, pb, mask_clips = dense_dispatch_info(
+                    frame.f32_buf, frame.instances, tile_insts, dk)
+                cached = (dense, jnp.asarray(counts), pk, pb, mask_clips)
                 if dense_cache_holder is not None:
                     dense_cache_holder._dense_cache = cached
             self.last_engine = "pallas"
@@ -379,7 +391,7 @@ class Renderer:
                 cached[0], cached[1], jnp.asarray(origins), clear,
                 f32_buf.reshape(-1, 128), self.alpha_atlas,
                 self.surface_atlas, self.color_atlas,
-                kinds=kinds, blends=blends)
+                kinds=cached[2], blends=cached[3], mask_clips=cached[4])
         self.last_engine = "xla"
         self.engine_counts["xla"] = self.engine_counts.get("xla", 0) + 1
         return render_tiles(

@@ -325,6 +325,10 @@ class ResourceCache:
         # monotonically increasing generation shared across add/update so a
         # deleted-then-re-added key never reuses a stale derived-cache entry
         self._generation = 0
+        # glyph-metric table cache (frame-build fast path); invalidated by
+        # bumping _cache_gen whenever any glyph entry is evicted
+        self._metric_cache: Dict[Tuple, Tuple] = {}
+        self._cache_gen = 0
 
     # --- transaction resource updates (render_api.rs ResourceUpdate) -------
     def add_image_template(self, key: int, descriptor: ImageDescriptor,
@@ -434,7 +438,59 @@ class ResourceCache:
                 (self.color_alloc if cg.subpixel
                  else self.alpha_alloc).free(cg.region)
                 freed += 1
+        if freed:
+            self._cache_gen += 1
+            self._metric_cache.clear()
         return freed
+
+    def request_glyph_metrics(self, font_instance_key: int, ids_key: tuple,
+                              scale: float, render_mode, subpx_x: float):
+        """Frame-build fast path: cached (table [U,7], ok [U], subpx) glyph
+        metric arrays for a sorted unique id tuple — skips per-glyph dict
+        walks on repeat frames.  Table cols: left, top, w, h, region.x,
+        region.y, subpixel.  Touches the LRU stamps so eviction never frees
+        glyphs referenced through a cached table."""
+        key = (font_instance_key, ids_key, scale, render_mode, subpx_x,
+               self._cache_gen)
+        hit = self._metric_cache.get(key)
+        if hit is not None:
+            table, ok, subpx, cache_keys = hit
+            fid = self.frame_id
+            self._glyph_last_use.update((k, fid) for k in cache_keys)
+            return table, ok, subpx
+        cache = self.request_glyphs(font_instance_key, list(ids_key),
+                                    scale=scale, render_mode=render_mode,
+                                    subpx_x=subpx_x)
+        u = len(ids_key)
+        table = np.zeros((u, 6), np.float64)
+        ok = np.zeros(u, bool)
+        subpx = False
+        for k, gid in enumerate(ids_key):
+            cg = cache.get(int(gid))
+            if cg is None or cg.region is None:
+                continue
+            ok[k] = True
+            subpx = subpx or cg.subpixel
+            table[k] = (cg.left, cg.top, cg.width, cg.height,
+                        cg.region.x, cg.region.y)
+        # the per-glyph cache keys this table pins (for LRU touching)
+        fi = self.font_instances.get((0, font_instance_key))
+        cache_keys = []
+        if fi is not None:
+            font_key, size, options = fi
+            from ..api.font import FontInstanceFlags
+            mode = render_mode if render_mode is not None else \
+                options.render_mode
+            mono = mode == FontRenderMode.MONO
+            sp = mode == FontRenderMode.SUBPIXEL
+            sz = size * scale
+            bold = sz / 16.0 if (options.flags &
+                                 FontInstanceFlags.SYNTHETIC_BOLD) else 0.0
+            italics = options.synthetic_italics.angle_deg
+            cache_keys = [(font_key.namespace, font_key.key, sz, gi, mono,
+                           bold, italics, sp, subpx_x) for gi in ids_key]
+        self._metric_cache[key] = (table, ok, subpx, cache_keys)
+        return table, ok, subpx
 
     def _alloc_color(self, w: int, h: int, what: str) -> AtlasRegion:
         region = self.color_alloc.alloc(w, h)
@@ -628,6 +684,8 @@ class ResourceCache:
                 self.color_alloc.free(cg.region)
         self.glyphs.clear()
         self._glyph_last_use.clear()
+        self._metric_cache.clear()
+        self._cache_gen += 1
         self.alpha_alloc = ShelfAllocator(self.alpha_alloc.width,
                                           self.alpha_alloc.height)
 
@@ -644,6 +702,8 @@ class ResourceCache:
         # subpixel glyph masks live in the color atlas too
         self.glyphs.clear()
         self._glyph_last_use.clear()
+        self._metric_cache.clear()
+        self._cache_gen += 1
         self.alpha_alloc = ShelfAllocator(self.alpha_alloc.width,
                                           self.alpha_alloc.height)
 

@@ -2,9 +2,11 @@
 (`wrench/src/reftest.rs`: condition DSL at :337-679, compare at :267).
 
 A test renders one or more YAML scenes and compares RGBA8 readbacks within
-per-test fuzz budgets. PNG-reference tests are skipped (they encode the
-reference GL rasterizer's exact pixels). Engine selection: 'device' (TPU /
-jitted XLA) or 'oracle' (numpy CPU fidelity oracle).
+per-test fuzz budgets.  PNG references are decoded and compared directly
+(cropped to the PNG size).  Platform tokens: this engine rasterizes text
+with FreeType and implements SWGL's pixel math, so `linux` and `swgl`
+conditions apply to it; GL-/OS-specific tokens do not.  Engine selection:
+'device' (TPU / Pallas / jitted XLA) or 'oracle' (numpy CPU oracle).
 """
 from __future__ import annotations
 
@@ -18,7 +20,12 @@ import numpy as np
 from ..render_backend import RenderBackend
 from .yaml_reader import YamlFrameReader, parse_function
 
-PLATFORM = "tpu"  # our platform token; platform(linux,mac) tests are skipped
+# Tokens that are TRUE for this engine: FreeType text rasterization (the
+# `linux` platform's font stack) and SWGL-class software-exact pixel math.
+PLATFORM_TOKENS = {"linux", "swgl", "tpu"}
+# Tokens that are FALSE: other OSes / GL drivers / mobile targets.
+FALSE_TOKENS = {"win", "win10", "win7", "mac", "android", "device", "gl",
+                "angle", "debug", "emulator", "x86", "mobile", "optimized"}
 
 
 @dataclass
@@ -38,6 +45,22 @@ class ReftestCase:
     extra_checks: List[str] = field(default_factory=list)
     line: str = ""
     font_render_mode: Optional[str] = None
+    zoom: Optional[float] = None
+    dppx: Optional[float] = None
+
+
+def eval_condition(tok: str) -> bool:
+    """reftest.rs condition parser: platform(...) / env(...) / not(...)
+    — evaluated against this engine's tokens."""
+    func, args, _ = parse_function(tok)
+    if func == "not":
+        return not eval_condition(args[0]) if args else False
+    if func == "platform":
+        return any(a in PLATFORM_TOKENS for a in args)
+    if func == "env":
+        return False  # android/device emulator environments
+    # bare token
+    return func in PLATFORM_TOKENS
 
 
 def parse_reftest_manifest(path: Path) -> List[ReftestCase]:
@@ -75,17 +98,18 @@ def parse_reftest_manifest(path: Path) -> List[ReftestCase]:
                     cnt += int(nums[i + 1])
                 case.fuzziness.append(Fuzzy(mx, cnt))
             elif func == "fuzzy-if":
-                # condition references gl/swgl/android targets; our platform
-                # is neither, but accept the fuzz budget generously
+                # budget applies only when the condition holds for this
+                # engine (reftest.rs:418 parse_condition)
+                cond = args[0] if args else ""
                 nums = [a for a in args if re.fullmatch(r"\d+", a)]
-                if len(nums) >= 2:
+                if len(nums) >= 2 and eval_condition(cond):
                     case.fuzziness.append(Fuzzy(int(nums[0]), int(nums[1])))
             elif func == "platform":
-                if PLATFORM not in args:
+                if not any(a in PLATFORM_TOKENS for a in args):
                     case.skipped = True
                     case.skip_reason = f"platform({','.join(args)})"
             elif func == "skip_on":
-                if PLATFORM in args or "all" in args:
+                if any(a in PLATFORM_TOKENS for a in args) or "all" in args:
                     case.skipped = True
                     case.skip_reason = tok
             elif func == "env":
@@ -98,17 +122,18 @@ def parse_reftest_manifest(path: Path) -> List[ReftestCase]:
                     case.font_render_mode = "mono"
                 if "disable-subpixel" in args:
                     case.font_render_mode = "alpha"
-            elif func in ("zoom", "force_subpixel_aa_where_possible", "dpi"):
-                pass  # rendering options not yet supported; render as default
+            elif func == "zoom":
+                case.zoom = float(args[0]) if args else None
+            elif func in ("dpi", "dppx", "force-subpixel-aa",
+                          "force_subpixel_aa_where_possible"):
+                if func in ("dpi", "dppx") and args:
+                    case.dppx = float(args[0])
             else:
                 paths.append(base / tok)
         if not op_seen or len(paths) < 2:
             continue
         case.tests = paths[:-1]
         case.reference = paths[-1]
-        if case.reference.suffix == ".png":
-            case.skipped = True
-            case.skip_reason = "png reference (GL-exact pixels)"
         cases.append(case)
     return cases
 
@@ -121,11 +146,30 @@ class CompareResult:
 
 
 def compare_images(a: np.ndarray, b: np.ndarray) -> CompareResult:
-    """ReftestImage::compare (reftest.rs:267)."""
-    assert a.shape == b.shape
+    """ReftestImage::compare (reftest.rs:267); images are cropped to the
+    common top-left region when sizes differ (PNG references are usually
+    smaller than the window)."""
+    h = min(a.shape[0], b.shape[0])
+    w = min(a.shape[1], b.shape[1])
+    a = a[:h, :w]
+    b = b[:h, :w]
     diff = np.abs(a.astype(np.int32) - b.astype(np.int32)).max(axis=-1)
     count = int((diff > 0).sum())
     return CompareResult(count == 0, int(diff.max()), count)
+
+
+def load_png_reference(path: Path) -> np.ndarray:
+    """Reference PNG → RGBA8.  wrench compares the framebuffer readback to
+    the PNG bytes; our readback is premultiplied, PNGs are straight — for
+    the (overwhelmingly opaque) reference corpus premultiplying the PNG
+    reproduces the comparison."""
+    from PIL import Image
+    img = np.asarray(Image.open(path).convert("RGBA"), np.uint8)
+    a = img[..., 3:4].astype(np.float64) / 255.0
+    out = img.copy()
+    out[..., :3] = np.clip(np.floor(img[..., :3] * a + 0.5),
+                           0, 255).astype(np.uint8)
+    return out
 
 
 @dataclass
@@ -134,34 +178,51 @@ class ReftestResult:
     passed: bool
     skipped: bool = False
     detail: str = ""
+    engines: dict = field(default_factory=dict)
 
 
 class ReftestHarness:
     def __init__(self, window_size=(1024, 768), engine: str = "device"):
         self.window_size = window_size
         self.engine = engine
+        self.engine_counts: dict = {}
 
-    def render_yaml(self, path: Path, font_render_mode=None) -> np.ndarray:
-        backend = RenderBackend(self.window_size)
+    def render_yaml(self, path: Path, font_render_mode=None,
+                    dppx: Optional[float] = None) -> Tuple[np.ndarray, dict]:
+        backend = RenderBackend(self.window_size, dpr=dppx or 1.0)
         reader = YamlFrameReader(path, self.window_size,
                                  font_render_mode=font_render_mode)
         reader.build(backend)
         if self.engine == "oracle":
-            return backend.render_software()
-        return backend.render()
+            img = backend.render_software()
+            stats = {"draw_calls": len(backend.last_frame.passes),
+                     "color_targets": _count_color_targets(
+                         backend.last_frame)}
+            return img, stats
+        img = backend.render()
+        for k, v in backend.renderer.engine_counts.items():
+            self.engine_counts[k] = self.engine_counts.get(k, 0) + v
+        stats = {"draw_calls": len(backend.last_frame.passes),
+                 "color_targets": _count_color_targets(backend.last_frame)}
+        return img, stats
 
     def run_case(self, case: ReftestCase) -> ReftestResult:
         if case.skipped:
             return ReftestResult(case, True, skipped=True,
                                  detail=case.skip_reason)
         try:
-            images = [self.render_yaml(p, case.font_render_mode)
+            dppx = case.dppx or (case.zoom if case.zoom else None)
+            images = [self.render_yaml(p, case.font_render_mode, dppx)
                       for p in case.tests]
-            reference = self.render_yaml(case.reference,
-                                         case.font_render_mode)
+            if case.reference.suffix == ".png":
+                reference = load_png_reference(case.reference)
+                ref_stats = None
+            else:
+                reference, ref_stats = self.render_yaml(
+                    case.reference, case.font_render_mode, dppx)
         except Exception as e:  # noqa: BLE001 — report, don't crash the run
             return ReftestResult(case, False, detail=f"error: {e!r}")
-        test = images[-1]
+        test, test_stats = images[-1]
         cmp = compare_images(test, reference)
         max_allowed = max((f.max_difference for f in case.fuzziness), default=0)
         num_allowed = max((f.num_differences for f in case.fuzziness), default=0)
@@ -173,10 +234,45 @@ class ReftestHarness:
             ok = not within
         detail = (f"max_diff={cmp.max_difference} count={cmp.count_different} "
                   f"allowed=({max_allowed},{num_allowed})")
+        # extra checks: the reference asserts GL batching efficiency
+        # (draw call / target counts).  Our tile architecture dispatches
+        # differently, so the adapted invariant is "no less batched":
+        # our dispatch count must not exceed the reference's draw calls.
+        for chk in case.extra_checks:
+            func, args, _ = parse_function(chk)
+            want = int(args[0]) if args else 0
+            if func == "draw_calls":
+                if test_stats["draw_calls"] > want:
+                    ok = ok and False
+                    detail += (f" draw_calls={test_stats['draw_calls']}"
+                               f">{want}")
+            elif func == "color_targets":
+                if test_stats["color_targets"] > want:
+                    ok = ok and False
+                    detail += (f" color_targets="
+                               f"{test_stats['color_targets']}>{want}")
+            elif func == "alpha_targets":
+                # in-kernel clip masks: this engine allocates no alpha
+                # targets, which satisfies any expected count
+                pass
         return ReftestResult(case, ok, detail=detail)
 
     def run_manifest(self, manifest: Path) -> List[ReftestResult]:
         return [self.run_case(c) for c in parse_reftest_manifest(manifest)]
+
+
+def _count_color_targets(frame) -> int:
+    """Distinct render-target regions written by the frame's passes: the
+    root framebuffer + every surface-atlas region (render_target.rs
+    ColorRenderTarget count analog)."""
+    regions = set()
+    root = False
+    for p in frame.passes:
+        if p.target == -1:
+            root = True
+        else:
+            regions.add(p.region)
+    return len(regions) + (1 if root else 0)
 
 
 def summarize(results: List[ReftestResult]) -> Tuple[int, int, int]:
