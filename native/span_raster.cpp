@@ -178,11 +178,8 @@ inline void eval_stops(const Ctx& c, int addr, int n, float t, float repeat,
     for (int ch = 0; ch < 4; ch++)
       col[ch] += (c.f32[addr + i * 8 + 1 + ch] - col[ch]) * w;
   }
-  float a = col[3];
-  out[0] = col[0] * a;
-  out[1] = col[1] * a;
-  out[2] = col[2] * a;
-  out[3] = a;
+  // stop records are premultiplied (gradient_stops_records)
+  for (int ch = 0; ch < 4; ch++) out[ch] = col[ch];
 }
 
 inline float blurred_rect_cov(float x0, float y0, float x1, float y1,
@@ -683,21 +680,73 @@ int wr_raster_pass(
               }
               ds[s_] = active ? dd : 1e9f;
             }
+            // corner zones: depth is measured radially from the outer
+            // ellipse (see patterns.pattern_border corner_zone); the zone
+            // belongs only to its two ADJACENT sides
+            bool in_corner = false;
+            int corner_idx = -1;
+            float corner_depth_u = 0.f;
+            bool in_zone[4] = {false, false, false, false};
+            {
+              const float cz[4][6] = {
+                  {p[0] + radii[0], p[1] + radii[1], radii[0], radii[1], 1.f, 1.f},
+                  {p[2] - radii[2], p[1] + radii[3], radii[2], radii[3], -1.f, 1.f},
+                  {p[2] - radii[4], p[3] - radii[5], radii[4], radii[5], -1.f, -1.f},
+                  {p[0] + radii[6], p[3] - radii[7], radii[6], radii[7], 1.f, -1.f}};
+              for (int ci = 0; ci < 4; ci++) {
+                float rx = cz[ci][2], ry = cz[ci][3];
+                if (rx <= 0.f || ry <= 0.f) continue;
+                float dx = (cz[ci][0] - lx) * cz[ci][4];
+                float dy = (cz[ci][1] - ly) * cz[ci][5];
+                if (dx <= 0.f || dy <= 0.f) continue;
+                float ex = dx / rx, ey = dy / ry;
+                float g = std::sqrt(ex * ex + ey * ey);
+                float grad = std::sqrt((dx / (rx * rx)) * (dx / (rx * rx)) +
+                                       (dy / (ry * ry)) * (dy / (ry * ry)));
+                grad = std::max(grad, 1e-6f);
+                float du = -((g - 1.f) * g / grad);
+                if (!in_corner || du < corner_depth_u) {
+                  corner_depth_u = du;
+                  corner_idx = ci;
+                }
+                in_corner = true;
+                in_zone[ci] = true;
+              }
+            }
+            if (in_corner) {
+              // a side stays eligible if ANY zone containing the pixel is
+              // adjacent to it: tl(0):{t,l} tr(1):{t,r} br(2):{b,r}
+              // bl(3):{b,l} (border-invisible / border-overlapping-corner)
+              static const bool adj[4][4] = {{true, false, false, true},
+                                             {true, true, false, false},
+                                             {false, true, true, false},
+                                             {false, false, true, true}};
+              for (int s_ = 0; s_ < 4; s_++) {
+                bool ok = false;
+                for (int ci = 0; ci < 4; ci++)
+                  if (in_zone[ci] && adj[ci][s_]) ok = true;
+                if (!ok) ds[s_] = 1e9f;
+              }
+            }
             float depth_raw = std::min(std::min(ds[0], ds[1]),
                                        std::min(ds[2], ds[3]));
+            bool any_owner = depth_raw < 5e8f;
             int owner = ds[0] <= depth_raw ? 0
                         : (ds[1] <= depth_raw ? 1 : (ds[2] <= depth_raw ? 2 : 3));
             float depth = clampf(depth_raw, 0.f, 1.f);
             float style = p[52 + owner];
             const float* c_out = p + 20 + owner * 4;
             const float* c_in = p + 36 + owner * 4;
-            const float* sc = depth < 0.5f ? c_out : c_in;
             float w_side = ws[owner];
+            float depth_s = in_corner
+                ? clampf(corner_depth_u / std::max(w_side, 1e-6f), 0.f, 1.f)
+                : depth;
+            const float* sc = depth_s < 0.5f ? c_out : c_in;
             float scale = (owner == 0 || owner == 2 ? sy : sx) * w_side;
             float factor = 1.f;
             if (style == 2.f && scale / 3.f >= 1.f) {
-              float third = clampf((1.f / 3.f - depth) * scale + 0.5f, 0.f, 1.f) +
-                            clampf((depth - 2.f / 3.f) * scale + 0.5f, 0.f, 1.f);
+              float third = clampf((1.f / 3.f - depth_s) * scale + 0.5f, 0.f, 1.f) +
+                            clampf((depth_s - 2.f / 3.f) * scale + 0.5f, 0.f, 1.f);
               factor *= clampf(third, 0.f, 1.f);
             }
             float along = (owner == 0 || owner == 2) ? (lx - p[0]) : (ly - p[1]);
@@ -705,7 +754,7 @@ int wr_raster_pass(
               float period = 2.f * std::max(w_side, 1e-6f);
               float tm = along - std::floor(along / period) * period -
                          period * 0.5f;
-              float across = (depth - 0.5f) * w_side;
+              float across = (depth_s - 0.5f) * w_side;
               float dot_d = std::sqrt(tm * tm + across * across) -
                             0.5f * w_side;
               factor *= clampf(0.5f - dot_d * (sx + sy) * 0.5f, 0.f, 1.f);
@@ -716,11 +765,15 @@ int wr_raster_pass(
               factor *= m < period ? 1.f : 0.f;
             }
             if (style == 0.f || style == 5.f) factor = 0.f;
-            float band = depth >= 1.f ? 0.f
-                         : (depth <= 0.999f
+            // depth_s is radial inside corner zones: zero-width neighbour
+            // corners cull, real rounded corners survive
+            float band = depth_s >= 1.f ? 0.f
+                         : (depth_s <= 0.999f
                                 ? 1.f
-                                : clampf((1.f - depth) * scale + 0.5f, 0.f, 1.f));
+                                : clampf((1.f - depth_s) * scale + 0.5f,
+                                         0.f, 1.f));
             factor *= band;
+            if (!any_owner) factor = 0.f;
             for (int ch = 0; ch < 4; ch++)
               color[ch] = sc[ch] * factor * ring;
             // ring folded into color; clear cov ring term

@@ -42,24 +42,42 @@ def test_composite_nop_zero_dirty():
     assert np.array_equal(img1, img2)
 
 
-def test_scroll_invalidates_only_moved_tiles():
-    """Scrolling dirties the tiles the scrolled content crosses, not the
-    whole frame (test_invalidation.rs scroll cases)."""
+def test_scroll_rerasters_zero_tiles():
+    """A pure scroll of a picture-cache slice re-rasterizes ZERO tiles:
+    the content-space tiles remap and recomposite at the new offset
+    (tile_cache.rs slices; test_invalidation.rs test_composite_nop class)."""
     backend = setup_backend()
     backend.render()
-    nt = backend.last_frame.passes[-1].tile_insts.shape[0]
+    assert backend.renderer.slice_debug, "scroll content formed no slice"
     txn = Transaction()
     txn.set_scroll_offsets(7, [Point2D(0, 30)])
     txn.generate_frame()
     backend.send_transaction(txn)
     img = backend.render()
-    dirty = backend.renderer.last_dirty_tiles
-    assert 0 < dirty < nt, f"dirty={dirty} of {nt}"
+    slice_dirty = [d for d in backend.renderer.slice_debug
+                   if d["key"][2] is not None]
+    assert slice_dirty and all(d["dirty"] == 0 for d in slice_dirty), \
+        backend.renderer.slice_debug
     # the scrolled rect (was y 10..60) moved up by 30 → now y -20..30
     assert tuple(img[15, 30]) == (255, 0, 0, 255)
     assert tuple(img[45, 30]) == (255, 255, 255, 255)  # vacated area cleared
     # static rect untouched
     assert tuple(img[220, 420]) == (0, 0, 255, 255)
+
+
+def test_scroll_matches_oracle():
+    """The sliced cached render equals the oracle's direct multi-pass
+    render after scrolling (to the u8 grid)."""
+    backend = setup_backend()
+    backend.render()
+    txn = Transaction()
+    txn.set_scroll_offsets(7, [Point2D(0, 30)])
+    txn.generate_frame()
+    backend.send_transaction(txn)
+    img = backend.render()
+    ref = backend.render_software()
+    diff = np.abs(img.astype(np.int32) - ref.astype(np.int32)).max()
+    assert diff <= 1, diff
 
 
 def test_color_change_invalidates():

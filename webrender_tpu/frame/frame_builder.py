@@ -102,6 +102,19 @@ class RenderPass:
     # encode it — this is for the per-instance oracle
     inst_order: Optional[np.ndarray] = None
     tile_hashes: Optional[np.ndarray] = None  # [nt] u64 content hashes
+    # picture-cache slice info (tile_cache.rs slices, max 12): when set,
+    # this root pass can render through a persistent content-space tile
+    # cache — tiles are keyed in the scroll root's space, so a pure scroll
+    # is a tile-offset remap + recomposite with ZERO re-rasterization.
+    slice_key: Optional[Tuple] = None         # persistent identity
+    slice_delta: Optional[Tuple[int, int]] = None  # content→device offset
+    cache_insts: Optional[np.ndarray] = None  # content-space tile lists
+    cache_counts: Optional[np.ndarray] = None
+    cache_nx: int = 0
+    cache_ny: int = 0
+    cache_anchor: Tuple[int, int] = (0, 0)    # grid origin in content tiles
+    cache_hashes: Optional[np.ndarray] = None  # offset-neutral content hash
+    cache_crop: Optional[Tuple[int, int, int, int]] = None  # device clip
 
 
 @dataclass
@@ -207,6 +220,9 @@ class FrameBuilder:
         self.surface_atlas = FrameAtlas(self.surface_atlas_size[1],
                                         self.surface_atlas_size[0])
         self._clip_cache: Dict[Tuple, Tuple[int, int, Optional[Tuple]]] = {}
+        self._clip_meta: Dict[int, Tuple] = {}
+        self._scroll_root_cache: Dict[int, Optional[int]] = {}
+        self._descendant_cache: Dict[Tuple[int, int], bool] = {}
         # active preserve-3d BSP fragment: device-space convex polygon
         # applied as an extra clip on emitted instances (ps_split_composite)
         self._poly_clip: Optional[Tuple[Tuple[float, float], ...]] = None
@@ -227,8 +243,7 @@ class FrameBuilder:
         self._process_picture(scene.root, root_insts)
 
         bg = scene.background_color or ColorF.WHITE
-        self._emit_target_passes(root_insts, TARGET_ROOT, (0, 0, w, h),
-                                 (0.0, 0.0), bg.premultiplied())
+        self._emit_root_passes(root_insts, (0, 0, w, h), bg.premultiplied())
 
         f32_buf, instances = self.gb.finish()
         # picture caching (SURVEY.md §5.7): per-tile content hashes let the
@@ -247,41 +262,37 @@ class FrameBuilder:
                      surface_rows=rows)
 
     _FNV_OFFSET = np.uint64(0xcbf29ce484222325)
-    _FNV_PRIME = np.uint64(0x100000001b3)
+    _FNV_PRIME = np.uint64(0x9e3779b97f4a7c15)
 
-    def _compute_tile_hashes(self, f32_buf: np.ndarray,
-                             instances: np.ndarray) -> None:
-        """Per-tile content hashes (picture.rs dependency tracking role),
-        fully vectorized: one FNV-1a fold over each instance's payload /
-        clip / transform content, then a per-tile fold over the slot
-        matrix — no Python loop over tiles or instances."""
-        root_passes = [p for p in self.passes
-                       if p.target == TARGET_ROOT and p.kind == PASS_RASTER]
-        if len(root_passes) != 1:
-            return  # backdrop-segmented targets re-render fully
-        p = root_passes[0]
+    def _hash_instances(self, f32_buf: np.ndarray, instances: np.ndarray,
+                        delta=None, sr: Optional[int] = None) -> np.ndarray:
+        """FNV fold over each instance's payload / clip / transform content,
+        fully vectorized.  With `delta` (a picture-cache slice's content →
+        device translation), transform rows of slice content are hashed in
+        OFFSET-NEUTRAL form: the constant terms of the inverse homography
+        absorb the translation, so a pure scroll leaves the hash alone."""
         N = instances.shape[0]
         PRIME = self._FNV_PRIME
-
         with np.errstate(over="ignore"):
             h = np.full(N, self._FNV_OFFSET)
-            # instance fields (kind, blend, edge)
             for c in (0, 5, 6):
                 h = (h ^ instances[:, c].astype(np.uint64)) * PRIME
-            # payload content: 64 f32 = 32 u64 words per instance
             offs = np.clip(instances[:, 2].astype(np.int64)[:, None]
                            + np.arange(64)[None, :], 0, f32_buf.size - 1)
-            pay = np.ascontiguousarray(f32_buf[offs]).view(np.uint64)
+            # +0.0 canonicalizes -0.0 (bitwise distinct, renders equal)
+            pay = np.ascontiguousarray(f32_buf[offs] + 0.0).view(np.uint64)
             for c in range(pay.shape[1]):
                 h = (h ^ pay[:, c]) * PRIME
-            # transform palette row content
-            trows = self.palette[instances[:, 1]]
-            tr = np.ascontiguousarray(trows, np.float32).view(
+            trows = np.ascontiguousarray(
+                self.palette[instances[:, 1]], np.float32)
+            if delta is not None:
+                trows = self._neutralize_rows(trows, delta)
+            tr = np.ascontiguousarray(trows + np.float32(0.0)).view(
                 np.uint32).astype(np.uint64)
             for c in range(tr.shape[1]):
                 h = (h ^ tr[:, c]) * PRIME
-            # clip content: few unique (addr, count) groups (clip chains are
-            # cached at serialization) — hash each group once
+            # clip content: few unique (addr, count) groups (clip chains
+            # are cached at serialization) — hash each group once
             caddr = instances[:, 3].astype(np.int64)
             ccount = instances[:, 4].astype(np.int64)
             groups = {}
@@ -290,23 +301,110 @@ class FrameBuilder:
                 key = (caddr[i], ccount[i])
                 g = groups.get(key)
                 if g is None:
-                    blob = f32_buf[key[0]: key[0] + key[1] * CLIP_STRIDE]
-                    g = np.uint64(hash(blob.tobytes())
+                    blob = np.array(
+                        f32_buf[key[0]: key[0] + key[1] * CLIP_STRIDE],
+                        np.float32)
+                    if delta is not None:
+                        for j in range(int(key[1])):
+                            b = j * CLIP_STRIDE + 96
+                            node = int(blob[j * CLIP_STRIDE + 13])
+                            if sr is not None and \
+                                    self._is_descendant(node, sr):
+                                row = blob[b:b + 12].reshape(1, 12)
+                                blob[b:b + 12] = self._neutralize_rows(
+                                    row, delta)[0]
+                    g = np.uint64(hash((blob + np.float32(0.0)).tobytes())
                                   & 0xFFFFFFFFFFFFFFFF)
                     groups[key] = g
                 ch[i] = g
             h = (h ^ ch) * PRIME
+        return h
 
-            # per-tile fold in slot order
-            nt, slots = p.tile_insts.shape
-            ti = p.tile_insts
-            ih = np.where(ti >= 0, h[np.maximum(ti, 0)],
-                          np.uint64(0x9e3779b97f4a7c15))
-            th = np.full(nt, self._FNV_OFFSET ^
-                         np.uint64(hash(p.clear) & 0xFFFFFFFFFFFFFFFF))
-            for s in range(slots):
+    @staticmethod
+    def _neutralize_rows(trows: np.ndarray, delta) -> np.ndarray:
+        """Inverse-homography rows re-expressed for content space: local =
+        (content + Δ)·Hinv, so the constant terms gain Δ·(linear part) —
+        after which a Δ change leaves the row bytes unchanged for nodes
+        that scroll with the content."""
+        dx, dy = float(delta[0]), float(delta[1])
+        out = trows.copy()
+        out[:, 6] = trows[:, 6] + dx * trows[:, 0] + dy * trows[:, 3]
+        out[:, 7] = trows[:, 7] + dx * trows[:, 1] + dy * trows[:, 4]
+        out[:, 8] = trows[:, 8] + dx * trows[:, 2] + dy * trows[:, 5]
+        return out
+
+    def _fold_tile_hashes(self, inst_h: np.ndarray, tile_insts: np.ndarray,
+                          base: np.uint64) -> np.ndarray:
+        PRIME = self._FNV_PRIME
+        with np.errstate(over="ignore"):
+            ih = np.where(tile_insts >= 0,
+                          inst_h[np.maximum(tile_insts, 0)],
+                          np.uint64(0x517cc1b727220a95))
+            th = np.full(tile_insts.shape[0], self._FNV_OFFSET ^ base)
+            for s in range(tile_insts.shape[1]):
                 th = (th ^ ih[:, s]) * PRIME
-        p.tile_hashes = th
+        return th
+
+    def _compute_tile_hashes(self, f32_buf: np.ndarray,
+                             instances: np.ndarray) -> None:
+        """Per-tile content hashes (picture.rs dependency tracking role):
+        the single-root whole-frame cache, plus per-slice offset-neutral
+        hashes for picture-cache slices."""
+        root_passes = [p for p in self.passes
+                       if p.target == TARGET_ROOT and p.kind == PASS_RASTER]
+        slice_passes = [p for p in root_passes if p.slice_key is not None]
+        if len(root_passes) == 1 and not slice_passes:
+            p = root_passes[0]
+            h = self._hash_instances(f32_buf, instances)
+            p.tile_hashes = self._fold_tile_hashes(
+                h, p.tile_insts,
+                np.uint64(hash(p.clear) & 0xFFFFFFFFFFFFFFFF))
+            return
+        for p in slice_passes:
+            sr = p.slice_key[2]
+            seg = p.inst_order.astype(np.int64)
+            h = self._hash_instances(f32_buf, instances[seg],
+                                     delta=p.slice_delta, sr=sr)
+            # cache_insts holds global instance ids; scatter seg hashes
+            gh = np.zeros(instances.shape[0], np.uint64)
+            gh[seg] = h
+            th = self._fold_tile_hashes(gh, p.cache_insts, np.uint64(0))
+            th = self._mark_fixed_clip_tiles(p, instances, th)
+            p.cache_hashes = th
+
+    def _mark_fixed_clip_tiles(self, p: RenderPass, instances: np.ndarray,
+                               th: np.ndarray) -> np.ndarray:
+        """Tiles crossed by a FIXED (non-scrolling) clip edge depend on the
+        scroll offset: mix Δ into their hash so they re-raster per scroll
+        while interior tiles stay cached."""
+        rects = self._fixed_clip_rects(p, instances)
+        if not rects:
+            return th
+        dx, dy = p.slice_delta
+        ax, ay = p.cache_anchor
+        nx, ny = p.cache_nx, p.cache_ny
+        mix = np.uint64(hash((dx, dy)) & 0xFFFFFFFFFFFFFFFF)
+        grid = th.reshape(ny, nx)
+        with np.errstate(over="ignore"):
+            for (x0, y0, x1, y1) in rects:
+                cx0, cy0 = x0 - dx, y0 - dy
+                cx1, cy1 = x1 - dx, y1 - dy
+                tx0 = int(np.floor((cx0 - 1) / TILE_W)) - ax
+                ty0 = int(np.floor((cy0 - 1) / TILE_H)) - ay
+                tx1 = int(np.ceil((cx1 + 1) / TILE_W)) - ax
+                ty1 = int(np.ceil((cy1 + 1) / TILE_H)) - ay
+                # interior tiles strictly inside the clip are offset-safe
+                ix0 = int(np.ceil((cx0 + 1) / TILE_W)) - ax
+                iy0 = int(np.ceil((cy0 + 1) / TILE_H)) - ay
+                ix1 = int(np.floor((cx1 - 1) / TILE_W)) - ax
+                iy1 = int(np.floor((cy1 - 1) / TILE_H)) - ay
+                band = np.zeros((ny, nx), bool)
+                band[max(ty0, 0):max(min(ty1, ny), 0),
+                     max(tx0, 0):max(min(tx1, nx), 0)] = True
+                band[max(iy0, 0):max(min(iy1, ny), 0),
+                     max(ix0, 0):max(min(ix1, nx), 0)] = False
+                grid = np.where(band, (grid ^ mix) * self._FNV_PRIME, grid)
+        return grid.reshape(-1)
 
     # ------------------------------------------------------------------
     # picture traversal / surfaces
@@ -688,6 +786,203 @@ class FrameBuilder:
     def _pal(self, node: int) -> np.ndarray:
         idx = self._row(node)   # may grow self.palette — resolve index first
         return self.palette[idx]
+
+    # ------------------------------------------------------------------
+    # picture-cache slices (tile_cache.rs: up to 12 slices per scroll
+    # root; SURVEY.md §5.7).  Consecutive runs of root prims sharing a
+    # scroll root become slices whose tiles are keyed in the scroll
+    # root's CONTENT space — a pure scroll is a tile remap at composite,
+    # not a re-raster.
+    # ------------------------------------------------------------------
+    MAX_CACHE_SLICES = 12  # tile_cache.rs:32
+
+    def _scroll_root_of(self, node: int) -> Optional[int]:
+        """Outermost real scroll-frame ancestor (excluding the implicit
+        root scroll node), or None."""
+        hit = self._scroll_root_cache.get(node)
+        if hit is not None or node in self._scroll_root_cache:
+            return hit
+        tree = self.scene.spatial_tree
+        out = None
+        i = node
+        while i is not None and 0 <= i < len(tree.nodes):
+            n = tree.nodes[i]
+            if n is None:
+                break
+            if n.kind == SpatialNodeKind.SCROLL_FRAME and n.index > 1:
+                out = n.index
+            i = n.parent
+        self._scroll_root_cache[node] = out
+        return out
+
+    def _is_descendant(self, node: int, anc: int) -> bool:
+        key = (node, anc)
+        hit = self._descendant_cache.get(key)
+        if hit is not None:
+            return hit
+        tree = self.scene.spatial_tree
+        i = node
+        out = False
+        while i is not None and 0 <= i < len(tree.nodes):
+            if i == anc:
+                out = True
+                break
+            n = tree.nodes[i]
+            if n is None:
+                break
+            i = n.parent
+        self._descendant_cache[key] = out
+        return out
+
+    def _emit_root_passes(self, insts: List, region, clear) -> None:
+        w, h = region[2], region[3]
+        has_backdrop = any(isinstance(e, tuple) for e in insts)
+        runs = None
+        if not has_backdrop and insts:
+            runs = self._assign_slices(insts)
+        if not runs or all(r[0] is None for r in runs):
+            self._emit_target_passes(insts, TARGET_ROOT, region, (0.0, 0.0),
+                                     clear)
+            return
+        instances = self.gb.snapshot_instances()
+        for i, (sr, ids) in enumerate(runs):
+            seg_ids = np.asarray(ids, np.int64)
+            tile_insts, tile_counts, nx, ny = bin_instances(
+                seg_ids, self.metas.bbox[seg_ids], (0.0, 0.0), (w, h),
+                opaque=self.metas.opaque[seg_ids],
+                opaque_mask=self.metas.opaque_mask[seg_ids])
+            p = RenderPass(
+                PASS_RASTER, TARGET_ROOT, region, (0.0, 0.0),
+                clear=clear if i == 0 else None,
+                tile_insts=tile_insts, tile_counts=tile_counts,
+                nx=nx, ny=ny, inst_order=seg_ids.astype(np.int32))
+            if sr is not None:
+                self._attach_slice_cache(p, sr, i, seg_ids, instances,
+                                         (w, h))
+            self.passes.append(p)
+
+    def _assign_slices(self, insts: List):
+        """Consecutive runs by scroll root; a run is a cache slice only if
+        its content is offset-invariant (see _run_cacheable)."""
+        instances = self.gb.snapshot_instances()
+        n_nodes = len(self.resolved)
+        runs: List[Tuple[Optional[int], List[int]]] = []
+        for e in insts:
+            spatial = int(instances[e, 1])
+            sr = self._scroll_root_of(spatial) if spatial < n_nodes else None
+            if runs and runs[-1][0] == sr:
+                runs[-1][1].append(e)
+            else:
+                runs.append((sr, [e]))
+        if len(runs) == 1 and runs[0][0] is None:
+            return runs
+        # cap (tile_cache.rs MAX_CACHE_SLICES): overflow merges, uncached
+        if len(runs) > self.MAX_CACHE_SLICES:
+            merged: List[int] = []
+            for _, ids in runs[self.MAX_CACHE_SLICES - 1:]:
+                merged.extend(ids)
+            runs = runs[: self.MAX_CACHE_SLICES - 1] + [(None, merged)]
+        out = []
+        for sr, ids in runs:
+            if sr is not None and not self._run_cacheable(sr, ids, instances):
+                sr = None
+            out.append((sr, ids))
+        return out
+
+    def _run_cacheable(self, sr: int, ids: List[int],
+                       instances: np.ndarray) -> bool:
+        # scroll root must map content→device by a pure integer translation
+        pal = self.palette[sr]
+        if not (abs(pal[0] - 1) < 1e-6 and abs(pal[4] - 1) < 1e-6 and
+                abs(pal[1]) < 1e-9 and abs(pal[3]) < 1e-9 and
+                abs(pal[2]) < 1e-9 and abs(pal[5]) < 1e-9 and
+                abs(pal[8] - 1) < 1e-6):
+            return False
+        Hd = self.H_dev[sr]
+        dx, dy = float(Hd[2, 0]), float(Hd[2, 1])
+        if abs(dx - round(dx)) > 1e-3 or abs(dy - round(dy)) > 1e-3:
+            return False
+        arr = instances[np.asarray(ids, np.int64)]
+        if (arr[:, 5] != BLEND_NORMAL).any():  # exotic blends need backdrop
+            return False
+        if (arr[:, 0] == KIND_CLEAR).any():    # clears punch lower slices
+            return False
+        fixed_rects = set()
+        for rec in arr:
+            if rec[4] == 0:
+                continue
+            meta = self._clip_meta.get(int(rec[3]))
+            if meta is None:
+                return False
+            nodes_info, has_poly = meta
+            if has_poly:
+                return False
+            for (node, kind, mode, db) in nodes_info:
+                if self._is_descendant(node, sr):
+                    continue
+                # fixed clip: only axis-aligned rect CLIPs survive (their
+                # tiles get edge-dirty marking); anything else varies
+                # sub-tile with the offset
+                if db is None or kind != ClipKind.RECT or \
+                        mode != ClipMode.CLIP:
+                    return False
+                fixed_rects.add(tuple(round(v, 2) for v in db))
+        if len(fixed_rects) > 4:
+            return False
+        return True
+
+    def _attach_slice_cache(self, p: RenderPass, sr: int, run_idx: int,
+                            seg_ids: np.ndarray, instances: np.ndarray,
+                            size) -> None:
+        w, h = size
+        Hd = self.H_dev[sr]
+        dx = int(round(float(Hd[2, 0])))
+        dy = int(round(float(Hd[2, 1])))
+        # content-space window covering the device viewport + margins; the
+        # window SIZE is a pure function of the viewport so a scroll only
+        # moves the anchor (same grid, tiles remap)
+        ax = int(math.floor((0 - dx) / TILE_W)) - 1
+        ay = int(math.floor((0 - dy) / TILE_H)) - 1
+        nxc = int(math.ceil(w / TILE_W)) + 3
+        nyc = int(math.ceil(h / TILE_H)) + 3
+        cb = self.metas.bbox[seg_ids].astype(np.float64).copy()
+        cb[:, 0] -= dx
+        cb[:, 1] -= dy
+        cb[:, 2] -= dx
+        cb[:, 3] -= dy
+        ci, cc, gx, gy = bin_instances(
+            seg_ids, cb, (ax * TILE_W, ay * TILE_H),
+            (nxc * TILE_W, nyc * TILE_H),
+            opaque=self.metas.opaque[seg_ids] -
+            np.array([dx, dy, dx, dy], np.float32),
+            opaque_mask=self.metas.opaque_mask[seg_ids])
+        p.slice_key = ("slice", run_idx, sr)
+        p.slice_delta = (dx, dy)
+        p.cache_insts = ci
+        p.cache_counts = cc
+        p.cache_nx = gx
+        p.cache_ny = gy
+        p.cache_anchor = (ax, ay)
+        # fixed-clip crops: their tiles get offset-mixed hashes later; the
+        # composite itself needs no crop beyond the viewport because the
+        # clips stay in the rastered content
+        p.cache_crop = (0, 0, w, h)
+
+    def _fixed_clip_rects(self, p: RenderPass,
+                          instances: np.ndarray) -> List[Tuple]:
+        out = []
+        sr = p.slice_key[2]
+        for e in p.inst_order:
+            rec = instances[int(e)]
+            if rec[4] == 0:
+                continue
+            meta = self._clip_meta.get(int(rec[3]))
+            if meta is None:
+                continue
+            for (node, kind, mode, db) in meta[0]:
+                if db is not None and not self._is_descendant(node, sr):
+                    out.append(db)
+        return out
 
     def _emit_target_passes(self, insts: List, target: int,
                             region: Tuple[int, int, int, int],
@@ -1562,6 +1857,19 @@ class FrameBuilder:
         for rec in records:
             flat.extend(rec)
         addr = self.gb.push_f32(flat) if flat else 0
+        # slice assigner metadata: which spatial nodes / kinds / device
+        # rects this serialized chain references (picture-cache slices need
+        # to classify clips as scrolling-with-content vs fixed)
+        meta = []
+        for node in nodes:
+            db = None
+            if node.kind == ClipKind.RECT and node.mode == ClipMode.CLIP \
+                    and self.resolved[node.spatial_node].is_2d_axis_aligned:
+                db = device_bounds_of_rect(
+                    self._H(node.spatial_node), node.rect.x0, node.rect.y0,
+                    node.rect.x1, node.rect.y1)
+            meta.append((node.spatial_node, node.kind, node.mode, db))
+        self._clip_meta[addr] = (tuple(meta), poly is not None)
         result = (addr, count, bbox)
         self._clip_cache[key] = result
         return result
@@ -2147,11 +2455,25 @@ class FrameBuilder:
             outer_cols += list(_premult(co))
             inner_cols += list(_premult(ci))
             styles.append(float(side.style.value))
+        # border.rs ensure_no_corner_overlap (:168): scale all radii by the
+        # worst edge ratio so adjacent corners never overlap
+        rect = c.local_rect
+        ratio = 1.0
+        if rect.w > 0:
+            for s_ in (r.top_left.width + r.top_right.width,
+                       r.bottom_left.width + r.bottom_right.width):
+                if s_ > rect.w:
+                    ratio = min(ratio, rect.w / s_)
+        if rect.h > 0:
+            for s_ in (r.top_left.height + r.bottom_left.height,
+                       r.top_right.height + r.bottom_right.height):
+                if s_ > rect.h:
+                    ratio = min(ratio, rect.h / s_)
         payload = prefix + [w.top, w.right, w.bottom, w.left] + [
-            r.top_left.width, r.top_left.height,
-            r.top_right.width, r.top_right.height,
-            r.bottom_right.width, r.bottom_right.height,
-            r.bottom_left.width, r.bottom_left.height,
+            r.top_left.width * ratio, r.top_left.height * ratio,
+            r.top_right.width * ratio, r.top_right.height * ratio,
+            r.bottom_right.width * ratio, r.bottom_right.height * ratio,
+            r.bottom_left.width * ratio, r.bottom_left.height * ratio,
         ] + outer_cols + inner_cols + styles
         addr = self.gb.push_f32(payload)
         idx = self.gb.push_instance(KIND_BORDER,

@@ -159,6 +159,18 @@ class GpuBufferBuilder:
     def num_instances(self) -> int:
         return self._inst_len
 
+    def snapshot_instances(self) -> np.ndarray:
+        """Current instance table [n, INST_FIELDS] (consolidates chunks;
+        used by the slice assigner before finish())."""
+        if self._inst_tail:
+            self._inst_chunks.append(np.asarray(self._inst_tail, np.int32))
+            self._inst_tail = []
+        if not self._inst_chunks:
+            return np.zeros((0, INST_FIELDS), np.int32)
+        if len(self._inst_chunks) > 1:
+            self._inst_chunks = [np.concatenate(self._inst_chunks, axis=0)]
+        return self._inst_chunks[0]
+
     # --- finalize ----------------------------------------------------------
     def finish(self) -> Tuple[np.ndarray, np.ndarray]:
         if self._f32:
@@ -203,13 +215,16 @@ def pad_pow2_rows(a: np.ndarray, min_rows: int = 8) -> np.ndarray:
 
 def gradient_stops_records(stops) -> np.ndarray:
     """Serialize normalized gradient stops as 8-float records
-    [offset, r, g, b, a, 0, 0, 0] (straight alpha) for direct in-kernel
-    evaluation (gradient.glsl sample_gradient role, exact)."""
+    [offset, r·a, g·a, b·a, a, 0, 0, 0] — PREMULTIPLIED, because the
+    reference interpolates gradients in premultiplied space
+    (prim_store/gradient/mod.rs GradientGpuBlockBuilder uses
+    PremultipliedColorF; gradient/premultiplied-*.yaml)."""
     n = len(stops)
     out = np.zeros((max(n, 2), 8), np.float32)
     for i, s in enumerate(stops):
         out[i, 0] = min(max(s.offset, 0.0), 1.0)
-        out[i, 1:5] = [s.color.r, s.color.g, s.color.b, s.color.a]
+        a = s.color.a
+        out[i, 1:5] = [s.color.r * a, s.color.g * a, s.color.b * a, a]
     if n == 0:
         out[1, 0] = 1.0
     elif n == 1:

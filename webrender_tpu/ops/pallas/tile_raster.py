@@ -194,8 +194,8 @@ def _eval_stops_row(row, n, t, repeat):
         c1 = jnp.stack([jnp.broadcast_to(row[i * 8 + 1 + c], shape)
                         for c in range(4)], 0)
         out = out + (c1 - out) * w[None]
-    a = out[3]
-    return jnp.stack([out[0] * a, out[1] * a, out[2] * a, a], 0)
+    # records are premultiplied (gradient_stops_records): no conversion
+    return out
 
 
 def _grad_pallas(p, t, in_tile, f32_rows_ref):

@@ -204,10 +204,11 @@ def eval_gradient_stops(xp, fori, f32_buf, addr, nstops, t, extend_repeat):
     The reference bakes stops into a 128-entry LUT (`gradient.glsl`
     sample_gradient); direct evaluation is exact for arbitrary stop
     positions and avoids LUT resolution fuzz. Stops are stored in the flat
-    f32 buffer as 8-float records [offset, r, g, b, a, 0, 0, 0]
-    (straight alpha); output is premultiplied.
-    `fori(lo, hi, body, init)` abstracts lax.fori_loop vs a python loop.
-    """
+    f32 buffer as 8-float records [offset, r·a, g·a, b·a, a, 0, 0, 0] —
+    PREMULTIPLIED, matching the reference's PremultipliedColorF ramps
+    (prim_store/gradient/mod.rs); interpolation happens directly in that
+    space. `fori(lo, hi, body, init)` abstracts lax.fori_loop vs a python
+    loop."""
     t = xp.where(extend_repeat > 0.5, t - xp.floor(t), t)
     c0 = xp.stack([f32_buf[addr + 1], f32_buf[addr + 2],
                    f32_buf[addr + 3], f32_buf[addr + 4]], 0)
@@ -228,10 +229,7 @@ def eval_gradient_stops(xp, fori, f32_buf, addr, nstops, t, extend_repeat):
                      xp.where(t >= o1, 1.0, 0.0))
         return out + (c1[:, None, None] - out) * w[None]
 
-    out = fori(1, nstops, body, out0)
-    # premultiply (stops interpolate in straight-alpha space)
-    a = out[3]
-    return xp.stack([out[0] * a, out[1] * a, out[2] * a, a], 0)
+    return fori(1, nstops, body, out0)
 
 
 # ---------------------------------------------------------------------------
@@ -438,6 +436,48 @@ def pattern_border(xp, p, lx, ly, sx, sy):
     eps = 1e-6
     big = 1e9
 
+    # corner regions: the straight-edge depth metric doesn't apply inside
+    # a rounded corner's box (depth > 1 there even on the ring) — the ring
+    # shape bounds those pixels and depth is measured RADIALLY from the
+    # outer ellipse (cs_border_segment renders corners as separate
+    # ellipse-clipped segments; border-suite.yaml)
+    def corner_zone(cx, cy, rx, ry, sign_x, sign_y):
+        act = (rx > 0.0) & (ry > 0.0)
+        rx_s = xp.where(act, rx, 1.0)
+        ry_s = xp.where(act, ry, 1.0)
+        dx = xp.clip((cx - lx) * sign_x, -1e6, 1e6)
+        dy = xp.clip((cy - ly) * sign_y, -1e6, 1e6)
+        inside = (dx > 0.0) & (dy > 0.0) & act
+        ex = xp.clip(dx / rx_s, -1e4, 1e4)
+        ey = xp.clip(dy / ry_s, -1e4, 1e4)
+        g = xp.sqrt(ex * ex + ey * ey)
+        grad = xp.sqrt((dx / (rx_s * rx_s)) ** 2 +
+                       (dy / (ry_s * ry_s)) ** 2)
+        grad = xp.where(grad > 1e-6, grad, 1e-6)
+        dist = (g - 1.0) * g / grad  # local units, + outside the ellipse
+        return inside, dist
+
+    c_tl = corner_zone(x0 + radii[0], y0 + radii[1], radii[0], radii[1],
+                       1.0, 1.0)
+    c_tr = corner_zone(x1 - radii[2], y0 + radii[3], radii[2], radii[3],
+                       -1.0, 1.0)
+    c_br = corner_zone(x1 - radii[4], y1 - radii[5], radii[4], radii[5],
+                       -1.0, -1.0)
+    c_bl = corner_zone(x0 + radii[6], y1 - radii[7], radii[6], radii[7],
+                       1.0, -1.0)
+    in_corner = c_tl[0] | c_tr[0] | c_br[0] | c_bl[0]
+    # depth into the ring from the outer ellipse, in local units; where
+    # giant radii overlap zones, the NEAREST containing outer edge wins
+    # (the pixel belongs to both corner segments)
+    big_d = 1e9
+    corner_depth_u = xp.minimum(
+        xp.minimum(xp.where(c_tl[0], -c_tl[1], big_d),
+                   xp.where(c_tr[0], -c_tr[1], big_d)),
+        xp.minimum(xp.where(c_br[0], -c_br[1], big_d),
+                   xp.where(c_bl[0], -c_bl[1], big_d)))
+    corner_depth_u = xp.where(in_corner, corner_depth_u, 0.0)
+
+
     def active(i):
         st = p[52 + i]
         return (st != 0.0) & (st != 5.0)  # none / hidden sides don't own
@@ -445,9 +485,20 @@ def pattern_border(xp, p, lx, ly, sx, sy):
     d_r = xp.where((w_r > eps) & active(1), (x1 - lx) / xp.maximum(w_r, eps), big)
     d_b = xp.where((w_b > eps) & active(2), (y1 - ly) / xp.maximum(w_b, eps), big)
     d_l = xp.where((w_l > eps) & active(3), (lx - x0) / xp.maximum(w_l, eps), big)
+    # corner zones belong only to their two ADJACENT sides (the reference
+    # builds per-corner segments clipped to the adjacent sides): an
+    # invisible adjacent pair leaves the corner empty even when an
+    # opposite side is active (border-invisible.yaml).  Where giant radii
+    # make zones OVERLAP, a side stays eligible if any zone containing the
+    # pixel is adjacent to it (border-overlapping-corner.yaml)
+    d_t = xp.where((c_br[0] | c_bl[0]) & ~(c_tl[0] | c_tr[0]), big, d_t)
+    d_r = xp.where((c_tl[0] | c_bl[0]) & ~(c_tr[0] | c_br[0]), big, d_r)
+    d_b = xp.where((c_tl[0] | c_tr[0]) & ~(c_bl[0] | c_br[0]), big, d_b)
+    d_l = xp.where((c_tr[0] | c_br[0]) & ~(c_tl[0] | c_bl[0]), big, d_l)
     # mitered side ownership: smallest normalized depth (explicit compare
     # chain — argmin lowers poorly on the TPU vector unit)
     depth_raw = xp.minimum(xp.minimum(d_t, d_r), xp.minimum(d_b, d_l))
+    any_owner = depth_raw < big * 0.5
     owner = xp.where(d_t <= depth_raw, 0,
                      xp.where(d_r <= depth_raw, 1,
                               xp.where(d_b <= depth_raw, 2, 3)))
@@ -459,14 +510,19 @@ def pattern_border(xp, p, lx, ly, sx, sy):
         c_in = p[36 + side * 4: 40 + side * 4]
         style = p[52 + side]
         w_side = (w_t, w_r, w_b, w_l)[side]
-        sc = xp.where(depth < 0.5,
+        # radial depth inside corner regions, straight-edge depth elsewhere
+        depth_s = xp.where(
+            in_corner,
+            xp.clip(corner_depth_u / xp.maximum(w_side, eps), 0.0, 1.0),
+            depth)
+        sc = xp.where(depth_s < 0.5,
                       xp.stack([xp.broadcast_to(c_out[i], lx.shape)
                                 for i in range(4)], 0),
                       xp.stack([xp.broadcast_to(c_in[i], lx.shape)
                                 for i in range(4)], 0))
         # double: keep outer and inner thirds
         scale = (sx, sy, sy, sx)[side] * w_side  # device px per depth unit
-        third = xp.clip((1.0 / 3.0 - depth) * scale + 0.5, 0.0, 1.0) +             xp.clip((depth - 2.0 / 3.0) * scale + 0.5, 0.0, 1.0)
+        third = xp.clip((1.0 / 3.0 - depth_s) * scale + 0.5, 0.0, 1.0) +             xp.clip((depth_s - 2.0 / 3.0) * scale + 0.5, 0.0, 1.0)
         third = xp.clip(third, 0.0, 1.0)
         # cs_border_segment.glsl: the double gap only applies when the
         # device partial width (w/3) is at least one pixel
@@ -476,7 +532,7 @@ def pattern_border(xp, p, lx, ly, sx, sy):
         along = xp.where(side in (0, 2), lx - x0, ly - y0)
         period = 2.0 * xp.maximum(w_side, eps)
         tm = along - xp.floor(along / period) * period - period * 0.5
-        across = (depth - 0.5) * w_side
+        across = (depth_s - 0.5) * w_side
         dot_d = xp.sqrt(tm * tm + across * across) - 0.5 * w_side
         dot_cov = xp.clip(0.5 - dot_d * (sx + sy) * 0.5, 0.0, 1.0)
         dotted = xp.where(style == 3.0, dot_cov, 1.0)
@@ -486,12 +542,15 @@ def pattern_border(xp, p, lx, ly, sx, sy):
         dashed = xp.where(style == 4.0, xp.where(dash_on, 1.0, 0.0), 1.0)
         visible = xp.where((style == 0.0) | (style == 5.0), 0.0, 1.0)
         # restrict to the owner's band: inactive neighbours leave their ring
-        # area empty (border-none.yaml)
-        band = xp.clip((1.0 - depth) * scale + 0.5, 0.0, 1.0)
-        band = xp.where(depth >= 1.0, 0.0, xp.where(depth <= 0.999, 1.0, band))
+        # area empty (border-none.yaml / border-invisible.yaml) — depth_s
+        # is radial inside corner zones, so a zero-width neighbour's corner
+        # culls while a real rounded corner survives
+        band = xp.clip((1.0 - depth_s) * scale + 0.5, 0.0, 1.0)
+        band = xp.where(depth_s >= 1.0, 0.0,
+                        xp.where(depth_s <= 0.999, 1.0, band))
         contrib = sc * (dbl * dotted * dashed * visible * band)[None]
         color = xp.where((owner == side)[None], contrib, color)
-    return color * ring[None]
+    return color * (ring * xp.where(any_owner, 1.0, 0.0))[None]
 
 
 def pattern_line_dec(xp, p, lx, ly, sx, sy):

@@ -66,6 +66,8 @@ class RenderApi:
             # LowPrioritySceneBuilderThread (scene_builder_thread.rs:775):
             # background documents build on a separate, lower-priority
             # thread so they never stall interactive scenes
+            with self._instance._low_pending_cv:
+                self._instance._low_pending += 1
             self._instance.low_priority_tx.put(("transaction", txn))
         else:
             self._instance.scene_tx.put(("transaction", txn))
@@ -96,6 +98,10 @@ class WebRenderInstance:
         self.result_rx: "queue.Queue" = queue.Queue()
         self.low_priority_tx: Optional["queue.Queue"] = None
         self._flush_done = threading.Event()
+        self._scene_lock = threading.Lock()
+        self.resource_lock = threading.Lock()
+        self._low_pending = 0
+        self._low_pending_cv = threading.Condition()
         self._shutdown = threading.Event()
         self._scene_thread = threading.Thread(
             target=self._scene_builder_loop, name="SceneBuilder", daemon=True)
@@ -122,14 +128,23 @@ class WebRenderInstance:
             except queue.Empty:
                 continue
             if msg[0] == "transaction":
-                txn: Transaction = msg[1]
-                # resource updates + scene ops applied here so the (possibly
-                # slow) scene build happens off the backend thread
-                built = None
-                scene_changed = any(True for _ in txn.scene_ops)
-                self.backend_tx.put(("built_transaction", txn, scene_changed))
+                self._build_and_forward(msg[1])
             elif msg[0] == "flush":
                 self.backend_tx.put(("flush",))
+
+    def _build_and_forward(self, txn: Transaction) -> None:
+        """Scene ops + scene build run HERE, off the backend thread, so a
+        slow build overlaps the previous frame's frame-build/render
+        (scene_builder_thread.rs process_transaction :528).  The Scene is
+        owned by this thread: the backend only consumes BuiltScenes."""
+        built = None
+        with self._scene_lock:
+            if self.backend.apply_scene_ops(txn) and \
+                    self.backend.scene.has_root_pipeline:
+                from .scene.scene_builder import build_scene as _bs
+                built = _bs(self.backend.scene,
+                            self.backend.background_color)
+        self.backend_tx.put(("built_transaction", txn, built))
 
     def _low_priority_loop(self) -> None:
         """scene_builder_thread.rs:775 LowPrioritySceneBuilderThread:
@@ -144,7 +159,10 @@ class WebRenderInstance:
             while not self.scene_tx.empty() and not self._shutdown.is_set():
                 self._sleep(0.001)
             if msg[0] == "transaction":
-                self.backend_tx.put(("built_transaction", msg[1], True))
+                self._build_and_forward(msg[1])
+                with self._low_pending_cv:
+                    self._low_pending -= 1
+                    self._low_pending_cv.notify_all()
 
     @staticmethod
     def _sleep(t: float) -> None:
@@ -159,12 +177,20 @@ class WebRenderInstance:
             except queue.Empty:
                 continue
             if msg[0] == "built_transaction":
-                txn = msg[1]
-                self.backend.send_transaction(txn)
-                if txn.generate_frame_flag:
-                    frame = self.backend.build_frame()
-                    self.result_rx.put(("publish_document", frame))
-                    self.notifier.new_frame_ready()
+                txn, built = msg[1], msg[2]
+                # resources + frame state are guarded against the render
+                # thread (renderer.render consumes pending uploads and
+                # mutates the HBM atlases — resource_lock serializes the
+                # two, matching the reference\'s update/render ordering)
+                with self.resource_lock:
+                    self.backend.apply_resource_updates(txn)
+                    self.backend.apply_frame_ops(txn)
+                    if built is not None:
+                        self.backend.install_built_scene(built)
+                    if txn.generate_frame_flag:
+                        frame = self.backend.build_frame()
+                        self.result_rx.put(("publish_document", frame))
+                        self.notifier.new_frame_ready()
             elif msg[0] == "flush":
                 self._flush_done.set()
 
@@ -174,10 +200,17 @@ class WebRenderInstance:
         (renderer/mod.rs render :1241)."""
         kind, frame = self.result_rx.get(timeout=timeout)
         assert kind == "publish_document"
-        return self.backend.renderer.render(frame, self.backend.resources)
+        with self.resource_lock:
+            return self.backend.renderer.render(frame, self.backend.resources)
 
     def flush(self) -> None:
-        """Barrier: wait until queued transactions are fully processed."""
+        """Barrier: wait until queued transactions are fully processed —
+        including low-priority ones sent before the flush (their queue
+        drains through the same accounting, so hit_test after flush never
+        sees a stale scene)."""
+        with self._low_pending_cv:
+            self._low_pending_cv.wait_for(
+                lambda: self._low_pending == 0, timeout=60.0)
         self._flush_done.clear()
         self.scene_tx.put(("flush",))
         self._flush_done.wait(timeout=60.0)

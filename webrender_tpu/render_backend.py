@@ -56,10 +56,20 @@ class RenderBackend:
 
     # ------------------------------------------------------------------
     def send_transaction(self, txn: Transaction) -> None:
-        """render_api.rs send_transaction :1249 → process_transaction."""
+        """render_api.rs send_transaction :1249 → process_transaction.
+        (The threaded pipeline in render_api.py splits these stages across
+        the scene-builder and backend threads; this synchronous entry runs
+        them in order on the caller.)"""
+        self.apply_resource_updates(txn)
+        scene_changed = self.apply_scene_ops(txn)
+        self.apply_frame_ops(txn)
+        if scene_changed:
+            self.rebuild_scene()
+        if txn.generate_frame_flag:
+            self.frame_ready = True
+
+    def apply_scene_ops(self, txn: Transaction) -> bool:
         scene_changed = False
-        for update in txn.resource_updates:
-            self._apply_resource_update(update)
         for op, payload in txn.scene_ops:
             if op == "set_display_list":
                 epoch, dl = payload
@@ -71,19 +81,33 @@ class RenderBackend:
             elif op == "remove_pipeline":
                 self.scene.remove_pipeline(payload)
                 scene_changed = True
+        return scene_changed
+
+    def apply_frame_ops(self, txn: Transaction) -> None:
         for op, payload in txn.frame_ops:
             if op == "scroll":
                 self.scroll_offsets[payload.external_scroll_id] = payload.offset
             elif op == "dynamic_properties":
                 for pv in payload.transforms:
                     self.properties[pv.key] = pv.value
-        if scene_changed and self.scene.has_root_pipeline:
-            with self.profiler.timer("scene_build_time"):
-                self.built_scene = build_scene(self.scene,
-                                               self.background_color)
-            self._hit_tester = None
-        if txn.generate_frame_flag:
-            self.frame_ready = True
+
+    def apply_resource_updates(self, txn: Transaction) -> None:
+        for update in txn.resource_updates:
+            self._apply_resource_update(update)
+
+    def rebuild_scene(self):
+        """Scene build (scene_building.rs build): runs on the scene-builder
+        thread in the threaded pipeline."""
+        if not self.scene.has_root_pipeline:
+            return None
+        with self.profiler.timer("scene_build_time"):
+            built = build_scene(self.scene, self.background_color)
+        self.install_built_scene(built)
+        return built
+
+    def install_built_scene(self, built: BuiltScene) -> None:
+        self.built_scene = built
+        self._hit_tester = None
 
     def _apply_resource_update(self, update) -> None:
         if isinstance(update, AddImage):

@@ -130,6 +130,16 @@ def _copy_region(dst, src_img, x: int, y: int):
                                         (0, y, x))
 
 
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("w", "h"))
+def _slice_composite(fb, img, dst_x, dst_y, src_x, src_y, *, w: int, h: int):
+    """src-over a picture-cache slice region onto the framebuffer
+    (composite.rs draw-compositor tile draw)."""
+    src = jax.lax.dynamic_slice(img, (0, src_y, src_x), (4, h, w))
+    dst = jax.lax.dynamic_slice(fb, (0, dst_y, dst_x), (4, h, w))
+    out = src + dst * (1.0 - src[3:4])
+    return jax.lax.dynamic_update_slice(fb, out, (0, dst_y, dst_x))
+
+
 class Renderer:
     """Owns the HBM atlas arrays + framebuffer (`device/gl.rs` Device role).
 
@@ -172,6 +182,10 @@ class Renderer:
         # (pallas / xla / sharded) — exported by bench + reftest artifacts
         self.last_engine = None
         self.engine_counts: Dict[str, int] = {}
+        # picture-cache slices (tile_cache.rs): persistent per-slice
+        # content-space tile grids + hashes, keyed by slice identity
+        self._slices: Dict[Tuple, Dict] = {}
+        self.slice_debug: List[Dict] = []  # PictureCacheDebugInfo analog
 
     # ------------------------------------------------------------------
     def apply_uploads(self, uploads: List[PendingUpload]) -> None:
@@ -210,6 +224,9 @@ class Renderer:
         instances = jnp.asarray(frame.instances)
         transforms = jnp.asarray(frame.transforms)
         framebuffer = None
+        self.slice_debug = []
+        if any(q.slice_key is not None for q in frame.passes):
+            self.last_dirty_tiles = -1
         for p in frame.passes:
             if p.kind == PASS_RASTER:
                 framebuffer = self._run_raster(
@@ -401,6 +418,12 @@ class Renderer:
 
     def _run_raster(self, p: RenderPass, frame: Frame, f32_buf, instances,
                     transforms, framebuffer):
+        # picture-cache slice: persistent content-space tiles, composited
+        # at the slice's current scroll offset (tile_cache.rs slices)
+        if (self.picture_caching and p.target == TARGET_ROOT
+                and p.slice_key is not None and p.cache_hashes is not None):
+            return self._run_slice_cached(p, frame, f32_buf, instances,
+                                          transforms, framebuffer)
         # picture caching: root pass with per-tile hashes renders only the
         # tiles whose content changed (picture.rs pre_update/post_update
         # dirty tracking re-designed as content hashing)
@@ -473,6 +496,90 @@ class Renderer:
         fb = _assemble(self._root_tiles, nx=p.nx, ny=p.ny, w=rw, h=rh)
         self._root_fb = fb
         return fb
+
+    def _run_slice_cached(self, p: RenderPass, frame: Frame, f32_buf,
+                          instances, transforms, framebuffer):
+        """Execute one picture-cache slice: remap the persistent content
+        tiles by the anchor shift, re-raster only hash-dirty tiles (onto a
+        transparent base), and src-over the slice at its current offset —
+        a pure scroll re-rasters ZERO tiles (tile_cache.rs /
+        picture.rs pre/post_update re-designed)."""
+        x, y, rw, rh = p.region
+        if framebuffer is None:
+            clear = np.asarray(p.clear if p.clear is not None
+                               else (0.0, 0.0, 0.0, 0.0), np.float32)
+            framebuffer = jnp.zeros((4, rh, rw), jnp.float32) + \
+                jnp.asarray(clear).reshape(4, 1, 1)
+        nxc, nyc = p.cache_nx, p.cache_ny
+        nt = nxc * nyc
+        anchor = p.cache_anchor
+        dx, dy = p.slice_delta
+        state = self._slices.get(p.slice_key)
+        tiles = None
+        if state is not None and state["grid"] == (nxc, nyc):
+            sx = anchor[0] - state["anchor"][0]
+            sy = anchor[1] - state["anchor"][1]
+            tys, txs = np.mgrid[0:nyc, 0:nxc]
+            oty = tys + sy
+            otx = txs + sx
+            valid = ((oty >= 0) & (oty < nyc) & (otx >= 0) &
+                     (otx < nxc)).reshape(-1)
+            oidx = np.where(valid, (oty * nxc + otx).reshape(-1), 0)
+            prev_h = np.where(valid, state["hashes"][oidx],
+                              np.uint64(0xDEAD60D5DEAD60D5))
+            if sx == 0 and sy == 0:
+                tiles = state["tiles"]
+            else:
+                tiles = jnp.take(state["tiles"], jnp.asarray(oidx), axis=0)
+            dirty = np.nonzero(prev_h != p.cache_hashes)[0]
+        else:
+            dirty = np.arange(nt)
+        self.last_dirty_tiles = (0 if self.last_dirty_tiles < 0
+                                 else self.last_dirty_tiles) + dirty.size
+        self.slice_debug.append({"key": p.slice_key, "dirty": int(dirty.size),
+                                 "total": nt})
+        if dirty.size:
+            bucket = 1 << max(3, int(np.ceil(np.log2(dirty.size))))
+            bucket = min(bucket, nt)
+            padded = np.resize(dirty, bucket) if bucket >= dirty.size \
+                else dirty
+            sub_insts = p.cache_insts[padded]
+            oxs = (anchor[0] + (padded % nxc)) * TILE_W + dx
+            oys = (anchor[1] + (padded // nxc)) * TILE_H + dy
+            origins = np.stack([oxs, oys], 1).astype(np.float32)
+            ids = sub_insts[sub_insts >= 0]
+            if ids.size:
+                used = frame.instances[np.unique(ids)]
+                kinds = tuple(sorted(set(int(k) for k in used[:, INST_KIND])))
+                blends = tuple(sorted(set(int(b)
+                                          for b in used[:, INST_BLEND])))
+            else:
+                kinds, blends = (0,), (0,)
+            rendered = self._dispatch_raster(
+                frame, f32_buf, instances, transforms, sub_insts, origins,
+                jnp.zeros(4, jnp.float32), kinds, blends,
+                dense_cache_holder=None)
+            if tiles is None:
+                tiles = jnp.zeros((nt, 4, TILE_H, TILE_W), jnp.float32)
+            tiles = tiles.at[jnp.asarray(padded)].set(rendered)
+        self._slices[p.slice_key] = {"anchor": anchor, "grid": (nxc, nyc),
+                                     "hashes": p.cache_hashes,
+                                     "tiles": tiles}
+        # composite the slice at its device offset, clipped to the region
+        img_w, img_h = nxc * TILE_W, nyc * TILE_H
+        gx0 = anchor[0] * TILE_W + dx
+        gy0 = anchor[1] * TILE_H + dy
+        crop = p.cache_crop or (0, 0, rw, rh)
+        cx0 = max(0, gx0, crop[0])
+        cy0 = max(0, gy0, crop[1])
+        cx1 = min(rw, gx0 + img_w, crop[2])
+        cy1 = min(rh, gy0 + img_h, crop[3])
+        if cx1 <= cx0 or cy1 <= cy0:
+            return framebuffer
+        img = _assemble(tiles, nx=nxc, ny=nyc, w=img_w, h=img_h)
+        return _slice_composite(framebuffer, img, cx0, cy0,
+                                cx0 - gx0, cy0 - gy0,
+                                w=cx1 - cx0, h=cy1 - cy0)
 
     def _run_blur(self, p: RenderPass) -> None:
         sx, sy, sw, sh = p.src_region

@@ -748,16 +748,23 @@ class ResourceCache:
                 planes.append(px.reshape(desc.height, desc.width)
                               .astype(np.float32) / 65535.0)
             else:
-                planes.append(px.reshape(desc.height, desc.width, -1)
-                              .astype(np.float32) / 255.0)
+                arr = px.reshape(desc.height, desc.width, -1) \
+                    .astype(np.float32) / 255.0
+                if desc.format == ImageFormat.BGRA8 and arr.shape[-1] == 4:
+                    # normalize to channel order 0=Y/U,1=U/V,2=V (PNG-
+                    # sourced planes arrive swizzled as BGRA)
+                    arr = arr[..., [2, 1, 0, 3]]
+                planes.append(arr)
         if fmt == "planar":
             y, u, v = planes[0], planes[1], planes[2]
         elif fmt == "nv12":
             y = planes[0]
             u, v = planes[1][..., 0], planes[1][..., 1]
         elif fmt == "interleaved":
-            y = planes[0][..., 0]
-            u, v = planes[0][..., 1], planes[0][..., 2]
+            # yuv.glsl:219 — interleaved texels sample .gbr: Y lives in G,
+            # Cb in B, Cr in R
+            y = planes[0][..., 1]
+            u, v = planes[0][..., 2], planes[0][..., 0]
         else:
             raise NotImplementedError(f"yuv format {fmt}")
         h, w = y.shape
