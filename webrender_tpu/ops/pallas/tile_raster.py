@@ -651,8 +651,17 @@ def render_tiles_pallas_dense(dense, tile_counts, tile_origins, clear_color,
                 if kind_s == K_SEP_IMAGE:
                     stretch_w = jnp.maximum(p[18], 1e-6)
                     stretch_h = jnp.maximum(p[19], 1e-6)
-                    oxl = lx_row - p[0]
-                    oyl = ly_col - p[1]
+                    # clamp to the pattern rect (minus an epsilon so the
+                    # clamped edge never wraps to 0 through the modulo):
+                    # pixels beyond the rect are coverage-0 except the AA
+                    # ramp, but unclamped they wrap through the repeat
+                    # modulo and blow up the window span (min(uf) drops to
+                    # the rect start → zero weights for the visible
+                    # samples at a partial boundary tile)
+                    oxl = jnp.clip(lx_row - p[0], 0.0,
+                                   jnp.maximum(p[2] - p[0] - 1e-3, 0.0))
+                    oyl = jnp.clip(ly_col - p[1], 0.0,
+                                   jnp.maximum(p[3] - p[1] - 1e-3, 0.0))
                     period_x = stretch_w + p[20]
                     period_y = stretch_h + p[21]
                     period_x = jnp.where(period_x > 1e-6, period_x, 1e6)
