@@ -749,20 +749,111 @@ int wr_raster_pass(
                             clampf((depth_s - 2.f / 3.f) * scale + 0.5f, 0.f, 1.f);
               factor *= clampf(third, 0.f, 1.f);
             }
-            float along = (owner == 0 || owner == 2) ? (lx - p[0]) : (ly - p[1]);
-            if (style == 3.f) {  // dotted
-              float period = 2.f * std::max(w_side, 1e-6f);
-              float tm = along - std::floor(along / period) * period -
-                         period * 0.5f;
+            // dotted/dashed edge layout derived from radii/widths/styles
+            // (border.rs get_edge_info :615 / create_border_segments :674).
+            // Corner regions follow the CORNER's style (its first side's,
+            // add_segment :949).  Mirrors patterns.pattern_border.
+            {
+              float exw[4] = {std::max(radii[0], w_l),   // tl_w
+                              std::max(radii[2], w_r),   // tr_w
+                              std::max(radii[4], w_r),   // br_w
+                              std::max(radii[6], w_l)};  // bl_w
+              float exh[4] = {std::max(radii[1], w_t),   // tl_h
+                              std::max(radii[3], w_t),   // tr_h
+                              std::max(radii[5], w_b),   // br_h
+                              std::max(radii[7], w_b)};  // bl_h
+              // per-pixel corner classification (TL,TR,BR,BL)
+              const int s0i[4] = {3, 0, 1, 2};
+              const float cwz[4] = {w_l, w_r, w_r, w_l};
+              const float chz[4] = {w_t, w_t, w_b, w_b};
+              const float ccxs[4] = {p[0] + 0.5f * w_l, p[2] - 0.5f * w_r,
+                                     p[2] - 0.5f * w_r, p[0] + 0.5f * w_l};
+              const float ccys[4] = {p[1] + 0.5f * w_t, p[1] + 0.5f * w_t,
+                                     p[3] - 0.5f * w_b, p[3] - 0.5f * w_b};
+              const bool boxes[4] = {
+                  lx < p[0] + exw[0] && ly < p[1] + exh[0],
+                  lx >= p[2] - exw[1] && ly < p[1] + exh[1],
+                  lx >= p[2] - exw[2] && ly >= p[3] - exh[2],
+                  lx < p[0] + exw[3] && ly >= p[3] - exh[3]};
+              float cstyle = -1.f;
+              bool czero = false;     // dotted collapse (< w/2)
+              bool czero_da = false;  // dashed: radius == 0
+              float corner_dot = 0.f;
+              for (int ci = 0; ci < 4; ci++) {
+                bool zr = radii[ci * 2] < cwz[ci] * 0.5f &&
+                          radii[ci * 2 + 1] < chz[ci] * 0.5f;
+                if (boxes[ci] && cstyle < -0.5f) {
+                  cstyle = p[52 + s0i[ci]];
+                  czero = zr;
+                  czero_da = radii[ci * 2] < 1e-6f &&
+                             radii[ci * 2 + 1] < 1e-6f;
+                }
+                if (p[52 + s0i[ci]] == 3.f && zr &&
+                    cwz[ci] + chz[ci] > 1e-6f) {
+                  float ccr = 0.25f * (cwz[ci] + chz[ci]);
+                  float dcx = lx - ccxs[ci];
+                  float dcy = ly - ccys[ci];
+                  float dcd = std::sqrt(dcx * dcx + dcy * dcy) - ccr;
+                  corner_dot = std::max(
+                      corner_dot,
+                      clampf(0.5f - dcd * (sx + sy) * 0.5f, 0.f, 1.f));
+                }
+              }
+              float base, avail;
+              switch (owner) {
+                case 0: base = p[0] + exw[0];
+                        avail = (p[2] - p[0]) - exw[0] - exw[1]; break;
+                case 1: base = p[1] + exh[1];
+                        avail = (p[3] - p[1]) - exh[1] - exh[2]; break;
+                case 2: base = p[0] + exw[3];
+                        avail = (p[2] - p[0]) - exw[3] - exw[2]; break;
+                default: base = p[1] + exh[0];
+                         avail = (p[3] - p[1]) - exh[0] - exh[3]; break;
+              }
+              avail = std::max(avail, 0.f);
+              float along = (owner == 0 || owner == 2) ? lx : ly;
+              float aa_dev = (owner == 0 || owner == 2) ? sx : sy;
+              float wse = std::max(w_side, 1e-6f);
+              // dashed pattern over [base, base+avail)
+              float n0 = std::max(
+                  std::min(std::ceil(avail / (1.5f * wse) - 1e-4f), 16384.f), 1.f);
+              float rem = n0 - std::floor(n0 / 4.f) * 4.f;
+              float n4 = rem > 0.f ? n0 + 4.f - rem : n0;
+              float period_dash = std::max(4.f * avail / n4, 1e-6f);
+              float t_dash = along - base;
+              float tm_dash = t_dash -
+                  std::floor(t_dash / period_dash) * period_dash;
+              float hd = 0.25f * period_dash;
+              float dcov = clampf(0.5f + (hd - tm_dash) * aa_dev, 0.f, 1.f) +
+                           clampf(0.5f + (tm_dash - 3.f * hd) * aa_dev,
+                                  0.f, 1.f);
+              dcov = clampf(dcov, 0.f, 1.f);
+              bool dash_span = along >= base && along < base + avail;
+              // dotted pattern: dots of diameter w on a 2w period
+              float das = 2.f * wse;
+              float cnt = std::max(std::floor(avail / das), 1.f);
+              float used = cnt * das;
+              float doff = std::floor((avail - used) * 0.5f + 0.5f);
+              float dot_a0 = base + doff;
+              float dot_a1 = avail < das * 0.75f ? dot_a0 : dot_a0 + used;
+              float t_dot = along - dot_a0;
+              float tm_dot = t_dot - std::floor(t_dot / das) * das;
               float across = (depth_s - 0.5f) * w_side;
-              float dot_d = std::sqrt(tm * tm + across * across) -
+              float dt = tm_dot - 0.5f * das;
+              float dot_d = std::sqrt(dt * dt + across * across) -
                             0.5f * w_side;
-              factor *= clampf(0.5f - dot_d * (sx + sy) * 0.5f, 0.f, 1.f);
-            } else if (style == 4.f) {  // dashed
-              float period = 2.f * std::max(w_side, 1e-6f);
-              float m = along - std::floor(along / (2.f * period)) *
-                                    (2.f * period);
-              factor *= m < period ? 1.f : 0.f;
+              float dot_cov = clampf(0.5f - dot_d * (sx + sy) * 0.5f,
+                                     0.f, 1.f);
+              bool dot_span = along >= dot_a0 && along < dot_a1;
+              float own_mod =
+                  style == 3.f ? (dot_span ? dot_cov : 0.f)
+                  : (style == 4.f ? (dash_span ? dcov : 0.f) : 1.f);
+              // zero-radius dashed corners draw NORMALLY
+              // (write_dashed_corner returns Err on zero arc length)
+              float corner_mod =
+                  cstyle == 3.f ? (czero ? corner_dot : dot_cov)
+                  : (cstyle == 4.f ? (czero_da ? 1.f : dcov) : 1.f);
+              factor *= cstyle > -0.5f ? corner_mod : own_mod;
             }
             if (style == 0.f || style == 5.f) factor = 0.f;
             // depth_s is radial inside corner zones: zero-width neighbour

@@ -26,7 +26,7 @@ import numpy as np
 from ..api.color import ColorF
 from ..api.display_item import (BoxShadowClipMode, ClipMode, ExtendMode,
                                 FilterOpKind, ImageRendering, LineStyle,
-                                MixBlendMode)
+                                MixBlendMode, RepeatMode)
 from ..api.font import FontRenderMode
 from ..api.units import Point2D, Rect, Transform
 from ..resources.atlas import AtlasRegion, FrameAtlas
@@ -2030,9 +2030,11 @@ class FrameBuilder:
 
     def _emit_rect_like(self, prim, c: PrimCommon, axis_aligned: bool,
                         out: List[int], kind: int, payload_tail: List[float],
-                        blend: int) -> None:
+                        blend: int, pattern_rect: Optional[Rect] = None,
+                        snap: bool = True) -> None:
         r = c.local_rect
-        res = self._emit_common(c, axis_aligned, r, r)
+        res = self._emit_common(c, axis_aligned, pattern_rect or r, r,
+                                snap=snap)
         if res is None:
             return
         prefix, edge_aa, clip_addr, clip_count, bbox = res
@@ -2179,7 +2181,8 @@ class FrameBuilder:
     def _emit_image_instance(self, prim, c, axis_aligned, out, ux, uy, uw, uh,
                              stretch_w, stretch_h, spacing_w, spacing_h,
                              rendering, color, img_scale=None,
-                             crop_origin=(0.0, 0.0)) -> None:
+                             crop_origin=(0.0, 0.0), pattern_rect=None,
+                             snap=True) -> None:
         nearest = 1.0 if rendering in (ImageRendering.PIXELATED,
                                        ImageRendering.CROSP_EDGES) else 0.0
         if img_scale is None:
@@ -2188,7 +2191,8 @@ class FrameBuilder:
             [nearest, 0.0, stretch_w, stretch_h, spacing_w, spacing_h,
              img_scale[0], img_scale[1], crop_origin[0], crop_origin[1]]
         self._emit_rect_like(prim, c, axis_aligned, out, KIND_IMAGE, tail,
-                             BLEND_NORMAL)
+                             BLEND_NORMAL, pattern_rect=pattern_rect,
+                             snap=snap)
 
     def _prepare_text(self, prim: TextRunPrim, c: PrimCommon,
                       out: List[int]) -> None:
@@ -2483,35 +2487,191 @@ class FrameBuilder:
         self.metas.push(bbox)
         out.append(idx)
 
+    def _nine_patch_source(self, b) -> Optional[Tuple[int, float, float]]:
+        """Resolve a nine-patch source to (image key, texture w, texture h).
+        Gradient sources rasterize once into a content-keyed texture — the
+        render_task_cache.rs role (the reference renders gradient nine-patch
+        sources into a cached render task and samples it as an image)."""
+        if b.source_kind == "image":
+            tpl = self.resources.images.get(b.image_key)
+            if tpl is None:
+                return None
+            return b.image_key, float(tpl.descriptor.width), \
+                float(tpl.descriptor.height)
+        w, h = int(round(b.width)), int(round(b.height))
+        if w <= 0 or h <= 0 or not b.stops:
+            return None
+        stop_key = tuple((s.offset, s.color.r, s.color.g, s.color.b,
+                          s.color.a) for s in b.stops)
+        if b.source_kind == "gradient" and b.gradient is not None:
+            g = b.gradient
+            par = ("lin", g.start_point.x, g.start_point.y, g.end_point.x,
+                   g.end_point.y, g.extend_mode.value)
+        elif b.source_kind == "radial-gradient" and b.radial_gradient is not None:
+            g = b.radial_gradient
+            par = ("rad", g.center.x, g.center.y, g.radius.width,
+                   g.radius.height, g.start_offset, g.end_offset,
+                   g.extend_mode.value)
+        elif b.source_kind == "conic-gradient" and b.conic_gradient is not None:
+            g = b.conic_gradient
+            par = ("con", g.center.x, g.center.y, g.angle, g.start_offset,
+                   g.end_offset, g.extend_mode.value)
+        else:
+            return None
+        content_key = ("ninepatch", w, h, par, stop_key)
+        key = self.resources.get_or_render_source(
+            content_key, w, h,
+            lambda: _raster_gradient_source(b.source_kind, g, b.stops, w, h))
+        return key, float(w), float(h)
+
     def _prepare_nine_patch(self, prim: NinePatchBorderPrim, c: PrimCommon,
                             axis_aligned: bool, out: List[int]) -> None:
-        """Nine-patch borders with gradient/image sources — the border ring
-        is the prim rect minus the widths-inset inner rect (a CLIP_OUT rect
-        record); the source pattern fills the ring."""
+        """Nine-patch borders (border.rs NinePatchDescriptor::create_segments
+        :1307): the source texture is sliced into 4 corners, 4 edges and an
+        optional middle; each patch becomes one image instance with the
+        brush_image.glsl SEGMENT_REPEAT_*/ROUND/CENTERED stretch math
+        evaluated at prepare time."""
         b = prim.border
         w = prim.widths
-        rect = c.local_rect
-        inner = Rect(rect.x0 + w.left, rect.y0 + w.top,
-                     rect.w - w.left - w.right, rect.h - w.top - w.bottom)
-        extra = ()
-        if not b.fill and not inner.is_empty:
-            node = ClipNode(ClipKind.RECT, c.spatial_node, inner,
-                            mode=ClipMode.CLIP_OUT)
-            extra = (self.scene.clip_store.add_node(node),)
+        src = self._nine_patch_source(b)
+        if src is None:
+            return
+        key, tex_w, tex_h = src
+        W = max(float(b.width), 1e-6)
+        Hh = max(float(b.height), 1e-6)
+        sl = b.slice
+        pxf = [0.0, sl.left / W, (W - sl.right) / W, 1.0]
+        pyf = [0.0, sl.top / Hh, (Hh - sl.bottom) / Hh, 1.0]
+        # snap the outer rect once so patch seams stay aligned; patches
+        # then emit snap=False (fractional repeat phases must not re-snap)
+        rect = self._snap_rect(c.local_rect, c.spatial_node) \
+            if axis_aligned else c.local_rect
+        x0, y0, x1, y1 = rect.x0, rect.y0, rect.x1, rect.y1
+        ix0, iy0 = x0 + w.left, y0 + w.top
+        ix1, iy1 = x1 - w.right, y1 - w.bottom
+        ST = RepeatMode.STRETCH
+        RE = RepeatMode.REPEAT
+        RO = RepeatMode.ROUND
+        rh = b.repeat_horizontal
+        rv = b.repeat_vertical
+        # (dest bounds, uv fractions, repeat_h, repeat_v, is_middle)
+        patches = [
+            ((x0, y0, ix0, iy0), (pxf[0], pyf[0], pxf[1], pyf[1]), ST, ST, 0),
+            ((ix1, y0, x1, iy0), (pxf[2], pyf[0], pxf[3], pyf[1]), ST, ST, 0),
+            ((ix1, iy1, x1, y1), (pxf[2], pyf[2], pxf[3], pyf[3]), ST, ST, 0),
+            ((x0, iy1, ix0, y1), (pxf[0], pyf[2], pxf[1], pyf[3]), ST, ST, 0),
+            ((ix0, y0, ix1, iy0), (pxf[1], pyf[0], pxf[2], pyf[1]), rh, ST, 0),
+            ((ix0, iy1, ix1, y1), (pxf[1], pyf[2], pxf[2], pyf[3]), rh, ST, 0),
+            ((x0, iy0, ix0, iy1), (pxf[0], pyf[1], pxf[1], pyf[2]), ST, rv, 0),
+            ((ix1, iy0, x1, iy1), (pxf[2], pyf[1], pxf[3], pyf[2]), ST, rv, 0),
+        ]
+        if b.fill:
+            patches.append(((ix0, iy0, ix1, iy1),
+                            (pxf[1], pyf[1], pxf[2], pyf[2]), rh, rv, 1))
         import dataclasses as dc
-        c2 = dc.replace(c, clip_chain=c.clip_chain + extra)
-        if b.source_kind == "gradient" and b.gradient is not None:
-            sub = LinearGradientPrim(c2, b.gradient, b.stops, rect.size)
-            self._prepare_gradient(sub, c2, axis_aligned, out)
-        elif b.source_kind == "radial-gradient" and b.radial_gradient is not None:
-            sub = RadialGradientPrim(c2, b.radial_gradient, b.stops, rect.size)
-            self._prepare_gradient(sub, c2, axis_aligned, out)
-        elif b.source_kind == "conic-gradient" and b.conic_gradient is not None:
-            sub = ConicGradientPrim(c2, b.conic_gradient, b.stops, rect.size)
-            self._prepare_gradient(sub, c2, axis_aligned, out)
-        elif b.source_kind == "image":
-            sub = ImagePrim(c2, b.image_key, stretch_size=rect.size)
-            self._prepare_image(sub, c2, axis_aligned, out)
+        for (dx0, dy0, dx1, dy1), (u0f, v0f, u1f, v1f), mh, mv, mid \
+                in patches:
+            if u1f <= u0f or v1f <= v0f or dx1 <= dx0 or dy1 <= dy0:
+                continue
+            seg_w, seg_h = dx1 - dx0, dy1 - dy0
+            uvpx_w = (u1f - u0f) * tex_w
+            uvpx_h = (v1f - v0f) * tex_h
+            stretch_w, stretch_h = seg_w, seg_h
+            if mid:
+                # brush_image.glsl NINEPATCH_MIDDLE: repeats scale by the
+                # corner sizes (top/left, falling back to bottom/right)
+                rss = [w.left, w.top]
+                h_uv = [uvpx_w, pyf[1] * tex_h]
+                if h_uv[1] < 1e-3 or rss[1] < 1e-3:
+                    h_uv[1] = (1.0 - pyf[2]) * tex_h
+                    rss[1] = w.bottom
+                v_uv = [pxf[1] * tex_w, uvpx_h]
+                if v_uv[0] < 1e-3 or rss[0] < 1e-3:
+                    v_uv[0] = (1.0 - pxf[2]) * tex_w
+                    rss[0] = w.right
+            else:
+                rss = [seg_w, seg_h]
+                h_uv = [uvpx_w, uvpx_h]
+                v_uv = [uvpx_w, uvpx_h]
+            if mh in (RE, RO):
+                stretch_w = rss[1] * (h_uv[0] / max(h_uv[1], 1e-6))
+            if mv in (RE, RO):
+                stretch_h = rss[0] * (v_uv[1] / max(v_uv[0], 1e-6))
+            if mh == RO:
+                stretch_w = seg_w / max(1.0, round(seg_w /
+                                                   max(stretch_w, 1e-6)))
+            if mv == RO:
+                stretch_h = seg_h / max(1.0, round(seg_h /
+                                                   max(stretch_h, 1e-6)))
+            # centered repeat: shift the pattern origin so the first tile
+            # is centered (brush_image.glsl normalized_offset derivation)
+            pox, poy = dx0, dy0
+            if mh == RE:
+                rep = seg_w / max(stretch_w, 1e-6)
+                pox = dx0 - (1.0 - ((rep * 0.5 + 0.5) % 1.0)) * stretch_w
+            if mv == RE:
+                rep = seg_h / max(stretch_h, 1e-6)
+                poy = dy0 - (1.0 - ((rep * 0.5 + 0.5) % 1.0)) * stretch_h
+            # source slice rect in texture px → resident atlas crop
+            sx0, sy0 = u0f * tex_w, v0f * tex_h
+            sx1, sy1 = u1f * tex_w, v1f * tex_h
+            req = self.resources.request_image_sub(key, (sx0, sy0, sx1, sy1))
+            if req is None:
+                continue
+            region, _desc, crop_origin = req
+            # tight uv rect = the slice rect in atlas coords: the sample
+            # clamp must not cross slice boundaries (the crop carries a
+            # 1px margin of neighbouring texels)
+            ax0 = region.x + (sx0 - crop_origin[0])
+            ay0 = region.y + (sy0 - crop_origin[1])
+            c2 = dc.replace(c, local_rect=Rect.from_bounds(dx0, dy0,
+                                                           dx1, dy1))
+            self._emit_image_instance(
+                prim, c2, axis_aligned, out, ax0, ay0, uvpx_w, uvpx_h,
+                stretch_w, stretch_h, 0.0, 0.0, ImageRendering.AUTO,
+                ColorF.WHITE,
+                img_scale=(uvpx_w / max(stretch_w, 1e-6),
+                           uvpx_h / max(stretch_h, 1e-6)),
+                crop_origin=(0.0, 0.0),
+                pattern_rect=Rect.from_bounds(pox, poy, dx1, dy1),
+                snap=False)
+
+
+def _raster_gradient_source(kind: str, g, stops, w: int, h: int) -> np.ndarray:
+    """Rasterize a gradient to a premultiplied (h, w, 4) u8 texture using
+    the shared pattern math (the reference renders nine-patch gradient
+    sources into an RGBA8 render task — render_task_cache.rs; u8
+    quantization deliberately matches that task format)."""
+    from ..oracle.sw import _py_fori
+    from ..ops import patterns as pk
+    recs = gradient_stops_records(stops)
+    f32 = np.ascontiguousarray(recs.reshape(-1), np.float32)
+    n = recs.shape[0]
+    yy, xx = np.mgrid[0:h, 0:w]
+    lx = (xx + 0.5).astype(np.float32)
+    ly = (yy + 0.5).astype(np.float32)
+    p = np.zeros(26, np.float32)
+    p[0:4] = (0.0, 0.0, w, h)
+    p[12] = 0.0
+    p[13] = float(g.extend_mode.value)
+    p[14] = float(n)
+    if kind == "gradient":
+        p[8:12] = (g.start_point.x, g.start_point.y,
+                   g.end_point.x, g.end_point.y)
+        p[16:18] = (w, h)
+        col = pk.pattern_linear_gradient(np, _py_fori, p, lx, ly, f32)
+    elif kind == "radial-gradient":
+        p[8:12] = (g.center.x, g.center.y, g.radius.width, g.radius.height)
+        p[16:18] = (g.start_offset, g.end_offset)
+        p[18:20] = (w, h)
+        col = pk.pattern_radial_gradient(np, _py_fori, p, lx, ly, f32)
+    else:
+        p[8:11] = (g.center.x, g.center.y, g.angle)
+        p[16:18] = (g.start_offset, g.end_offset)
+        p[18:20] = (w, h)
+        col = pk.pattern_conic_gradient(np, _py_fori, p, lx, ly, f32)
+    return np.clip(np.round(col.transpose(1, 2, 0) * 255.0),
+                   0, 255).astype(np.uint8)
 
 
 def _premult(color: ColorF) -> Tuple[float, float, float, float]:

@@ -505,6 +505,59 @@ def pattern_border(xp, p, lx, ly, sx, sy):
     depth = xp.clip(depth_raw, 0.0, 1.0)
 
     color = xp.zeros((4,) + lx.shape, "float32")
+
+    # --- dotted / dashed layout (border.rs get_edge_info :615) ---
+    # corner-region extents (create_border_segments :674): the edge
+    # pattern spans the space between them; everything below derives
+    # from payload scalars already present (radii, widths, styles)
+    ex_tl_w = xp.maximum(radii[0], w_l)
+    ex_tl_h = xp.maximum(radii[1], w_t)
+    ex_tr_w = xp.maximum(radii[2], w_r)
+    ex_tr_h = xp.maximum(radii[3], w_t)
+    ex_br_w = xp.maximum(radii[4], w_r)
+    ex_br_h = xp.maximum(radii[5], w_b)
+    ex_bl_w = xp.maximum(radii[6], w_l)
+    ex_bl_h = xp.maximum(radii[7], w_b)
+    edge_base = (x0 + ex_tl_w, y0 + ex_tr_h, x0 + ex_bl_w, y0 + ex_tl_h)
+    edge_avail = ((x1 - x0) - ex_tl_w - ex_tr_w,
+                  (y1 - y0) - ex_tr_h - ex_br_h,
+                  (x1 - x0) - ex_bl_w - ex_br_w,
+                  (y1 - y0) - ex_tl_h - ex_bl_h)
+
+    # per-pixel corner classification: which corner-extent box contains
+    # the pixel, that corner's style (= its first side's — TL:left TR:top
+    # BR:right BL:bottom, add_segment :949), whether its radius collapses
+    # to zero (write_dotted_corner_instances :401), and the zero-radius
+    # corner dot coverage (one dot of diameter lerp(w0, w1, 0.5) centered
+    # on the corner square, :436-445)
+    cstyle = xp.zeros(lx.shape, "float32") - 1.0
+    czero = xp.zeros(lx.shape, "float32") > 1.0     # dotted collapse (< w/2)
+    czero_da = xp.zeros(lx.shape, "float32") > 1.0  # dashed: radius == 0
+    corner_dot = xp.zeros(lx.shape, "float32")
+    for ci, (s0i, cw_, ch_, crx, cry, in_box, ccx, ccy) in enumerate((
+            (3, w_l, w_t, radii[0], radii[1],
+             (lx < x0 + ex_tl_w) & (ly < y0 + ex_tl_h),
+             x0 + 0.5 * w_l, y0 + 0.5 * w_t),
+            (0, w_r, w_t, radii[2], radii[3],
+             (lx >= x1 - ex_tr_w) & (ly < y0 + ex_tr_h),
+             x1 - 0.5 * w_r, y0 + 0.5 * w_t),
+            (1, w_r, w_b, radii[4], radii[5],
+             (lx >= x1 - ex_br_w) & (ly >= y1 - ex_br_h),
+             x1 - 0.5 * w_r, y1 - 0.5 * w_b),
+            (2, w_l, w_b, radii[6], radii[7],
+             (lx < x0 + ex_bl_w) & (ly >= y1 - ex_bl_h),
+             x0 + 0.5 * w_l, y1 - 0.5 * w_b))):
+        m = in_box & (cstyle < -0.5)
+        zr = (crx < cw_ * 0.5) & (cry < ch_ * 0.5)
+        cstyle = xp.where(m, p[52 + s0i] + xp.zeros(lx.shape, "float32"),
+                          cstyle)
+        czero = czero | (m & zr)
+        czero_da = czero_da | (m & (crx < eps) & (cry < eps))
+        want = (p[52 + s0i] == 3.0) & zr & (cw_ + ch_ > eps)
+        ccr = 0.25 * (cw_ + ch_)
+        dc = xp.sqrt((lx - ccx) ** 2 + (ly - ccy) ** 2) - ccr
+        cov_c = xp.clip(0.5 - dc * (sx + sy) * 0.5, 0.0, 1.0)
+        corner_dot = xp.maximum(corner_dot, xp.where(want, cov_c, 0.0))
     for side in range(4):
         c_out = p[20 + side * 4: 24 + side * 4]
         c_in = p[36 + side * 4: 40 + side * 4]
@@ -527,19 +580,62 @@ def pattern_border(xp, p, lx, ly, sx, sy):
         # cs_border_segment.glsl: the double gap only applies when the
         # device partial width (w/3) is at least one pixel
         dbl = xp.where((style == 2.0) & (scale / 3.0 >= 1.0), third, 1.0)
-        # dotted: circular dots of diameter w along the edge center line
-        along = (lx - x0, y1 - ly, x1 - lx, lx - x0)[side]             if side in (0, 2) else (ly - y0, ly - y0, ly - y0, ly - y0)[side]
-        along = xp.where(side in (0, 2), lx - x0, ly - y0)
-        period = 2.0 * xp.maximum(w_side, eps)
-        tm = along - xp.floor(along / period) * period - period * 0.5
+        # dotted / dashed edge layout: patterns repeat only inside the
+        # edge span between the corner regions (get_edge_info).  Corner
+        # regions follow the CORNER's style (its first side's, add_segment
+        # :949): dashed → empty square / arc-dash approx when rounded,
+        # dotted → centered dot / arc-dot approx, else the normal draw.
+        along = lx if side in (0, 2) else ly
+        base = edge_base[side]
+        avail = xp.maximum(edge_avail[side], 0.0)
+        aa_dev = (sx, sy, sx, sy)[side]
+        wse = xp.maximum(w_side, eps)
+        # dashed: half_dash = avail / (ceil(avail/(1.5w)) padded to %4);
+        # period = 4·half_dash; ON in [0, p/4) ∪ (3p/4, p] so edges start
+        # and end with half dashes (compute_half_dash :589)
+        # -1e-4 guards the f32 tie when avail is an exact multiple of the
+        # half dash (the f64 oracle and f32 device must agree on the count)
+        n0 = xp.minimum(xp.ceil(avail / (1.5 * wse) - 1e-4), 16384.0)
+        n0 = xp.maximum(n0, 1.0)
+        rem = n0 - xp.floor(n0 / 4.0) * 4.0
+        n4 = xp.where(rem > 0.0, n0 + 4.0 - rem, n0)
+        period_dash = xp.maximum(4.0 * avail / n4, eps)
+        t_dash = along - base
+        tm_dash = t_dash - xp.floor(t_dash / period_dash) * period_dash
+        hd = 0.25 * period_dash
+        dcov = xp.clip(0.5 + (hd - tm_dash) * aa_dev, 0.0, 1.0) + \
+            xp.clip(0.5 + (tm_dash - 3.0 * hd) * aa_dev, 0.0, 1.0)
+        dcov = xp.clip(dcov, 0.0, 1.0)
+        dash_span = (along >= base) & (along < base + avail)
+        # dotted: period = 2w, one dot of diameter w centered per period,
+        # the row centered in the span; edge empty when avail < 1.5w
+        das = 2.0 * wse
+        cnt = xp.maximum(xp.floor(avail / das), 1.0)
+        used = cnt * das
+        doff = xp.floor((avail - used) * 0.5 + 0.5)
+        dot_a0 = base + doff
+        dot_a1 = xp.where(avail < das * 0.75, dot_a0, dot_a0 + used)
+        t_dot = along - dot_a0
+        tm_dot = t_dot - xp.floor(t_dot / das) * das
         across = (depth_s - 0.5) * w_side
-        dot_d = xp.sqrt(tm * tm + across * across) - 0.5 * w_side
+        dot_d = xp.sqrt((tm_dot - 0.5 * das) ** 2 + across * across) - \
+            0.5 * w_side
         dot_cov = xp.clip(0.5 - dot_d * (sx + sy) * 0.5, 0.0, 1.0)
-        dotted = xp.where(style == 3.0, dot_cov, 1.0)
-        # dashed: dash length 3w on a 6w period... WR uses ~2x dash/gap
-        dash_on = (along - xp.floor(along / (2.0 * period)) *
-                   (2.0 * period)) < period
-        dashed = xp.where(style == 4.0, xp.where(dash_on, 1.0, 0.0), 1.0)
+        dot_span = (along >= dot_a0) & (along < dot_a1)
+        # edge modulation by the owning side's style
+        own_mod = xp.where(style == 3.0, xp.where(dot_span, dot_cov, 0.0),
+                           xp.where(style == 4.0,
+                                    xp.where(dash_span, dcov, 0.0), 1.0))
+        # corner modulation by the corner's style (cstyle/czero per pixel)
+        # zero-radius dashed corners draw NORMALLY (write_dashed_corner
+        # returns Err on zero arc length → the plain base instance)
+        corner_mod = xp.where(
+            cstyle == 3.0, xp.where(czero, corner_dot, dot_cov),
+            xp.where(cstyle == 4.0,
+                     xp.where(czero_da, xp.ones(lx.shape, "float32"),
+                              dcov),
+                     1.0))
+        mod = xp.where(cstyle > -0.5, corner_mod, own_mod)
         visible = xp.where((style == 0.0) | (style == 5.0), 0.0, 1.0)
         # restrict to the owner's band: inactive neighbours leave their ring
         # area empty (border-none.yaml / border-invisible.yaml) — depth_s
@@ -548,7 +644,7 @@ def pattern_border(xp, p, lx, ly, sx, sy):
         band = xp.clip((1.0 - depth_s) * scale + 0.5, 0.0, 1.0)
         band = xp.where(depth_s >= 1.0, 0.0,
                         xp.where(depth_s <= 0.999, 1.0, band))
-        contrib = sc * (dbl * dotted * dashed * visible * band)[None]
+        contrib = sc * (dbl * mod * visible * band)[None]
         color = xp.where((owner == side)[None], contrib, color)
     return color * (ring * xp.where(any_owner, 1.0, 0.0))[None]
 

@@ -329,6 +329,27 @@ class ResourceCache:
         # bumping _cache_gen whenever any glyph entry is evicted
         self._metric_cache: Dict[Tuple, Tuple] = {}
         self._cache_gen = 0
+        # rendered pattern sources (render_task_cache.rs role): content-keyed
+        # textures rasterized once on demand (nine-patch gradient sources)
+        self._rendered_sources: Dict[Tuple, int] = {}
+        self._synthetic_next = -2
+
+    def get_or_render_source(self, content_key: Tuple, width: int,
+                             height: int, render) -> int:
+        """Content-keyed rendered texture → image key (the
+        render_task_cache.rs role: rasterize once, reuse every frame).
+        `render()` returns premultiplied (h, w, 4) u8 texels."""
+        key = self._rendered_sources.get(content_key)
+        if key is not None and key in self.images:
+            return key
+        key = self._synthetic_next
+        self._synthetic_next -= 1
+        px = render()
+        self.add_image_template(
+            key, ImageDescriptor(ImageFormat.RGBA8, width, height),
+            ImageData(pixels=px))
+        self._rendered_sources[content_key] = key
+        return key
 
     # --- transaction resource updates (render_api.rs ResourceUpdate) -------
     def add_image_template(self, key: int, descriptor: ImageDescriptor,

@@ -82,6 +82,14 @@ def parse_function(s: str):
 
 # --- yaml_helper.rs scalar/geometry parsing --------------------------------
 
+def _broadcast4(vals: List[int]) -> List[int]:
+    """yaml_frame_reader.rs broadcast(:167): tile the list up to 4 items."""
+    out: List[int] = []
+    while len(out) < 4:
+        out.extend(vals)
+    return out[:4]
+
+
 def as_f32(v) -> Optional[float]:
     if isinstance(v, bool) or v is None:
         return None
@@ -1100,9 +1108,30 @@ class YamlFrameReader:
 
     def _handle_nine_patch_border(self, dl, item, info, bounds, widths,
                                   btype):
-        """Nine-patch borders (handle_border :1069): image / gradient /
-        radial-gradient / conic-gradient sources."""
+        """Nine-patch borders (yaml_frame_reader.rs:1069-1136): image /
+        gradient / radial-gradient / conic-gradient sources with
+        image-width/height, slice, fill and repeat modes."""
         mode = ExtendMode.REPEAT if item.get("repeat") else ExtendMode.CLAMP
+        iw = int(item.get("image-width", bounds.w))
+        ih = int(item.get("image-height", bounds.h))
+        fill = bool(item.get("fill", False))
+        sl = item.get("slice")
+        if sl is not None:
+            sl = _broadcast4([int(v) for v in (sl if isinstance(sl, list)
+                                               else [sl])])
+            slice_so = SideOffsets(top=sl[0], right=sl[1],
+                                   bottom=sl[2], left=sl[3])
+        else:
+            # the reference's default swaps left/right into the
+            # (top, right, bottom, left) ctor (yaml_frame_reader.rs:1082)
+            slice_so = SideOffsets(top=widths.top, right=widths.left,
+                                   bottom=widths.bottom, left=widths.right)
+        rep = {"stretch": RepeatMode.STRETCH, "repeat": RepeatMode.REPEAT,
+               "round": RepeatMode.ROUND, "space": RepeatMode.SPACE}
+        rep_h = rep[item.get("repeat-horizontal", "stretch")]
+        rep_v = rep[item.get("repeat-vertical", "stretch")]
+        common = dict(width=iw, height=ih, slice=slice_so, fill=fill,
+                      repeat_horizontal=rep_h, repeat_vertical=rep_v)
         np_border = None
         if btype == "gradient":
             g, stops = dl.create_gradient(as_point(item["start"]),
@@ -1110,24 +1139,26 @@ class YamlFrameReader:
                                           as_gradient_stops(item["stops"]),
                                           mode)
             np_border = NinePatchBorder(source_kind="gradient", gradient=g,
-                                        stops=tuple(stops))
+                                        stops=tuple(stops), **common)
         elif btype == "radial-gradient":
             g, stops = dl.create_radial_gradient(
                 as_point(item["center"]), as_size(item["radius"]),
                 as_gradient_stops(item["stops"]), mode)
             np_border = NinePatchBorder(source_kind="radial-gradient",
-                                        radial_gradient=g, stops=tuple(stops))
+                                        radial_gradient=g,
+                                        stops=tuple(stops), **common)
         elif btype == "conic-gradient":
             g, stops = dl.create_conic_gradient(
                 as_point(item["center"]), float(as_f32(item["angle"])),
                 as_gradient_stops(item["stops"]), mode)
             np_border = NinePatchBorder(source_kind="conic-gradient",
-                                        conic_gradient=g, stops=tuple(stops))
+                                        conic_gradient=g,
+                                        stops=tuple(stops), **common)
         elif btype == "image":
             key, dims = self._add_or_get_image(
                 self._rsrc_path(item["image-source"]))
             np_border = NinePatchBorder(source_kind="image", image_key=key,
-                                        fill=bool(item.get("fill", False)))
+                                        **common)
         if np_border is not None:
             dl.push_border(info, bounds, widths,
                            details_nine_patch=np_border)
