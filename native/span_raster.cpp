@@ -182,6 +182,62 @@ inline void eval_stops(const Ctx& c, int addr, int n, float t, float repeat,
   for (int ch = 0; ch < 4; ch++) out[ch] = col[ch];
 }
 
+// Gaussian blur of a rounded rect: analytic erf x-blur per horizontal
+// slice integrated by gaussian-weighted y-quadrature (mirrors
+// patterns._blurred_rounded_rect_coverage)
+inline float blurred_rect_cov(float x0, float y0, float x1, float y1,
+                              float sigma, float lx, float ly);
+
+inline float blurred_rounded_rect_cov(const float* rect, const float* radii,
+                                      float sigma, float lx, float ly) {
+  float x0 = rect[0], y0 = rect[1], x1 = rect[2], y1 = rect[3];
+  float sig = std::max(sigma, 1e-3f);
+  float s = sig * 1.4142135623730951f;
+  // exact separable blur of the full rect minus the blurred corner cut
+  // regions, each integrated over its exact y-extent
+  float base = blurred_rect_cov(x0, y0, x1, y1, sigma, lx, ly);
+  float invnorm = 1.f / (sig * 2.5066282746310002f);
+  const int N = 8;
+  const float crn[4][5] = {{radii[0], radii[1], y0, 1.f, 1.f},   // TL
+                           {radii[2], radii[3], y0, 1.f, 0.f},   // TR
+                           {radii[4], radii[5], y1, -1.f, 0.f},  // BR
+                           {radii[6], radii[7], y1, -1.f, 1.f}}; // BL
+  for (int ci = 0; ci < 4; ci++) {
+    float rx = crn[ci][0], ry = crn[ci][1];
+    if (rx <= 1e-6f || ry <= 1e-6f) continue;
+    float ye = crn[ci][2], sgn = crn[ci][3];
+    bool left = crn[ci][4] > 0.5f;
+    // integrate only over corner y-range ∩ [ly ± 4σ] so the step scales
+    // with σ (radii >> σ stay resolved)
+    float c_lo = std::min(ye, ye + sgn * ry);
+    float c_hi = std::max(ye, ye + sgn * ry);
+    float lo = clampf(ly - 4.f * sig, c_lo, c_hi);
+    float hi = clampf(ly + 4.f * sig, c_lo, c_hi);
+    float step = std::max(hi - lo, 0.f) / N;
+    if (step <= 0.f) continue;
+    float corr = 0.f;
+    for (int i = 0; i < N; i++) {
+      float yp = lo + (i + 0.5f) * step;
+      float dy = std::fabs(yp - ye);
+      float dc = 1.f - dy / ry;
+      float q = 1.f - dc * dc;
+      q = q < 0.f ? 0.f : (q > 1.f ? 1.f : q);
+      float inset = rx * (1.f - std::sqrt(q));
+      float covx;
+      if (left)
+        covx = 0.5f * (erf_approx((lx - x0) / s) -
+                       erf_approx((lx - (x0 + inset)) / s));
+      else
+        covx = 0.5f * (erf_approx((lx - (x1 - inset)) / s) -
+                       erf_approx((lx - x1) / s));
+      float d = (yp - ly) / sig;
+      corr += std::exp(-0.5f * d * d) * invnorm * step * covx;
+    }
+    base -= corr;
+  }
+  return clampf(base, 0.f, 1.f);
+}
+
 inline float blurred_rect_cov(float x0, float y0, float x1, float y1,
                               float sigma, float lx, float ly) {
   float s = std::max(sigma, 1e-3f) * 1.4142135623730951f;
@@ -638,9 +694,14 @@ int wr_raster_pass(
             break;
           case 8: {  // box shadow
             float sigma = p[20];
+            float any_r = 0.f;
+            for (int k = 12; k < 20; k++) any_r += p[k];
             float blurred;
             if (sigma <= 1e-3f) {
               blurred = rounded_rect_coverage(p + 8, p + 12, lx, ly, sx, sy);
+            } else if (any_r > 1e-6f) {
+              blurred = blurred_rounded_rect_cov(p + 8, p + 12, sigma,
+                                                 lx, ly);
             } else {
               blurred = blurred_rect_cov(p[8], p[9], p[10], p[11], sigma,
                                          lx, ly);

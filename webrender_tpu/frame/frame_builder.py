@@ -2392,8 +2392,26 @@ class FrameBuilder:
                  r.top_right.width, r.top_right.height,
                  r.bottom_right.width, r.bottom_right.height,
                  r.bottom_left.width, r.bottom_left.height]
-        scale = 1.0 + (spread / max(1.0, min(prim.box_bounds.w,
-                                             prim.box_bounds.h) * 0.5)) * 0.0
+        # shadow radii grow/shrink with spread (adjust_border_radius_for_
+        # box_shadow, box_shadow.rs:561-583): only non-zero radii adjust
+        amt = spread if prim.clip_mode == BoxShadowClipMode.OUTSET \
+            else -spread
+        shadow_radii = [max(v + amt, 0.0) if v > 0.0 else 0.0
+                        for v in radii]
+        # clamp so adjacent shadow corners never overlap (border.rs
+        # ensure_no_corner_overlap applied to the shadow rect)
+        sratio = 1.0
+        if shadow_rect.w > 0:
+            for s_ in (shadow_radii[0] + shadow_radii[2],
+                       shadow_radii[6] + shadow_radii[4]):
+                if s_ > shadow_rect.w:
+                    sratio = min(sratio, shadow_rect.w / s_)
+        if shadow_rect.h > 0:
+            for s_ in (shadow_radii[1] + shadow_radii[7],
+                       shadow_radii[3] + shadow_radii[5]):
+                if s_ > shadow_rect.h:
+                    sratio = min(sratio, shadow_rect.h / s_)
+        shadow_radii = [v * sratio for v in shadow_radii]
         res = self._emit_common(c, True, draw_rect, draw_rect)
         if res is None:
             return
@@ -2401,8 +2419,9 @@ class FrameBuilder:
         bb = prim.box_bounds
         payload = prefix + \
             [shadow_rect.x0, shadow_rect.y0, shadow_rect.x1, shadow_rect.y1] + \
-            radii + [sigma,
-                     0.0 if prim.clip_mode == BoxShadowClipMode.OUTSET else 1.0] + \
+            shadow_radii + \
+            [sigma,
+             0.0 if prim.clip_mode == BoxShadowClipMode.OUTSET else 1.0] + \
             [bb.x0, bb.y0, bb.x1, bb.y1] + radii + list(_premult(prim.color))
         addr = self.gb.push_f32(payload)
         idx = self.gb.push_instance(KIND_BOX_SHADOW,

@@ -383,18 +383,77 @@ def _blurred_rect_coverage(xp, x0, y0, x1, y1, sigma, lx, ly):
     return bx * by
 
 
+def _blurred_rounded_rect_coverage(xp, rect, radii, sigma, lx, ly):
+    """Gaussian blur of a rounded rect: analytic erf blur along x of each
+    horizontal slice (the slice's x-interval accounts for the elliptical
+    corner cuts), integrated along y by gaussian-weighted midpoint
+    quadrature.  The reference blurs a rasterized rounded-rect task
+    (box_shadow.rs + cs_blur); this closed-ish form avoids the task."""
+    x0, y0, x1, y1 = rect[0], rect[1], rect[2], rect[3]
+    sig = xp.where(sigma > 1e-3, sigma, 1e-3)
+    s = sig * 1.4142135623730951
+    # exact separable blur of the full rect, then subtract the blurred
+    # corner cut regions (rect corner minus quarter ellipse), each
+    # integrated over its EXACT y-extent so the quadrature never crosses
+    # a discontinuity
+    base = _blurred_rect_coverage(xp, x0, y0, x1, y1, sigma, lx, ly)
+    invnorm = 1.0 / (sig * 2.5066282746310002)
+    N = 8
+    # (rx, ry, y edge, sign into rect, left?)
+    corners = ((radii[0], radii[1], y0, 1.0, True),    # TL
+               (radii[2], radii[3], y0, 1.0, False),   # TR
+               (radii[4], radii[5], y1, -1.0, False),  # BR
+               (radii[6], radii[7], y1, -1.0, True))   # BL
+    for rx, ry, ye, sgn, left in corners:
+        act = (rx > 1e-6) & (ry > 1e-6)
+        ry_s = xp.where(ry > 1e-6, ry, 1.0)
+        rx_s = xp.where(rx > 1e-6, rx, 1.0)
+        # integrate only where the gaussian weight is non-negligible:
+        # corner y-range ∩ [ly ± 4σ] — the step then scales with σ, so
+        # radii ≫ σ stay resolved (box-shadow-huge-radius)
+        c_lo = xp.minimum(ye, ye + sgn * ry_s)
+        c_hi = xp.maximum(ye, ye + sgn * ry_s)
+        lo = xp.clip(ly - 4.0 * sig, c_lo, c_hi)
+        hi = xp.clip(ly + 4.0 * sig, c_lo, c_hi)
+        step = xp.maximum(hi - lo, 0.0) / N
+        corr = xp.zeros(lx.shape, "float32")
+        for i in range(N):
+            yp = lo + (i + 0.5) * step
+            dy = xp.abs(yp - ye)            # distance from the flat edge
+            dc = 1.0 - dy / ry_s            # 1 at the edge → 0 at center
+            inset = rx_s * (1.0 - xp.sqrt(xp.clip(1.0 - dc * dc,
+                                                  0.0, 1.0)))
+            if left:
+                covx = 0.5 * (erf(xp, (lx - x0) / s) -
+                              erf(xp, (lx - (x0 + inset)) / s))
+            else:
+                covx = 0.5 * (erf(xp, (lx - (x1 - inset)) / s) -
+                              erf(xp, (lx - x1) / s))
+            w = xp.exp(-0.5 * ((yp - ly) / sig) ** 2) * invnorm * step
+            corr = corr + w * covx
+        base = base - xp.where(act, corr, 0.0)
+    return xp.clip(base, 0.0, 1.0)
+
+
 def pattern_box_shadow(xp, p, lx, ly, sx, sy):
-    """Analytic box shadow (payload layout in frame/gpu.py).
-    TODO: corner-aware blur (Wallace integration) for radii >~ sigma."""
+    """Analytic box shadow (payload layout in frame/gpu.py); rounded
+    corners blur via _blurred_rounded_rect_coverage."""
     sigma = p[20]
     inset = p[21]
     sharp = sigma <= 1e-3
     shadow_rect = p[8:12]
     shadow_radii = p[12:20]
+    any_r = (p[12] + p[13] + p[14] + p[15] +
+             p[16] + p[17] + p[18] + p[19]) > 1e-6
     blurred = xp.where(
         sharp,
         rounded_rect_coverage(xp, shadow_rect, shadow_radii, lx, ly, sx, sy),
-        _blurred_rect_coverage(xp, p[8], p[9], p[10], p[11], sigma, lx, ly))
+        xp.where(
+            any_r,
+            _blurred_rounded_rect_coverage(xp, shadow_rect, shadow_radii,
+                                           sigma, lx, ly),
+            _blurred_rect_coverage(xp, p[8], p[9], p[10], p[11], sigma,
+                                   lx, ly)))
     box_cov = rounded_rect_coverage(xp, p[22:26], p[26:34], lx, ly, sx, sy)
     cov = xp.where(inset > 0.5,
                    (1.0 - blurred) * box_cov,
