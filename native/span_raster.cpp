@@ -59,7 +59,13 @@ inline void inverse_map(const float* tr, float px, float py, float* lx,
   float u = px * tr[0] + py * tr[3] + tr[6];
   float v = px * tr[1] + py * tr[4] + tr[7];
   float w = px * tr[2] + py * tr[5] + tr[8];
-  if (std::fabs(w) <= 1e-9f) w = 1e-9f;
+  // w <= 0 = behind the projection plane (near-plane clip): map far
+  // outside any local rect (mirrors patterns.inverse_map)
+  if (w <= 1e-9f) {
+    *lx = 1e8f;
+    *ly = 1e8f;
+    return;
+  }
   *lx = u / w;
   *ly = v / w;
 }

@@ -1169,12 +1169,22 @@ class FrameBuilder:
                 lr0 = self._clip_local_to_viewport(lr0,
                                                    pic.common.spatial_node)
             if lr0 is not None:
-                lsize = max(lr0[2] - lr0[0], lr0[3] - lr0[1])
-                # fallback only: non-axis-aligned content too large for the
-                # surface atlas rasters at a clamped local scale
-                if lsize > 4096.0:
+                # the reference's clamp triggers on the RASTER-SPACE extent
+                # (picture.rs:7857 max_dimension of the mapped rect) with
+                # the fallback scale from the LOCAL dims (:7871): content
+                # whose raster extent explodes (perspective) rasters in
+                # local space at scale min(1, max/local) and is resampled
+                # through the projective transform at composite — the test
+                # scene and its _ref then take the SAME path
+                # (raster_root_*_8192.yaml vs raster_root_*_ref.yaml)
+                db = device_bounds_of_rect(
+                    self._H(pic.common.spatial_node),
+                    lr0[0], lr0[1], lr0[2], lr0[3])
+                dev_dim = max(db[2] - db[0], db[3] - db[1])
+                if dev_dim > 4096.0:
                     use_ctx = True
-                    ctx_s = 4096.0 / lsize
+                    lsize = max(lr0[2] - lr0[0], lr0[3] - lr0[1])
+                    ctx_s = min(1.0, 4096.0 / lsize)
         saved_vp = self.viewport
         if use_ctx:
             self._rctx = (pic.common.spatial_node, ctx_s)
@@ -2146,6 +2156,50 @@ class FrameBuilder:
         oy1 = max(oy0, vis.y1 - r.y0)
         period_x = stretch_w + prim.tile_spacing.width
         period_y = stretch_h + prim.tile_spacing.height
+        # axis-aligned scale+translate mapping of a non-repeating huge
+        # image whose needed texels exceed the direct-residency cap:
+        # pre-resample the visible region at device resolution on the
+        # host with the same bilinear math (exact), sample 1:1 on device
+        sx_, sy_ = H[0, 0], H[1, 1]
+        aligned = axis_aligned and sx_ > 1e-9 and sy_ > 1e-9 and \
+            abs(H[0, 1]) < 1e-12 and abs(H[1, 0]) < 1e-12 and \
+            abs(H[0, 2]) < 1e-12 and abs(H[1, 2]) < 1e-12
+        if ox1 <= period_x and oy1 <= period_y and aligned and \
+                tpl.data.pixels is not None and \
+                ((ox1 - ox0) / stretch_w * desc.width > lim or
+                 (oy1 - oy0) / stretch_h * desc.height > lim):
+            tx_, ty_ = H[2, 0], H[2, 1]
+            dx0 = int(math.floor(vis.x0 * sx_ + tx_)) - 1
+            dy0 = int(math.floor(vis.y0 * sy_ + ty_)) - 1
+            dx1 = int(math.ceil(vis.x1 * sx_ + tx_)) + 1
+            dy1 = int(math.ceil(vis.y1 * sy_ + ty_)) + 1
+            dw, dh = dx1 - dx0, dy1 - dy0
+            if 0 < dw <= lim and 0 < dh <= lim:
+                nearest = prim.image_rendering in (
+                    ImageRendering.PIXELATED, ImageRendering.CROSP_EDGES)
+                rkey = (dx0, dy0, dw, dh, round(sx_, 6), round(sy_, 6),
+                        round(tx_, 4), round(ty_, 4), round(r.x0, 4),
+                        round(r.y0, 4), round(stretch_w, 4),
+                        round(stretch_h, 4), nearest)
+                req = self.resources.request_image_resampled(
+                    prim.image_key, rkey, dw, dh,
+                    lambda: _resample_image_device(
+                        tpl, desc, r, stretch_w, stretch_h, dx0, dy0,
+                        dw, dh, sx_, sy_, tx_, ty_, nearest))
+                if req is not None:
+                    region = req[0]
+                    p0x = (dx0 - tx_) / sx_
+                    p0y = (dy0 - ty_) / sy_
+                    p1x = (dx1 - tx_) / sx_
+                    p1y = (dy1 - ty_) / sy_
+                    self._emit_image_instance(
+                        prim, c, axis_aligned, out, region.x, region.y,
+                        dw, dh, p1x - p0x, p1y - p0y, 0.0, 0.0,
+                        ImageRendering.AUTO, prim.color,
+                        img_scale=(sx_, sy_), crop_origin=(0.0, 0.0),
+                        pattern_rect=Rect.from_bounds(p0x, p0y, p1x, p1y),
+                        snap=False)
+                    return
         if ox1 <= period_x and oy1 <= period_y:
             img_rect = (ox0 / stretch_w * desc.width,
                         oy0 / stretch_h * desc.height,
@@ -2654,6 +2708,60 @@ class FrameBuilder:
                 crop_origin=(0.0, 0.0),
                 pattern_rect=Rect.from_bounds(pox, poy, dx1, dy1),
                 snap=False)
+
+
+def _resample_image_device(tpl, desc, r, stretch_w, stretch_h, dx0, dy0,
+                           dw, dh, sx, sy, tx, ty, nearest) -> np.ndarray:
+    """Bilinear/nearest resample of a huge image's visible region at exact
+    device pixel centers (the same texel math brush_image/sample_rgba
+    would run had the full image been resident).  Returns premultiplied
+    (dh, dw, 4) f32."""
+    from ..api.image import ImageFormat
+    xs = (np.arange(dw, dtype=np.float64) + 0.5 + dx0 - tx) / sx
+    ys = (np.arange(dh, dtype=np.float64) + 0.5 + dy0 - ty) / sy
+    u = (xs - r.x0) / stretch_w * desc.width
+    v = (ys - r.y0) / stretch_h * desc.height
+    W, Hh = desc.width, desc.height
+    px = tpl.data.pixels
+    if desc.format == ImageFormat.R8:
+        arr = px.reshape(Hh, W, 1)
+    else:
+        arr = px.reshape(Hh, W, -1)
+
+    def gather(vi, ui):
+        g = arr[np.ix_(vi, ui)].astype(np.float32)
+        if desc.format == ImageFormat.BGRA8:
+            g = g[..., [2, 1, 0, 3]]
+        elif desc.format == ImageFormat.R8:
+            a = g[..., 0]
+            g = np.stack([a, a, a, np.full_like(a, 255.0)], -1)
+        return g
+
+    if nearest:
+        ui = np.clip(np.floor(u).astype(np.int64), 0, W - 1)
+        vi = np.clip(np.floor(v).astype(np.int64), 0, Hh - 1)
+        out = gather(vi, ui)
+    else:
+        uf = u - 0.5
+        vf = v - 0.5
+        u0 = np.floor(uf)
+        v0 = np.floor(vf)
+        fx = (uf - u0).astype(np.float32)[None, :, None]
+        fy = (vf - v0).astype(np.float32)[:, None, None]
+        x0i = np.clip(u0.astype(np.int64), 0, W - 1)
+        y0i = np.clip(v0.astype(np.int64), 0, Hh - 1)
+        x1i = np.clip(x0i + 1, 0, W - 1)
+        y1i = np.clip(y0i + 1, 0, Hh - 1)
+        t00 = gather(y0i, x0i)
+        t10 = gather(y0i, x1i)
+        t01 = gather(y1i, x0i)
+        t11 = gather(y1i, x1i)
+        out = (t00 * (1 - fx) + t10 * fx) * (1 - fy) + \
+              (t01 * (1 - fx) + t11 * fx) * fy
+    scale = np.float32(1.0 / 255.0)
+    if desc.format == ImageFormat.RGBAF32:
+        scale = np.float32(1.0)
+    return (out * scale).astype(np.float32)
 
 
 def _raster_gradient_source(kind: str, g, stops, w: int, h: int) -> np.ndarray:

@@ -58,12 +58,16 @@ def atan2_shared(xp, y, x):
 
 
 def inverse_map(xp, trow, px, py):
-    """Device px → local space via the palette row's inverse homography."""
+    """Device px → local space via the palette row's inverse homography.
+    w <= 0 marks device points BEHIND the projection plane (the forward
+    map's near-plane clip, cs_clip w>0): they map far outside any local
+    rect so every coverage/pattern evaluates to zero there."""
     u = px * trow[0] + py * trow[3] + trow[6]
     v = px * trow[1] + py * trow[4] + trow[7]
     w = px * trow[2] + py * trow[5] + trow[8]
-    w = xp.where(xp.abs(w) > 1e-9, w, 1e-9)
-    return u / w, v / w
+    ok = w > 1e-9
+    w = xp.where(ok, w, 1.0)
+    return xp.where(ok, u / w, 1e8), xp.where(ok, v / w, 1e8)
 
 
 # ---------------------------------------------------------------------------

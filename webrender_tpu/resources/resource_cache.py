@@ -557,6 +557,40 @@ class ResourceCache:
             tpl.uploaded_generation = tpl.generation
         return tpl.region, tpl.descriptor
 
+    def request_image_resampled(self, key: int, rkey: Tuple, w: int, h: int,
+                                render):
+        """Device-resolution pre-resample of a huge image's visible region
+        (image_tiling.rs role, re-designed: instead of decomposing into
+        512px tiles — which cannot all be atlas-resident for an 8192²
+        source — the host resamples the visible rect at device resolution
+        with the same bilinear math the device would use, and the kernel
+        samples it 1:1).  `render()` returns (h, w, 4) premultiplied f32."""
+        tpl = self.images.get(key)
+        if tpl is None:
+            return None
+        ck = (key, "resample", tpl.generation) + rkey
+        hit = self._crop_cache.get(ck)
+        if hit is not None:
+            self._crop_last_use[ck] = self.frame_id
+            return hit
+        mine = [k for k in self._crop_cache
+                if k[0] == key and len(k) > 1 and k[1] == "resample"]
+        if len(mine) >= 2:
+            for k in mine:
+                if self._crop_last_use.get(k, -1) < self.frame_id:
+                    entry = self._crop_cache.pop(k)
+                    self._crop_last_use.pop(k, None)
+                    self.color_alloc.free(entry[0])
+        region = self._alloc_color(w, h, "resample")
+        region = AtlasRegion(region.x, region.y, w, h)
+        texels = render()
+        self.pending_uploads.append(PendingUpload(ATLAS_COLOR, region,
+                                                  texels))
+        result = (region,)
+        self._crop_cache[ck] = result
+        self._crop_last_use[ck] = self.frame_id
+        return result
+
     def request_image_sub(self, key: int, img_rect):
         """Upload only the visible image-space sub-rect of a huge image
         (the image_tiling.rs 512px-tile decomposition re-designed as lazy
