@@ -67,10 +67,13 @@ TARGET_ROOT = -1
 TARGET_SURFACE = 2  # matches resources.ATLAS_SURFACE
 
 # WR clamps per-pass blur std dev and downscales instead
-# (render_task.rs MAX_BLUR_STD_DEVIATION=4.0; we allow more per pass since a
-# wide separable kernel is cheap on the VPU, but bound it to keep surface
-# allocations small)
-MAX_BLUR_SIGMA = 32.0
+# render_task.rs MAX_BLUR_STD_DEVIATION=4.0: large blurs downscale the
+# source by powers of two until sigma <= 4, blur there, and upsample at
+# composite — matching the reference's pass structure makes the blur
+# pixel-comparable (the wide-kernel-at-full-res alternative is cheap on
+# the VPU but blurs measurably differently)
+MAX_BLUR_SIGMA = 4.0
+MIN_DOWNSCALING_RT_SIZE = 8
 
 
 @dataclass
@@ -1709,10 +1712,11 @@ class FrameBuilder:
         Returns (region, scale): the result is 1/scale the source size."""
         scale = 1
         cur = src
-        while max(sx, sy) / scale > MAX_BLUR_SIGMA and \
-                cur.w > 16 and cur.h > 16:
-            hw = (cur.w + 1) // 2
-            hh = (cur.h + 1) // 2
+        while min(sx, sy) / scale > MAX_BLUR_SIGMA and \
+                cur.w >= MIN_DOWNSCALING_RT_SIZE and \
+                cur.h >= MIN_DOWNSCALING_RT_SIZE:
+            hw = max(int(src.w / (scale * 2)), 1)
+            hh = max(int(src.h / (scale * 2)), 1)
             half = self.surface_atlas.alloc(hw, hh)
             assert half is not None, "surface atlas full (downscale)"
             self.passes.append(RenderPass(

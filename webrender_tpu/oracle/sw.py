@@ -258,8 +258,7 @@ class SoftwareRenderer:
         if p.sigma <= 0:
             self.surface_atlas[:, dy:dy + sh, dx:dx + sw] = src
             return
-        radius = max(1, int(np.ceil(3.0 * p.sigma)))
-        radius = 1 << (radius - 1).bit_length()
+        radius = max(1, int(np.ceil(1.5 * p.sigma)) * 2)
         w = gaussian_weights(p.sigma, radius)
         axis = 2 if p.kind == PASS_BLUR_H else 1
         pad = [(0, 0), (0, 0), (0, 0)]

@@ -591,9 +591,10 @@ class Renderer:
                                         (4, sh, sw))
             self.surface_atlas = _copy_region(self.surface_atlas, src, dx, dy)
             return
-        radius = max(1, int(np.ceil(3.0 * sigma)))
-        # bucket the radius to bound compile variants
-        radius = 1 << (radius - 1).bit_length()
+        # cs_blur.glsl support: 2*ceil(1.5*sigma) taps each side; after
+        # the downscale chain sigma <= 4 so radius <= 12 (bounded compile
+        # variants without pow2 bucketing)
+        radius = max(1, int(np.ceil(1.5 * sigma)) * 2)
         weights = jnp.asarray(gaussian_weights(sigma, radius))
         src = jax.lax.dynamic_slice(self.surface_atlas, (0, sy, sx),
                                     (4, sh, sw))
