@@ -744,6 +744,13 @@ class FrameBuilder:
             i = n.parent
         return False
 
+    def _dev_vec(self, spatial: int, vx: float, vy: float):
+        """Map a LOCAL-space vector to raster space through the linear
+        part of the node's transform (drop-shadow offsets rotate with the
+        content — filter-drop-shadow-clip-2)."""
+        H = self._H(spatial)
+        return (vx * H[0, 0] + vy * H[1, 0], vx * H[0, 1] + vy * H[1, 1])
+
     def _H(self, node: int) -> np.ndarray:
         """local→raster-space 2D homography for `node` (device space when
         no raster-root context is active)."""
@@ -1372,9 +1379,10 @@ class FrameBuilder:
             m = np.zeros((4, 5), np.float32)
             m[0, 4], m[1, 4], m[2, 4] = sh.color.r, sh.color.g, sh.color.b
             m[3, 3] = sh.color.a
+            odx, ody = self._dev_vec(pic.common.spatial_node,
+                                     sh.offset.x, sh.offset.y)
             self._emit_composite(shadow_region,
-                                 (x0 + sh.offset.x * dev_sx,
-                                  y0 + sh.offset.y * dev_sy),
+                                 (x0 + odx, y0 + ody),
                                  (cw, ch), pic, 1.0, m,
                                  clip_addr, clip_count, clip_bbox, out,
                                  scale=shadow_scale)
@@ -1651,7 +1659,8 @@ class FrameBuilder:
                 out = new_buffer()
                 sample_pass(out, clip_dev, [{
                     "src": inp(),
-                    "shift": (node["dx"] * dev_sx, node["dy"] * dev_sy)}])
+                    "shift": self._dev_vec(spatial,
+                                           node["dx"], node["dy"])}])
             elif op == "gaussianblur":
                 base = inp()
                 tmp = None
@@ -1685,7 +1694,8 @@ class FrameBuilder:
                 out = new_buffer()
                 sample_pass(out, clip_dev, [
                     {"src": blurred, "cm": tint, "scale": scale,
-                     "shift": (node["dx"] * dev_sx, node["dy"] * dev_sy)},
+                     "shift": self._dev_vec(spatial,
+                                            node["dx"], node["dy"])},
                     {"src": base, "blend": BLEND_NORMAL + lin_blend},
                 ])
             elif op == "componenttransfer":

@@ -540,9 +540,9 @@ def generate_xy_gradient_image(w, h):
     ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
     grid = np.where((xs % 100 < 3) | (ys % 100 < 3), 0.9, 1.0)
     img = np.zeros((h, w, 4), np.uint8)
-    img[..., 2] = (ys / h * 255.0 * grid).astype(np.uint8)  # R (BGRA order)
+    img[..., 0] = (ys / h * 255.0 * grid).astype(np.uint8)  # B (BGRA order)
     img[..., 1] = 0
-    img[..., 0] = (xs / w * 255.0 * grid).astype(np.uint8)  # B
+    img[..., 2] = (xs / w * 255.0 * grid).astype(np.uint8)  # R
     img[..., 3] = 255
     return (ImageDescriptor(ImageFormat.BGRA8, w, h,
                             flags=ImageDescriptorFlags.IS_OPAQUE),
