@@ -151,3 +151,55 @@ def test_crop_cache_bounded_per_key():
         assert rc.request_image_sub(1, (0, y, 600, y + 400)) is not None
     mine = [k for k in rc._crop_cache if k[0] == 1]
     assert len(mine) <= 5
+
+
+def test_frame_atlas_aliasing_reuses_released_regions():
+    """render_task_graph.rs:800 assign_free_pass role: released regions are
+    reused by later allocations instead of growing the atlas."""
+    fa = FrameAtlas(2048, 2048)
+    a = fa.alloc(512, 512)
+    b = fa.alloc(512, 512)
+    fa.free(a)
+    c = fa.alloc(512, 512)
+    assert (c.x, c.y) == (a.x, a.y)  # reused, not bumped
+    fa.free(c)
+    fa.free(c)  # idempotent double-free is a no-op
+    d = fa.alloc(500, 500)  # smaller alloc fits the released slot
+    assert (d.x, d.y) == (a.x, a.y)
+    assert b is not None
+
+
+def test_many_blurred_surfaces_stay_within_atlas():
+    """A scene whose naive per-surface allocations would exceed the frame
+    atlas cap renders fine with region aliasing (the round-1
+    'surface atlas full' crash path)."""
+    from webrender_tpu.api import (ColorF, CommonItemProperties,
+                                   DisplayListBuilder, Epoch, PipelineId,
+                                   Point2D, Rect, SpatialId, Transaction)
+    from webrender_tpu.api.display_item import FilterOp
+    from webrender_tpu.render_backend import RenderBackend
+
+    backend = RenderBackend((640, 480))
+    pid = PipelineId(0, 1)
+    b = DisplayListBuilder(pid)
+    b.begin()
+    root = SpatialId.root_scroll_node(pid)
+    common = CommonItemProperties(Rect(0, 0, 640, 480), root)
+    n = 80  # 80 blurred surfaces ~600x400: naive residency >> 16384 rows
+    for i in range(n):
+        b.push_stacking_context(Point2D(0, 0), root,
+                                filters=[FilterOp.blur(3.0, 3.0)])
+        b.push_rect(common, Rect(10 + (i % 8) * 70, 10 + (i // 8) * 40,
+                                 600, 400),
+                    ColorF(0.2, 0.5, 0.8, 0.5))
+        b.pop_stacking_context()
+    _, dl = b.end()
+    txn = Transaction()
+    txn.set_root_pipeline(pid)
+    txn.set_display_list(Epoch(0), dl)
+    txn.generate_frame()
+    backend.send_transaction(txn)
+    frame = backend.build_frame()
+    assert frame is not None
+    img = backend.render_software()
+    assert img.shape == (480, 640, 4)

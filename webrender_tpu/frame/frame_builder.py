@@ -235,6 +235,10 @@ class FrameBuilder:
         # when set to (root_spatial, scale), content rasters in root-LOCAL
         # coordinates × scale instead of device space
         self._rctx: Optional[Tuple[int, float]] = None
+        # surface regions read by composite instances, grouped by the
+        # surface scope that will consume them; freed for aliasing once
+        # that scope's raster pass is emitted (render_task_graph.rs:800)
+        self._region_scopes: List[List[AtlasRegion]] = [[]]
         # >0 while preparing content that renders into an offscreen surface
         # (subpixel text demotes to grayscale there — ps_text_run only
         # dual-source-blends against opaque framebuffers)
@@ -1051,6 +1055,8 @@ class FrameBuilder:
         bbox = [max(bbox[0], ox), max(bbox[1], oy),
                 min(bbox[2], ox + w), min(bbox[3], oy + h)]
         if bbox[2] <= bbox[0] or bbox[3] <= bbox[1]:
+            for r in self._region_scopes.pop():
+                self.surface_atlas.free(r)
             return None
         bx0 = int(math.floor(bbox[0]))
         by0 = int(math.floor(bbox[1]))
@@ -1204,6 +1210,7 @@ class FrameBuilder:
 
         child_insts: List[int] = []
         self._surface_depth += 1
+        self._region_scopes.append([])
         self._process_picture(pic, child_insts)
         self._surface_depth -= 1
         self._poly_clip = frag_poly
@@ -1211,6 +1218,8 @@ class FrameBuilder:
             self.viewport = saved_vp
         if not child_insts:
             self._rctx = None if use_ctx else self._rctx
+            for r in self._region_scopes.pop():
+                self.surface_atlas.free(r)
             return
 
         svgfe_ops = [f for f in pic.composite.filters
@@ -1257,6 +1266,8 @@ class FrameBuilder:
                 min(bbox[0], b[0]), min(bbox[1], b[1]),
                 max(bbox[2], b[2]), max(bbox[3], b[3]))
         if bbox is None:
+            for r in self._region_scopes.pop():
+                self.surface_atlas.free(r)
             return
         # SVGFE nodes (e.g. flood) can emit beyond the content bbox: the
         # filter region covers every node subregion (svgfe-subregion-bigger)
@@ -1319,6 +1330,10 @@ class FrameBuilder:
             child_insts, TARGET_SURFACE,
             (region.x, region.y, region.w, region.h), (x0, y0),
             (0.0, 0.0, 0.0, 0.0), step=float(step))
+        # the children's composite regions were consumed by the passes
+        # just emitted — release them for aliasing
+        for r in self._region_scopes.pop():
+            self.surface_atlas.free(r)
 
         if use_ctx:
             # composite the local-space surface through the projective
@@ -1337,6 +1352,7 @@ class FrameBuilder:
             idx = self.gb.push_instance(
                 KIND_PICTURE, pic.common.spatial_node, addr, clip_addr,
                 clip_count, blend, edge_aa=0xF)
+            self._region_scopes[-1].append(region)
             db = device_bounds_of_rect(self.H_dev[pic.common.spatial_node],
                                        lr0[0], lr0[1], lr0[2], lr0[3])
             dbb = (max(db[0], self.viewport.x0), max(db[1], self.viewport.y0),
@@ -1732,6 +1748,8 @@ class FrameBuilder:
             self.passes.append(RenderPass(
                 PASS_DOWNSCALE, TARGET_SURFACE, (half.x, half.y, hw, hh),
                 src_region=(cur.x, cur.y, cur.w, cur.h)))
+            if scale > 1:
+                self.surface_atlas.free(cur)  # chain intermediate, read once
             cur = AtlasRegion(half.x, half.y, hw, hh)
             scale *= 2
         tmp = self.surface_atlas.alloc(cur.w, cur.h)
@@ -1745,6 +1763,9 @@ class FrameBuilder:
             PASS_BLUR_V, TARGET_SURFACE,
             (dst.x, dst.y, cur.w, cur.h),
             src_region=(tmp.x, tmp.y, cur.w, cur.h), sigma=sy / scale))
+        if scale > 1:
+            self.surface_atlas.free(cur)  # last downscale level, read once
+        self.surface_atlas.free(tmp)
         return AtlasRegion(dst.x, dst.y, cur.w, cur.h), scale
 
     def _emit_composite(self, region: AtlasRegion, origin: Tuple[float, float],
@@ -1769,6 +1790,7 @@ class FrameBuilder:
             blend = BLEND_MIX_BASE + pic.composite.mix_blend_mode.value
         idx = self.gb.push_instance(KIND_PICTURE, self.device_spatial, addr,
                                     clip_addr, clip_count, blend, edge_aa=0)
+        self._region_scopes[-1].append(region)
         bbox = (x0, y0, x0 + w, y0 + h)
         if clip_bbox is not None:
             bbox = (max(bbox[0], clip_bbox[0]), max(bbox[1], clip_bbox[1]),

@@ -159,6 +159,12 @@ class FrameAtlas:
         self.cur_x = 0
         self.cur_y = 0
         self.row_h = 0
+        # region aliasing (render_task_graph.rs:800 assign_free_pass role):
+        # regions whose READERS' passes have all been emitted are released
+        # and reused by later allocations — any reuser's write pass is
+        # emitted (and therefore executes) after every released reader
+        self._live = {}
+        self._free = []
 
     @property
     def used_height(self) -> int:
@@ -168,6 +174,17 @@ class FrameAtlas:
         a = self.align
         w = min((max(1, w) + a - 1) // a * a, self.width)
         h = (max(1, h) + a - 1) // a * a
+        # best-fit reuse of a released region (bounded waste)
+        best = -1
+        best_area = None
+        for i, (fx, fy, fw, fh) in enumerate(self._free):
+            if fw >= w and fh >= h and fw * fh <= 4 * w * h:
+                if best_area is None or fw * fh < best_area:
+                    best, best_area = i, fw * fh
+        if best >= 0:
+            fx, fy, fw, fh = self._free.pop(best)
+            self._live[(fx, fy)] = (fw, fh)
+            return AtlasRegion(fx, fy, w, h)
         if self.cur_x + w > self.width:
             self.cur_y += self.row_h
             self.cur_x = 0
@@ -177,6 +194,14 @@ class FrameAtlas:
                 f"surface atlas exhausted ({self.cur_y + h} rows needed, "
                 f"cap {self.max_height})")
         region = AtlasRegion(self.cur_x, self.cur_y, w, h)
+        self._live[(region.x, region.y)] = (w, h)
         self.cur_x += w
         self.row_h = max(self.row_h, h)
         return region
+
+    def free(self, region: AtlasRegion) -> None:
+        """Release a region once every pass reading it has been emitted
+        (idempotent; unknown regions are ignored)."""
+        rect = self._live.pop((region.x, region.y), None)
+        if rect is not None:
+            self._free.append((region.x, region.y, rect[0], rect[1]))
