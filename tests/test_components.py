@@ -232,3 +232,40 @@ def test_compositor_trait():
         c.add_surface(1, (0, 0))
         out = c.composite((64, 32))
         assert tuple(out[16, 48]) == (0, 255, 0, 255)
+
+
+def test_per_pass_gpu_timers():
+    """query_gl.rs GpuProfiler analog: under GPU_TIME_QUERIES every pass
+    records a (label, device ms) sample and the profiler gpu_time counter
+    aggregates them."""
+    from webrender_tpu.api import (ColorF, CommonItemProperties,
+                                   DisplayListBuilder, Epoch, PipelineId,
+                                   Point2D, Rect, SpatialId, Transaction)
+    from webrender_tpu.api.display_item import FilterOp
+    from webrender_tpu.render_backend import RenderBackend
+    from webrender_tpu.util.options import DebugFlags
+    from webrender_tpu.util.profiler import Profiler
+
+    backend = RenderBackend((128, 96))
+    backend.renderer.debug_flags |= DebugFlags.GPU_TIME_QUERIES
+    backend.renderer.profiler = Profiler()
+    pid = PipelineId(0, 1)
+    b = DisplayListBuilder(pid)
+    b.begin()
+    root = SpatialId.root_scroll_node(pid)
+    common = CommonItemProperties(Rect(0, 0, 128, 96), root)
+    b.push_stacking_context(Point2D(0, 0), root,
+                            filters=[FilterOp.blur(2.0, 2.0)])
+    b.push_rect(common, Rect(8, 8, 60, 40), ColorF(1, 0, 0, 1))
+    b.pop_stacking_context()
+    _, dl = b.end()
+    txn = Transaction()
+    txn.set_root_pipeline(pid)
+    txn.set_display_list(Epoch(0), dl)
+    txn.generate_frame()
+    backend.send_transaction(txn)
+    backend.render()
+    labels = [n for n, _ in backend.renderer.gpu_timers]
+    assert "raster" in labels and "blur_h" in labels and "blur_v" in labels
+    assert all(ms >= 0.0 for _, ms in backend.renderer.gpu_timers)
+    assert (backend.renderer.profiler.get("gpu_time") or 0.0) > 0.0

@@ -21,6 +21,12 @@ from ..frame.frame_builder import (Frame, RenderPass, PASS_BLUR_H,
                                    PASS_ARITH, PASS_DOWNSCALE, PASS_RASTER,
                                    PASS_SRGB, TARGET_ROOT)
 from ..ops import blend as blend_mod
+
+# pass-kind labels for per-pass GPU timers (query_gl.rs GpuProfileTag)
+PASS_NAMES = {PASS_RASTER: "raster", PASS_BLUR_H: "blur_h",
+              PASS_BLUR_V: "blur_v", PASS_COPY: "copy",
+              PASS_CHANNEL_LUT: "channel_lut", PASS_SRGB: "srgb",
+              PASS_ARITH: "arith", PASS_DOWNSCALE: "downscale"}
 from ..frame.gpu import INST_BLEND, INST_KIND
 from ..frame.tiles import TILE_H, TILE_W
 from ..ops.raster import (assemble_tiles, blur_region, disassemble_tiles,
@@ -174,6 +180,9 @@ class Renderer:
         # DebugFlags bitmask (util/options.py); bit 0 = PROFILER_DBG
         self.debug_flags = 0
         self.profiler = None
+        # (pass label, device ms) samples of the last timed frame
+        # (GpuProfiler.frames analog)
+        self.gpu_timers: List[Tuple[str, float]] = []
         self.last_framebuffer = None
         self._root_hashes = None
         self._root_shape = None
@@ -225,6 +234,23 @@ class Renderer:
         transforms = jnp.asarray(frame.transforms)
         framebuffer = None
         self.slice_debug = []
+        # per-pass device timing (device/query_gl.rs GpuProfiler role):
+        # under GPU_TIME_QUERIES each pass blocks on its output and the
+        # wall time is attributed to the pass kind — adds sync overhead,
+        # debug-flag gated like the reference's timer queries
+        timing = bool(self.debug_flags & 16)  # DebugFlags.GPU_TIME_QUERIES
+        if timing:
+            import time as _time
+            self.gpu_timers = []
+            jax.block_until_ready(transforms)
+            _t_last = _time.perf_counter()
+
+        def _tick(label, out_array):
+            nonlocal _t_last
+            jax.block_until_ready(out_array)
+            now = _time.perf_counter()
+            self.gpu_timers.append((label, (now - _t_last) * 1000.0))
+            _t_last = now
         if any(q.slice_key is not None for q in frame.passes):
             self.last_dirty_tiles = -1
         for p in frame.passes:
@@ -279,6 +305,13 @@ class Renderer:
                                                   dx, dy)
             else:
                 raise ValueError(p.kind)
+            if timing:
+                _tick(PASS_NAMES.get(p.kind, str(p.kind)),
+                      framebuffer if framebuffer is not None
+                      else self.surface_atlas)
+        if timing and self.profiler is not None:
+            total = sum(ms for _, ms in self.gpu_timers)
+            self.profiler.set("gpu_time", total)
         return framebuffer
 
     def render(self, frame: Frame,
