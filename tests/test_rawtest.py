@@ -224,3 +224,70 @@ def test_save_restore_display_list():
     img = _render_dl(backend, fill)
     assert tuple(img[10, 10][:3]) == (255, 255, 255)
     assert tuple(img[65, 65][:3]) == (0, 0, 255)
+
+
+def test_external_image_lock_unlock_and_refresh():
+    """image.rs ImageData::External + renderer ExternalImageHandler: the
+    handler is locked each frame, texels re-upload when its generation
+    changes, and every lock is unlocked after frame build."""
+    import numpy as np
+    from webrender_tpu.api import (CommonItemProperties, DisplayListBuilder,
+                                   Epoch, PipelineId, Rect, SpatialId,
+                                   Transaction)
+    from webrender_tpu.api.display_item import AlphaType, ImageRendering
+    from webrender_tpu.api.image import (ExternalImage, ExternalImageData,
+                                         ExternalImageHandler,
+                                         ExternalImageId, ImageData,
+                                         ImageDescriptor, ImageFormat)
+    from webrender_tpu.render_backend import RenderBackend
+
+    class Handler(ExternalImageHandler):
+        def __init__(self):
+            self.pixels = np.zeros((8, 8, 4), np.uint8)
+            self.pixels[..., 0] = 255
+            self.pixels[..., 3] = 255
+            self.gen = 1
+            self.locks = 0
+            self.unlocks = 0
+
+        def lock(self, id, channel_index):
+            self.locks += 1
+            return ExternalImage(pixels=self.pixels, generation=self.gen)
+
+        def unlock(self, id, channel_index):
+            self.unlocks += 1
+
+    backend = RenderBackend((64, 64))
+    handler = Handler()
+    backend.resources.set_external_image_handler(handler)
+    pid = PipelineId(0, 1)
+    b = DisplayListBuilder(pid)
+    b.begin()
+    root = SpatialId.root_scroll_node(pid)
+    common = CommonItemProperties(Rect(0, 0, 64, 64), root)
+    b.push_image(common, Rect(0, 0, 64, 64), ImageRendering.AUTO,
+                 AlphaType.PREMULTIPLIED_ALPHA, 7)
+    _, dl = b.end()
+    txn = Transaction()
+    txn.set_root_pipeline(pid)
+    txn.add_image(7, ImageDescriptor(ImageFormat.RGBA8, 8, 8),
+                  ImageData(external=ExternalImageData(ExternalImageId(42))))
+    txn.set_display_list(Epoch(0), dl)
+    txn.generate_frame()
+    backend.send_transaction(txn)
+    img1 = backend.render_software()
+    assert (img1[32, 32] == [255, 0, 0, 255]).all()
+    assert handler.locks == 1 and handler.unlocks == 1
+
+    # mutate the external texels + bump the generation: the next frame
+    # re-uploads without any transaction
+    handler.pixels = handler.pixels.copy()
+    handler.pixels[..., 0] = 0
+    handler.pixels[..., 1] = 255
+    handler.gen = 2
+    txn2 = Transaction()
+    txn2.generate_frame()
+    backend.send_transaction(txn2)
+    img2 = backend.render_software()
+    assert (img2[32, 32] == [0, 255, 0, 255]).all()
+    assert handler.locks == 2 and handler.unlocks == 2

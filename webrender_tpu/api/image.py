@@ -50,17 +50,21 @@ class ImageDescriptor:
 
 @dataclass
 class ImageData:
-    """Raw image bytes or a generator callback (blob analog).
+    """Raw image bytes, a generator callback (blob analog), or an
+    external-image reference (image.rs ImageData::External :374).
 
     `pixels` is an (h, w, c) uint8/uint16/float32 numpy array in the channel
     order implied by the format (BGRA8 stays byte-order BGRA like the
     reference; internally the renderer converts to RGBA float).
     `solid` stores a single texel for constant images (huge solid-color
     test images are not materialized).
+    `external` defers the texel source to the renderer's registered
+    ExternalImageHandler, locked per frame.
     """
     pixels: Optional[np.ndarray] = None
     blob: Optional[bytes] = None  # serialized blob commands (BlobImageData)
     solid: Optional[tuple] = None  # single texel, same channel order
+    external: Optional["ExternalImageData"] = None
 
 
 @dataclass(frozen=True)
@@ -81,3 +85,34 @@ class ExternalImageId:
 class ExternalImageType(enum.Enum):
     TEXTURE_HANDLE = 0
     BUFFER = 1
+
+
+@dataclass(frozen=True)
+class ExternalImageData:
+    """image.rs ExternalImageData: the texel source lives outside the
+    resource cache and is locked/unlocked around each frame by the
+    registered ExternalImageHandler."""
+    id: ExternalImageId
+    channel_index: int = 0
+    image_type: ExternalImageType = ExternalImageType.BUFFER
+
+
+@dataclass
+class ExternalImage:
+    """renderer ExternalImage lock result: texels (device or host array)
+    + the uv sub-rect to sample (uv defaults to the full image)."""
+    pixels: np.ndarray
+    uv: Optional[tuple] = None
+    generation: Optional[int] = None  # unchanged generation skips re-upload
+
+
+class ExternalImageHandler:
+    """renderer::ExternalImageHandler protocol (renderer/mod.rs): lock
+    returns the current texels for (id, channel); unlock releases them
+    after the frame's uploads are consumed."""
+
+    def lock(self, id: ExternalImageId, channel_index: int) -> ExternalImage:
+        raise NotImplementedError
+
+    def unlock(self, id: ExternalImageId, channel_index: int) -> None:
+        pass

