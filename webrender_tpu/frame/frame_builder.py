@@ -430,13 +430,21 @@ class FrameBuilder:
                 self._poly_clip = prev
             return
         batch: List = []
+        tbatch: List = []
         for child in pic.children:
             if type(child) is RectanglePrim:
+                self._flush_text_batch(tbatch, out)
                 batch.append(child)
                 continue
+            if type(child) is TextRunPrim:
+                self._flush_rect_batch(batch, out)
+                tbatch.append(child)
+                continue
             self._flush_rect_batch(batch, out)
+            self._flush_text_batch(tbatch, out)
             self._emit_child(child, out)
         self._flush_rect_batch(batch, out)
+        self._flush_text_batch(tbatch, out)
 
     def _flush_rect_batch(self, batch: List, out: List[int]) -> None:
         """Vectorized solid-rect prepare: consecutive RectanglePrims are
@@ -465,6 +473,36 @@ class FrameBuilder:
                     self._prepare_prim(prim, out)
             else:
                 self._prepare_rects_vec(prims, out)
+        batch.clear()
+
+    def _flush_text_batch(self, batch: List, out: List[int]) -> None:
+        """Consecutive text runs sharing (spatial, clip chain, clip rect,
+        font instance) prepare as ONE vectorized glyph block."""
+        if not batch:
+            return
+        groups: List[Tuple[Tuple, List]] = []
+        for prim in batch:
+            c = prim.common
+            key = (c.spatial_node, c.clip_chain, c.clip_rect,
+                   prim.font_instance_key, c.backface_cull_spatial,
+                   c.is_backface_visible, c.containing_block)
+            if groups and groups[-1][0] == key:
+                groups[-1][1].append(prim)
+            else:
+                groups.append((key, [prim]))
+        for _, prims in groups:
+            if len(prims) == 1:
+                self._prepare_prim(prims[0], out)
+                continue
+            c = prims[0].common
+            pal = self._pal(c.spatial_node)
+            if int(pal[11]) & 1:
+                continue
+            if not c.is_backface_visible and self._prim_backfacing(c):
+                continue
+            if self._sc_backface_culled(c.backface_cull_spatial):
+                continue
+            self._prepare_text_runs(prims, c, out)
         batch.clear()
 
     def _prepare_rects_vec(self, prims: List, out: List[int]) -> None:
@@ -2286,14 +2324,24 @@ class FrameBuilder:
 
     def _prepare_text(self, prim: TextRunPrim, c: PrimCommon,
                       out: List[int]) -> None:
-        """One GLYPH instance per glyph (ps_text_run instances)."""
+        self._prepare_text_runs([prim], c, out)
+
+    def _prepare_text_runs(self, prims: List[TextRunPrim], c: PrimCommon,
+                           out: List[int]) -> None:
+        """One GLYPH instance per glyph (ps_text_run instances), prepared
+        VECTORIZED over every glyph of every run in `prims` — consecutive
+        text runs sharing (spatial, clip chain, font instance) batch into
+        one numpy block (the prepare.rs hot path without per-run Python;
+        painter order is preserved because instances stay in glyph
+        order)."""
         # glyphs raster at the device scale so magnified text stays sharp
         # (FontTransform / raster-space role; text/mix-blend-layers.yaml);
         # bitmap metrics come back in raster px
         pal = self._pal(c.spatial_node)
         gscale = max(1.0, round(max(float(pal[9]), float(pal[10])) * 64.0)
                      / 64.0)
-        fi0 = self.resources.font_instance(prim.font_instance_key)
+        fi_key = prims[0].font_instance_key
+        fi0 = self.resources.font_instance(fi_key)
         mode_override = None
         subpx = fi0 is not None and \
             fi0[2].render_mode == FontRenderMode.SUBPIXEL
@@ -2307,7 +2355,6 @@ class FrameBuilder:
         inv = 1.0 / gscale
         clip_addr, clip_count, clip_bbox = self._serialize_clips(
             c.clip_chain, c.spatial_node)
-        col = list(_premult(prim.color))
         H = self._H(c.spatial_node)
         axis_aligned = self.resolved[c.spatial_node].is_2d_axis_aligned
         sx_, sy_ = H[0, 0], H[1, 1]
@@ -2319,16 +2366,26 @@ class FrameBuilder:
         # quantized subpixel X positioning (wr_glyph_rasterizer
         # SubpixelOffset::quantize): 8ths bucketed to quarters; mono text
         # snaps whole pixels. Glyph bitmaps raster per offset bucket.
-        # The whole run is prepared VECTORIZED (prepare.rs hot path as
-        # numpy array ops; one payload/instance block push per run).
         _OFF8 = np.array((0.0, 0.25, 0.25, 0.5, 0.5, 0.75, 0.75, 1.0))
 
-        G = len(prim.glyphs)
+        counts = [len(p_.glyphs) for p_ in prims]
+        G = sum(counts)
         if G == 0:
             return
-        gis = np.fromiter((g[0] for g in prim.glyphs), np.int64, G)
-        gxs = np.fromiter((g[1] for g in prim.glyphs), np.float64, G)
-        gys = np.fromiter((g[2] for g in prim.glyphs), np.float64, G)
+        gis = np.empty(G, np.int64)
+        gxs = np.empty(G, np.float64)
+        gys = np.empty(G, np.float64)
+        pos0 = 0
+        for p_, n_ in zip(prims, counts):
+            for j, g in enumerate(p_.glyphs):
+                gis[pos0 + j] = g[0]
+                gxs[pos0 + j] = g[1]
+                gys[pos0 + j] = g[2]
+            pos0 += n_
+        # per-glyph premultiplied color (runs in a batch may differ)
+        run_cols = np.array([_premult(p_.color) for p_ in prims],
+                            np.float32)
+        col_g = np.repeat(run_cols, counts, axis=0)
         v = gxs * sx_ + tx_ if snap_dev else gxs
         if mono or not snap_dev:
             dev_x = np.round(v)
@@ -2349,7 +2406,7 @@ class FrameBuilder:
             sel = off == o
             ids = np.unique(gis[sel])
             table, ok, subpx = self.resources.request_glyph_metrics(
-                prim.font_instance_key, tuple(ids.tolist()), gscale,
+                fi_key, tuple(ids.tolist()), gscale,
                 mode_override, float(o))
             is_subpx = is_subpx or subpx
             pos = np.searchsorted(ids, gis[sel])
@@ -2411,16 +2468,17 @@ class FrameBuilder:
         geom[:, 9] = metrics[keep, 5] + 1.0
         geom[:, 10] = metrics[keep, 4] + 1.0 + bw[keep]
         geom[:, 11] = metrics[keep, 5] + 1.0 + bh[keep]
+        col_k = col_g[keep]
         row = self._row(c.spatial_node)
         if is_subpx:
-            # dual-source pair per glyph: punch dst per channel by mask·a,
-            # then add color·mask·a (ps_text_run dual-source blending)
-            a = col[3]
+            # dual-source pair per glyph: punch dst per channel by mask*a,
+            # then add color*mask*a (ps_text_run dual-source blending)
+            a_k = col_k[:, 3]
             pay = np.empty((2 * k, 16), np.float32)
             pay[0::2] = geom
             pay[1::2] = geom
-            pay[0::2, 12:16] = (a, a, a, a)
-            pay[1::2, 12:16] = col
+            pay[0::2, 12:16] = a_k[:, None]
+            pay[1::2, 12:16] = col_k
             addrs = self.gb.push_f32_block(pay)
             inst = np.empty((2 * k, 8), np.int64)
             inst[:, 0] = KIND_SUBPX_GLYPH
@@ -2437,7 +2495,7 @@ class FrameBuilder:
             self.metas.push_block(bb2.astype(np.float32))
             out.extend(idxs.tolist())
             return
-        geom[:, 12:16] = col
+        geom[:, 12:16] = col_k
         addrs = self.gb.push_f32_block(geom)
         inst = np.empty((k, 8), np.int64)
         inst[:, 0] = KIND_GLYPH
