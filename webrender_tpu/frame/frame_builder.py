@@ -431,20 +431,161 @@ class FrameBuilder:
             return
         batch: List = []
         tbatch: List = []
+        gbatch: List = []
+        ibatch: List = []
         for child in pic.children:
             if type(child) is RectanglePrim:
                 self._flush_text_batch(tbatch, out)
+                self._flush_gradient_batch(gbatch, out)
+                self._flush_image_batch(ibatch, out)
                 batch.append(child)
                 continue
             if type(child) is TextRunPrim:
                 self._flush_rect_batch(batch, out)
+                self._flush_gradient_batch(gbatch, out)
+                self._flush_image_batch(ibatch, out)
                 tbatch.append(child)
+                continue
+            if type(child) in (LinearGradientPrim, RadialGradientPrim,
+                               ConicGradientPrim):
+                self._flush_rect_batch(batch, out)
+                self._flush_text_batch(tbatch, out)
+                self._flush_image_batch(ibatch, out)
+                gbatch.append(child)
+                continue
+            if type(child) is ImagePrim:
+                self._flush_rect_batch(batch, out)
+                self._flush_text_batch(tbatch, out)
+                self._flush_gradient_batch(gbatch, out)
+                ibatch.append(child)
                 continue
             self._flush_rect_batch(batch, out)
             self._flush_text_batch(tbatch, out)
+            self._flush_gradient_batch(gbatch, out)
+            self._flush_image_batch(ibatch, out)
             self._emit_child(child, out)
         self._flush_rect_batch(batch, out)
         self._flush_text_batch(tbatch, out)
+        self._flush_gradient_batch(gbatch, out)
+        self._flush_image_batch(ibatch, out)
+
+    def _prepare_images_vec(self, prims: List, out: List[int]) -> None:
+        """Vectorized image prepare for the common direct-residency case
+        (small-enough templates); oversized/missing templates fall back to
+        the scalar path."""
+        c0: PrimCommon = prims[0].common
+        pal = self._pal(c0.spatial_node)
+        if int(pal[11]) & 1:
+            return
+        if not c0.is_backface_visible and self._prim_backfacing(c0):
+            return
+        if self._sc_backface_culled(c0.backface_cull_spatial):
+            return
+        axis_aligned = self.resolved[c0.spatial_node].is_2d_axis_aligned \
+            and self._rctx is None
+        lim = self.resources.MAX_DIRECT_DIM
+        # only batch when every template takes the direct path — a mixed
+        # batch would reorder instances vs painter order
+        for p_ in prims:
+            tpl = self.resources.images.get(p_.image_key)
+            if tpl is None or tpl.descriptor.width > lim or \
+                    tpl.descriptor.height > lim:
+                for q_ in prims:
+                    self._prepare_prim(q_, out)
+                return
+        geom = self._geom_vec(prims, c0, axis_aligned)
+        if geom is None:
+            return
+        rects, cov, edge_aa, db, keep, clip_addr, clip_count = geom
+        k = int(keep.sum())
+        pay = np.zeros((k, 26), np.float32)
+        pay[:, 0:4] = rects[keep]
+        pay[:, 4:8] = cov[keep]
+        ok_rows = np.ones(k, bool)
+        i = 0
+        for p_, kp in zip(prims, keep):
+            if not kp:
+                continue
+            req = self.resources.request_image(p_.image_key)
+            if req is None:
+                ok_rows[i] = False
+                i += 1
+                continue
+            region, desc = req
+            lr = p_.common.local_rect
+            stretch_w = p_.stretch_size.width or lr.w
+            stretch_h = p_.stretch_size.height or lr.h
+            nearest = 1.0 if p_.image_rendering in (
+                ImageRendering.PIXELATED, ImageRendering.CROSP_EDGES) \
+                else 0.0
+            row = pay[i]
+            row[8:12] = (region.x, region.y, region.x + desc.width,
+                         region.y + desc.height)
+            row[12:16] = _premult(p_.color)
+            row[16:18] = (nearest, 0.0)
+            row[18:22] = (stretch_w, stretch_h, p_.tile_spacing.width,
+                          p_.tile_spacing.height)
+            row[22:26] = (desc.width / max(stretch_w, 1e-6),
+                          desc.height / max(stretch_h, 1e-6), 0.0, 0.0)
+            i += 1
+        if not ok_rows.any():
+            return
+        pay = pay[ok_rows]
+        k2 = int(ok_rows.sum())
+        addrs = self.gb.push_f32_block(pay)
+        row_t = self._row(c0.spatial_node)
+        inst = np.empty((k2, 8), np.int64)
+        inst[:, 0] = KIND_IMAGE
+        inst[:, 1] = row_t
+        inst[:, 2] = addrs
+        inst[:, 3] = clip_addr
+        inst[:, 4] = clip_count
+        inst[:, 5] = BLEND_NORMAL
+        inst[:, 6] = edge_aa[keep][ok_rows]
+        inst[:, 7] = 0
+        idxs = self.gb.push_instance_block(inst)
+        self.metas.push_block(db[keep][ok_rows].astype(np.float32))
+        out.extend(idxs.tolist())
+
+    def _flush_image_batch(self, batch: List, out: List[int]) -> None:
+        if not batch:
+            return
+        groups: List[Tuple[Tuple, List]] = []
+        for prim in batch:
+            c = prim.common
+            key = (c.spatial_node, c.clip_chain, c.backface_cull_spatial,
+                   c.is_backface_visible, c.containing_block)
+            if groups and groups[-1][0] == key:
+                groups[-1][1].append(prim)
+            else:
+                groups.append((key, [prim]))
+        for _, prims in groups:
+            if len(prims) < 4:
+                for prim in prims:
+                    self._prepare_prim(prim, out)
+            else:
+                self._prepare_images_vec(prims, out)
+        batch.clear()
+
+    def _flush_gradient_batch(self, batch: List, out: List[int]) -> None:
+        if not batch:
+            return
+        groups: List[Tuple[Tuple, List]] = []
+        for prim in batch:
+            c = prim.common
+            key = (c.spatial_node, c.clip_chain, c.backface_cull_spatial,
+                   c.is_backface_visible, c.containing_block)
+            if groups and groups[-1][0] == key:
+                groups[-1][1].append(prim)
+            else:
+                groups.append((key, [prim]))
+        for _, prims in groups:
+            if len(prims) < 4:
+                for prim in prims:
+                    self._prepare_prim(prim, out)
+            else:
+                self._prepare_gradients_vec(prims, out)
+        batch.clear()
 
     def _flush_rect_batch(self, batch: List, out: List[int]) -> None:
         """Vectorized solid-rect prepare: consecutive RectanglePrims are
@@ -505,17 +646,11 @@ class FrameBuilder:
             self._prepare_text_runs(prims, c, out)
         batch.clear()
 
-    def _prepare_rects_vec(self, prims: List, out: List[int]) -> None:
-        c0: PrimCommon = prims[0].common
-        pal = self._pal(c0.spatial_node)
-        if int(pal[11]) & 1:
-            return
-        if not c0.is_backface_visible and self._prim_backfacing(c0):
-            return
-        if self._sc_backface_culled(c0.backface_cull_spatial):
-            return
-        axis_aligned = self.resolved[c0.spatial_node].is_2d_axis_aligned \
-            and self._rctx is None
+    def _geom_vec(self, prims: List, c0: PrimCommon, axis_aligned: bool):
+        """_emit_common vectorized over prims sharing (spatial, clips):
+        snap, coverage, edge AA, clip serialization, device bounds.
+        Returns (rects, cov, edge_aa, db, keep, clip_addr, clip_count) or
+        None when everything culls."""
         M = len(prims)
         rects = np.array([(p.common.local_rect.x0, p.common.local_rect.y0,
                            p.common.local_rect.x1, p.common.local_rect.y1)
@@ -523,8 +658,6 @@ class FrameBuilder:
         clips = np.array([(p.common.clip_rect.x0, p.common.clip_rect.y0,
                            p.common.clip_rect.x1, p.common.clip_rect.y1)
                           for p in prims], np.float64)
-        colors = np.array([(p.color.r, p.color.g, p.color.b, p.color.a)
-                           for p in prims], np.float64)
         H = self._H(c0.spatial_node)
         finite = np.isfinite(rects).all(1)
         if axis_aligned:
@@ -568,7 +701,26 @@ class FrameBuilder:
         keep &= np.isfinite(db).all(1) & finite
         keep &= (db[:, 2] > db[:, 0]) & (db[:, 3] > db[:, 1])
         if not keep.any():
+            return None
+        return rects, cov, edge_aa, db, keep, clip_addr, clip_count
+
+    def _prepare_rects_vec(self, prims: List, out: List[int]) -> None:
+        c0: PrimCommon = prims[0].common
+        pal = self._pal(c0.spatial_node)
+        if int(pal[11]) & 1:
             return
+        if not c0.is_backface_visible and self._prim_backfacing(c0):
+            return
+        if self._sc_backface_culled(c0.backface_cull_spatial):
+            return
+        axis_aligned = self.resolved[c0.spatial_node].is_2d_axis_aligned \
+            and self._rctx is None
+        geom = self._geom_vec(prims, c0, axis_aligned)
+        if geom is None:
+            return
+        rects, cov, edge_aa, db, keep, clip_addr, clip_count = geom
+        colors = np.array([(p.color.r, p.color.g, p.color.b, p.color.a)
+                          for p in prims], np.float64)
         k = int(keep.sum())
         # premultiplied colors quantized to the u8 grid (_premult)
         a = colors[keep, 3]
@@ -601,6 +753,80 @@ class FrameBuilder:
         opq[:, 3] = db[keep, 3] - 1.0
         omask = (prem[:, 3] >= 1.0) & (clip_count == 0) & axis_aligned
         self.metas.push_block(db[keep].astype(np.float32), opq, omask)
+        out.extend(idxs.tolist())
+
+    def _prepare_gradients_vec(self, prims: List, out: List[int]) -> None:
+        """Vectorized gradient prepare: geometry/emission as one block,
+        the 12-float kind-specific tails filled in a cheap scalar loop
+        (stops addresses hit the LUT cache)."""
+        c0: PrimCommon = prims[0].common
+        pal = self._pal(c0.spatial_node)
+        if int(pal[11]) & 1:
+            return
+        if not c0.is_backface_visible and self._prim_backfacing(c0):
+            return
+        if self._sc_backface_culled(c0.backface_cull_spatial):
+            return
+        axis_aligned = self.resolved[c0.spatial_node].is_2d_axis_aligned \
+            and self._rctx is None
+        geom = self._geom_vec(prims, c0, axis_aligned)
+        if geom is None:
+            return
+        rects, cov, edge_aa, db, keep, clip_addr, clip_count = geom
+        k = int(keep.sum())
+        pay = np.zeros((k, 22), np.float32)
+        pay[:, 0:4] = rects[keep]
+        pay[:, 4:8] = cov[keep]
+        kinds = np.empty(k, np.int64)
+        i = 0
+        for p_, kp in zip(prims, keep):
+            if not kp:
+                continue
+            lr = p_.common.local_rect
+            ts = p_.tile_size
+            sp = p_.tile_spacing
+            tw = ts.width or lr.w
+            th = ts.height or lr.h
+            if sp.width == 0 and sp.height == 0 and \
+                    tw >= lr.w - 0.5 and th >= lr.h - 0.5:
+                tw, th = lr.w, lr.h
+            addr, n = self._gradient_stops_addr(p_.stops)
+            g = p_.gradient
+            ext = float(g.extend_mode.value)
+            row = pay[i]
+            if isinstance(p_, LinearGradientPrim):
+                kinds[i] = KIND_LINEAR_GRAD
+                row[8:12] = (g.start_point.x, g.start_point.y,
+                             g.end_point.x, g.end_point.y)
+                row[12:16] = (float(addr), ext, float(n), 0.0)
+                row[16:20] = (tw, th, sp.width, sp.height)
+            elif isinstance(p_, RadialGradientPrim):
+                kinds[i] = KIND_RADIAL_GRAD
+                row[8:12] = (g.center.x, g.center.y,
+                             g.radius.width, g.radius.height)
+                row[12:16] = (float(addr), ext, float(n), 0.0)
+                row[16:18] = (g.start_offset, g.end_offset)
+                row[18:22] = (tw, th, sp.width, sp.height)
+            else:
+                kinds[i] = KIND_CONIC_GRAD
+                row[8:12] = (g.center.x, g.center.y, g.angle, 0.0)
+                row[12:16] = (float(addr), ext, float(n), 0.0)
+                row[16:18] = (g.start_offset, g.end_offset)
+                row[18:22] = (tw, th, sp.width, sp.height)
+            i += 1
+        addrs = self.gb.push_f32_block(pay)
+        row_t = self._row(c0.spatial_node)
+        inst = np.empty((k, 8), np.int64)
+        inst[:, 0] = kinds
+        inst[:, 1] = row_t
+        inst[:, 2] = addrs
+        inst[:, 3] = clip_addr
+        inst[:, 4] = clip_count
+        inst[:, 5] = BLEND_NORMAL
+        inst[:, 6] = edge_aa[keep]
+        inst[:, 7] = 0
+        idxs = self.gb.push_instance_block(inst)
+        self.metas.push_block(db[keep].astype(np.float32))
         out.extend(idxs.tolist())
 
     def _emit_child(self, child, out: List[int]) -> None:
