@@ -1144,14 +1144,25 @@ class FrameBuilder:
         its content is offset-invariant (see _run_cacheable)."""
         instances = self.gb.snapshot_instances()
         n_nodes = len(self.resolved)
-        runs: List[Tuple[Optional[int], List[int]]] = []
-        for e in insts:
-            spatial = int(instances[e, 1])
-            sr = self._scroll_root_of(spatial) if spatial < n_nodes else None
-            if runs and runs[-1][0] == sr:
-                runs[-1][1].append(e)
-            else:
-                runs.append((sr, [e]))
+        if not insts:
+            return []
+        # vectorized run split: scroll roots resolve once per unique
+        # spatial node, runs come from the boundary diff (no per-instance
+        # Python)
+        e_arr = np.asarray(insts, np.int64)
+        spat = instances[e_arr, 1]
+        uniq = np.unique(spat)
+        lut = np.empty(uniq.shape[0], np.int64)
+        for j, s_ in enumerate(uniq):
+            sr_ = self._scroll_root_of(int(s_)) if s_ < n_nodes else None
+            lut[j] = -1 if sr_ is None else sr_
+        srs = lut[np.searchsorted(uniq, spat)]
+        cut = np.flatnonzero(np.diff(srs)) + 1
+        starts = np.concatenate([[0], cut])
+        ends = np.concatenate([cut, [len(e_arr)]])
+        runs: List[Tuple[Optional[int], List[int]]] = [
+            (None if srs[a] < 0 else int(srs[a]), e_arr[a:b].tolist())
+            for a, b in zip(starts, ends)]
         if len(runs) == 1 and runs[0][0] is None:
             return runs
         # cap (tile_cache.rs MAX_CACHE_SLICES): overflow merges, uncached
