@@ -145,6 +145,7 @@ class FontContext:
         self.faces: Dict[Tuple[int, int], object] = {}
         self._design_adv: Dict[Tuple[int, int, int], float] = {}
         self._sources: Dict[Tuple[int, int], Tuple] = {}
+        self._lcd = None
         import threading
         self._tls = threading.local()
 
@@ -155,7 +156,7 @@ class FontContext:
         else:
             face = self._ft.FT2Font(path)
         self.faces[(key.namespace, key.key)] = face
-        self._sources[(key.namespace, key.key)] = (data, path)
+        self._sources[(key.namespace, key.key)] = (data, path, index)
 
     def thread_local_face(self, key: FontKey):
         """FT faces are not thread-safe: worker threads of the glyph pool
@@ -169,11 +170,23 @@ class FontContext:
             faces = tl.faces = {}
         face = faces.get(k)
         if face is None:
-            data, path = self._sources[k]
+            data, path, _index = self._sources[k]
             face = self._ft.FT2Font(io.BytesIO(data)) if data is not None \
                 else self._ft.FT2Font(path)
             faces[k] = face
         return face
+
+    def rasterize_lcd(self, key: FontKey, size: float, glyph_index: int,
+                      subpx_x: float = 0.0):
+        """True LCD subpixel raster via the system FreeType
+        (platform/unix/font.rs:460 FT_RENDER_MODE_LCD + default FIR
+        filter) → ((h, w, 3) channel coverage, left, top)."""
+        if self._lcd is None:
+            from .ft_lcd import LcdRasterizer
+            self._lcd = LcdRasterizer()
+        data, path, index = self._sources[(key.namespace, key.key)]
+        return self._lcd.render((key.namespace, key.key), data, path,
+                                index, size, glyph_index, subpx_x)
 
     def has_font(self, key: FontKey) -> bool:
         return (key.namespace, key.key) in self.faces
@@ -734,10 +747,22 @@ class ResourceCache:
                 if h == 0 or w == 0:
                     cached = CachedGlyph(None, left, top, w, h)
                 elif subpx:
-                    # LCD-style per-channel masks: taps at x∓1/3 px of the
-                    # coverage (platform LCD raster + FIR filter role);
-                    # stored as rgb in the COLOR atlas
-                    masks = _subpixel_masks(alpha, subpx_x)
+                    # true LCD per-channel masks via system FreeType
+                    # (FT_RENDER_MODE_LCD, platform/unix/font.rs:460);
+                    # synthetic bold/italics fall back to the grayscale
+                    # tap fabrication (no FT embolden binding)
+                    masks = None
+                    if bold == 0.0 and italics == 0.0:
+                        try:
+                            m3, l_, t_ = self.fonts.rasterize_lcd(
+                                font_key, size, gi, subpx_x)
+                            masks = np.concatenate(
+                                [m3, m3.max(-1, keepdims=True)], -1)
+                            left, top = l_, t_
+                        except Exception:  # noqa: BLE001 — fall back
+                            masks = None
+                    if masks is None:
+                        masks = _subpixel_masks(alpha, subpx_x)
                     h2, w2 = masks.shape[:2]
                     # 2-texel zero border: bilinear taps of the 1-texel-
                     # inset uv ring never reach atlas neighbours, keeping
