@@ -2124,10 +2124,25 @@ class FrameBuilder:
                 nrect = self._snap_rect(nrect, node.spatial_node)
             rec[0:4] = [nrect.x0, nrect.y0, nrect.x1, nrect.y1]
             r = node.radii
-            rec[4:12] = [r.top_left.width, r.top_left.height,
-                         r.top_right.width, r.top_right.height,
-                         r.bottom_right.width, r.bottom_right.height,
-                         r.bottom_left.width, r.bottom_left.height]
+            radii = [r.top_left.width, r.top_left.height,
+                     r.top_right.width, r.top_right.height,
+                     r.bottom_right.width, r.bottom_right.height,
+                     r.bottom_left.width, r.bottom_left.height]
+            # adjacent corner ellipses must not overlap (border.rs
+            # ensure_no_corner_overlap applied to clip radii —
+            # clip/clip-ellipse.yaml's oversized radii)
+            ratio = 1.0
+            if nrect.w > 0:
+                for s_ in (radii[0] + radii[2], radii[6] + radii[4]):
+                    if s_ > nrect.w:
+                        ratio = min(ratio, nrect.w / s_)
+            if nrect.h > 0:
+                for s_ in (radii[1] + radii[7], radii[3] + radii[5]):
+                    if s_ > nrect.h:
+                        ratio = min(ratio, nrect.h / s_)
+            if ratio < 1.0:
+                radii = [v * ratio for v in radii]
+            rec[4:12] = radii
             rec[12] = 1.0 if node.mode == ClipMode.CLIP_OUT else 0.0
             rec[13] = float(self._row(node.spatial_node))
             if node.kind == ClipKind.RECT:
