@@ -162,6 +162,10 @@ class CompositeOps:
     mix_blend_mode: MixBlendMode = MixBlendMode.NORMAL
     is_blend_container: bool = False
     preserve_3d: bool = False
+    # BlitReason::CLIP (scene_building.rs:2248): an SC with complex clips
+    # on its own chain draws to an off-screen surface so the mask applies
+    # ATOMICALLY to the composited group (mask/mask-atomicity.yaml)
+    has_complex_clip: bool = False
 
     @property
     def needs_surface(self) -> bool:
@@ -171,7 +175,7 @@ class CompositeOps:
                       if not (f.kind.name == "OPACITY" and f.value >= 1.0)]
         return bool(nontrivial) or \
             self.mix_blend_mode != MixBlendMode.NORMAL or \
-            self.is_blend_container
+            self.is_blend_container or self.has_complex_clip
 
     @property
     def needs_grouping(self) -> bool:

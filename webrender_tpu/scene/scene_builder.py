@@ -134,6 +134,11 @@ class SceneBuilder:
                 new_offset = Point2D(top.offset.x + item.origin.x,
                                      top.offset.y + item.origin.y)
                 composite = self._composite_ops(item, new_offset)
+                if any(self.clip_store.nodes[i].kind != ClipKind.RECT
+                       for i in chain):
+                    # clip_chain_has_complex_clips → BlitReason::CLIP
+                    composite = dataclasses.replace(composite,
+                                                    has_complex_clip=True)
                 pic = PicturePrim(
                     common=PrimCommon(Rect(-1e9, -1e9, 2e9, 2e9),
                                       Rect(-1e9, -1e9, 2e9, 2e9),
