@@ -2638,7 +2638,14 @@ class FrameBuilder:
         run_cols = np.array([_premult(p_.color) for p_ in prims],
                             np.float32)
         col_g = np.repeat(run_cols, counts, axis=0)
-        v = gxs * sx_ + tx_ if snap_dev else gxs
+        # the accumulated frame translation snaps to whole device px
+        # BEFORE glyph layout (text_run.rs:321 snapped_reference_frame_
+        # relative_offset, util.rs snap = floor(v+0.5)): a fractional
+        # surface/frame offset then cannot shift glyph rasters
+        # (snap/fractional-filter.yaml)
+        tx_s = math.floor(tx_ + 0.5) if snap_dev else tx_
+        ty_s = math.floor(ty_ + 0.5) if snap_dev else ty_
+        v = gxs * sx_ + tx_s if snap_dev else gxs
         if mono or not snap_dev:
             dev_x = np.round(v)
             off = np.zeros(G)
@@ -2674,7 +2681,7 @@ class FrameBuilder:
             # (glyph raster is grid-fitted; text/snap-text-offset.yaml);
             # the subpixel fraction lives in the bitmap raster
             pxg = (dev_x - tx_) / sx_ + left * inv64
-            pyg = (np.round(gys * sy_ + ty_) - ty_) / sy_ - top * inv64
+            pyg = (np.round(gys * sy_ + ty_s) - ty_) / sy_ - top * inv64
         else:
             pxg = dev_x + left * inv64
             pyg = np.round(gys) - top * inv64
