@@ -876,6 +876,12 @@ class FrameBuilder:
             q = None
             if isinstance(child, PicturePrim):
                 q = self._plane_quad(child)
+            elif hasattr(child, "common"):
+                # bare prims in a preserve-3d context are planes too —
+                # coplanar planes keep DISPLAY LIST order through the
+                # splitter (split/same-plane.yaml)
+                q = self._quad_of_rect(child.common.spatial_node,
+                                       child.common.local_rect)
             quads[i] = q
             if q is not None:
                 polys.append(ps.Polygon(q, i))
@@ -905,17 +911,24 @@ class FrameBuilder:
         """Device-space 3D quad ([4,3] x,y,z) of a preserve-3d child's
         content plane (picture.rs map_pic_to_world polygon)."""
         spatial = pic.common.spatial_node
-        if int(self.palette[spatial][11]) & 1:
-            return None  # non-invertible
         r = self._local_content_rect(pic, spatial)
         if r is None or r[2] <= r[0] or r[3] <= r[1]:
             return None
+        from ..api.units import Rect as _Rect
+        return self._quad_of_rect(spatial,
+                                  _Rect.from_bounds(r[0], r[1], r[2], r[3]))
+
+    def _quad_of_rect(self, spatial: int, rect):
+        if int(self.palette[spatial][11]) & 1:
+            return None  # non-invertible
+        if rect.x1 <= rect.x0 or rect.y1 <= rect.y0:
+            return None
         m = np.asarray(self.resolved[spatial].world.m,
                        np.float64).reshape(4, 4)
-        corners = np.array([[r[0], r[1], 0.0, 1.0],
-                            [r[2], r[1], 0.0, 1.0],
-                            [r[2], r[3], 0.0, 1.0],
-                            [r[0], r[3], 0.0, 1.0]], np.float64)
+        corners = np.array([[rect.x0, rect.y0, 0.0, 1.0],
+                            [rect.x1, rect.y0, 0.0, 1.0],
+                            [rect.x1, rect.y1, 0.0, 1.0],
+                            [rect.x0, rect.y1, 0.0, 1.0]], np.float64)
         dev = corners @ m
         w = dev[:, 3]
         if np.any(w <= 1e-6):

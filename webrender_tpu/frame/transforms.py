@@ -69,9 +69,19 @@ def forward_point(H: np.ndarray, x: float, y: float):
 
 
 def device_bounds_of_rect(H: np.ndarray, x0, y0, x1, y1):
-    """AABB in device space of a local rect under homography H."""
-    pts = [forward_point(H, x0, y0), forward_point(H, x1, y0),
-           forward_point(H, x0, y1), forward_point(H, x1, y1)]
+    """AABB in device space of a local rect under homography H.  A rect
+    crossing the w=0 plane projects to an UNBOUNDED region (its corners
+    flip through the horizon): return a huge bbox and let the caller's
+    viewport clamp bound it (split/near-plane.yaml)."""
+    ws = []
+    pts = []
+    for (px, py) in ((x0, y0), (x1, y0), (x0, y1), (x1, y1)):
+        p = np.array([px, py, 1.0]) @ H
+        ws.append(p[2])
+        w = p[2] if abs(p[2]) > 1e-9 else 1e-9
+        pts.append((p[0] / w, p[1] / w))
+    if min(ws) <= 1e-6 < max(ws):
+        return -1e7, -1e7, 1e7, 1e7
     xs = [p[0] for p in pts]
     ys = [p[1] for p in pts]
     return min(xs), min(ys), max(xs), max(ys)
@@ -92,8 +102,12 @@ def device_bounds_of_rects(H: np.ndarray, rects: np.ndarray) -> np.ndarray:
     corners[:, 3, 0] = rects[:, 2]
     corners[:, 3, 1] = rects[:, 3]
     p = corners @ H
-    w = p[..., 2]
-    w = np.where(np.abs(w) > 1e-9, w, 1e-9)
+    w_raw = p[..., 2]
+    w = np.where(np.abs(w_raw) > 1e-9, w_raw, 1e-9)
     xs = p[..., 0] / w
     ys = p[..., 1] / w
-    return np.stack([xs.min(1), ys.min(1), xs.max(1), ys.max(1)], axis=1)
+    out = np.stack([xs.min(1), ys.min(1), xs.max(1), ys.max(1)], axis=1)
+    # rects crossing w=0 project unbounded (see device_bounds_of_rect)
+    crossing = (w_raw.min(1) <= 1e-6) & (w_raw.max(1) > 1e-6)
+    out[crossing] = (-1e7, -1e7, 1e7, 1e7)
+    return out
