@@ -155,6 +155,11 @@ def main():
     backend = build_4k_scene()
     t0 = time.perf_counter()
     frame = backend.build_frame()
+    frame_build_cold_ms = (time.perf_counter() - t0) * 1000.0
+    # warm build: resources resident, caches primed (the steady-state
+    # host cost of a fully dynamic frame)
+    t0 = time.perf_counter()
+    frame = backend.build_frame()
     frame_build_ms = (time.perf_counter() - t0) * 1000.0
 
     # headline: FULL re-render throughput (no dirty-tile skipping — the
@@ -222,6 +227,7 @@ def main():
             "cached_frame_ms": round(cached_s * 1000.0, 3),
             "native_cpu_ms_per_frame": round(native_s * 1000.0, 1),
             "frame_build_ms": round(frame_build_ms, 1),
+            "frame_build_cold_ms": round(frame_build_cold_ms, 1),
             "raster_engine_mix": engine_mix,
             "passes": len(frame.passes),
             "instances": int(frame.instances.shape[0]),
