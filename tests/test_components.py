@@ -269,3 +269,62 @@ def test_per_pass_gpu_timers():
     assert "raster" in labels and "blur_h" in labels and "blur_v" in labels
     assert all(ms >= 0.0 for _, ms in backend.renderer.gpu_timers)
     assert (backend.renderer.profiler.get("gpu_time") or 0.0) > 0.0
+
+
+def test_print_tree_and_crash_annotator():
+    """print_tree.rs PrintTree + lib.rs CrashAnnotator plumbing."""
+    from webrender_tpu.api import (ColorF, CommonItemProperties,
+                                   DisplayListBuilder, Epoch, PipelineId,
+                                   Point2D, Rect, SpatialId, Transaction)
+    from webrender_tpu.api.crash_annotator import (CrashAnnotation,
+                                                   CrashAnnotator)
+    from webrender_tpu.api.display_item import FilterOp
+    from webrender_tpu.render_backend import RenderBackend
+    from webrender_tpu.util.print_tree import (PrintTree, print_scene,
+                                               print_spatial_tree)
+
+    pt = PrintTree("demo")
+    pt.new_level("root")
+    pt.add_item("leaf a")
+    pt.add_item("leaf b")
+    pt.end_level()
+    txt = pt.text()
+    assert "demo" in txt and "leaf a" in txt and "└─ leaf b" in txt
+
+    backend = RenderBackend((64, 64))
+    pid = PipelineId(0, 1)
+    b = DisplayListBuilder(pid)
+    b.begin()
+    root = SpatialId.root_scroll_node(pid)
+    common = CommonItemProperties(Rect(0, 0, 64, 64), root)
+    b.push_stacking_context(Point2D(0, 0), root,
+                            filters=[FilterOp.opacity(0.5)])
+    b.push_rect(common, Rect(0, 0, 32, 32), ColorF(1, 0, 0, 1))
+    b.pop_stacking_context()
+    _, dl = b.end()
+    txn = Transaction()
+    txn.set_root_pipeline(pid)
+    txn.set_display_list(Epoch(0), dl)
+    txn.generate_frame()
+    backend.send_transaction(txn)
+
+    events = []
+
+    class Annot(CrashAnnotator):
+        def set(self, annotation, value):
+            events.append(("set", annotation, value))
+
+        def clear(self, annotation):
+            events.append(("clear", annotation))
+
+    backend.renderer.crash_annotator = Annot()
+    backend.render_software()  # oracle path: no annotations expected
+    backend.render()
+    assert any(e[0] == "set" and e[1] == CrashAnnotation.DRAW_SHADER
+               for e in events)
+    assert any(e[0] == "clear" for e in events)
+
+    st = print_spatial_tree(backend.built_scene.spatial_tree)
+    assert "spatial tree" in st
+    sc = print_scene(backend.built_scene)
+    assert "picture" in sc and "RectanglePrim" in sc

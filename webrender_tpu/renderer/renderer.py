@@ -180,6 +180,8 @@ class Renderer:
         # DebugFlags bitmask (util/options.py); bit 0 = PROFILER_DBG
         self.debug_flags = 0
         self.profiler = None
+        # lib.rs set_crash_annotator role
+        self.crash_annotator = None
         # (pass label, device ms) samples of the last timed frame
         # (GpuProfiler.frames analog)
         self.gpu_timers: List[Tuple[str, float]] = []
@@ -451,6 +453,22 @@ class Renderer:
 
     def _run_raster(self, p: RenderPass, frame: Frame, f32_buf, instances,
                     transforms, framebuffer):
+        if self.crash_annotator is not None:
+            # bracket the dispatch so a crash report names the kernel
+            # variant in flight (lib.rs CrashAnnotatorGuard)
+            from ..api.crash_annotator import (CrashAnnotation,
+                                               CrashAnnotatorGuard)
+            kinds, blends = self._pass_dispatch_sets(p, frame)
+            with CrashAnnotatorGuard(
+                    self.crash_annotator, CrashAnnotation.DRAW_SHADER,
+                    f"raster kinds={kinds} blends={blends}"):
+                return self._run_raster_inner(p, frame, f32_buf, instances,
+                                              transforms, framebuffer)
+        return self._run_raster_inner(p, frame, f32_buf, instances,
+                                      transforms, framebuffer)
+
+    def _run_raster_inner(self, p: RenderPass, frame: Frame, f32_buf,
+                          instances, transforms, framebuffer):
         # picture-cache slice: persistent content-space tiles, composited
         # at the slice's current scroll offset (tile_cache.rs slices)
         if (self.picture_caching and p.target == TARGET_ROOT
