@@ -278,10 +278,14 @@ class Transform:
         """The SCREEN mapping is axis-aligned scale+translate (z outputs
         are irrelevant — util.rs preserves_2d_axis_alignment only inspects
         the 2D part, so a flattened rotate-x(45) still snaps:
-        transforms/rotate-clip.yaml)."""
+        transforms/rotate-clip.yaml).  Shear terms compare against
+        NEARLY_ZERO (util.rs:21, 1/4096) so composed exact rotations
+        (two 180s) keep their fp residue from disabling snapping
+        (text/rotate-snap-clip.yaml)."""
         m = self.m
+        eps = 1.0 / 4096.0
         return (m[3] == 0 and m[7] == 0
-                and m[1] == 0 and m[4] == 0)
+                and abs(m[1]) < eps and abs(m[4]) < eps)
 
     @property
     def is_2d(self) -> bool:

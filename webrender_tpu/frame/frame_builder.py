@@ -625,7 +625,8 @@ class FrameBuilder:
         for prim in batch:
             c = prim.common
             key = (c.spatial_node, c.clip_chain, c.clip_rect,
-                   prim.font_instance_key, c.backface_cull_spatial,
+                   prim.font_instance_key, prim.frame_offset,
+                   c.backface_cull_spatial,
                    c.is_backface_visible, c.containing_block)
             if groups and groups[-1][0] == key:
                 groups[-1][1].append(prim)
@@ -2651,20 +2652,30 @@ class FrameBuilder:
         run_cols = np.array([_premult(p_.color) for p_ in prims],
                             np.float32)
         col_g = np.repeat(run_cols, counts, axis=0)
-        # the accumulated frame translation snaps to whole device px
-        # BEFORE glyph layout (text_run.rs:321 snapped_reference_frame_
-        # relative_offset, util.rs snap = floor(v+0.5)): a fractional
-        # surface/frame offset then cannot shift glyph rasters
-        # (snap/fractional-filter.yaml)
-        tx_s = math.floor(tx_ + 0.5) if snap_dev else tx_
-        ty_s = math.floor(ty_ + 0.5) if snap_dev else ty_
-        v = gxs * sx_ + tx_s if snap_dev else gxs
+        # the accumulated frame offset — the stacking-context origins
+        # folded into the glyph coords plus the transform translation —
+        # snaps to whole device px BEFORE glyph layout (text_run.rs:321
+        # snapped_reference_frame_relative_offset, util.rs snap =
+        # floor(v+0.5)): fractional SC origins and fractional transforms
+        # then land glyphs identically (snap/fractional-filter.yaml,
+        # text/snap-text-offset.yaml)
+        fox, foy = prims[0].frame_offset
+        if snap_dev:
+            ox_s = math.floor(fox * sx_ + tx_ + 0.5)
+            oy_s = math.floor(foy * sy_ + ty_ + 0.5)
+        else:
+            ox_s = fox * sx_ + tx_
+            oy_s = foy * sy_ + ty_
+        v = (gxs - fox) * sx_ + ox_s if snap_dev else gxs
         if mono or not snap_dev:
             dev_x = np.round(v)
             off = np.zeros(G)
         else:
             base = np.floor(v)
-            o = _OFF8[((v - base) * 8.0).astype(np.int64) & 7]
+            # +1e-4 absorbs fp noise from composed transforms sitting just
+            # under an 8th boundary (rotate-snap-clip: two exact 180-deg
+            # rotations must quantize like the identity)
+            o = _OFF8[((v - base) * 8.0 + 1e-4).astype(np.int64) & 7]
             dev_x = np.where(o == 1.0, base + 1.0, base)
             off = np.where(o == 1.0, 0.0, o)
 
@@ -2694,7 +2705,8 @@ class FrameBuilder:
             # (glyph raster is grid-fitted; text/snap-text-offset.yaml);
             # the subpixel fraction lives in the bitmap raster
             pxg = (dev_x - tx_) / sx_ + left * inv64
-            pyg = (np.round(gys * sy_ + ty_s) - ty_) / sy_ - top * inv64
+            pyg = (np.round((gys - foy) * sy_ + oy_s) - ty_) / sy_ \
+                - top * inv64
         else:
             pxg = dev_x + left * inv64
             pyg = np.round(gys) - top * inv64

@@ -94,6 +94,28 @@ def _shift_bitmap(alpha: np.ndarray, shift: float) -> np.ndarray:
     return (pad[:, x0 + 1] * (1.0 - fr) + pad[:, x1] * fr).astype(np.float32)
 
 
+def _apply_font_flags(arr: np.ndarray, left: float, top: float, flags):
+    """TRANSPOSE/FLIP_X/FLIP_Y glyph transforms applied to the rasterized
+    bitmap + bearings (wr_glyph_rasterizer FontTransform swap_xy/flip_*;
+    bearing math mirrors platform/unix/font.rs:713-724).  `arr` is (h, w)
+    coverage or (h, w, 3) LCD channel masks; bearings are y-up
+    (left, top)."""
+    from ..api.font import FontInstanceFlags as F
+    h, w = arr.shape[:2]
+    if flags & F.TRANSPOSE:
+        # (x, y) -> (y, x): rot180 of the array transpose
+        arr = np.ascontiguousarray(np.swapaxes(arr, 0, 1)[::-1, ::-1])
+        left, top = top - h, left + w
+        h, w = w, h
+    if flags & F.FLIP_X:
+        arr = np.ascontiguousarray(arr[:, ::-1])
+        left = -(left + w)
+    if flags & F.FLIP_Y:
+        arr = np.ascontiguousarray(arr[::-1, :])
+        top = -(top - h)
+    return arr, float(left), float(top)
+
+
 def _to_premult_rgba_f32(desc: ImageDescriptor, data: ImageData,
                          crop=None) -> np.ndarray:
     """Convert template pixels to premultiplied RGBA float32 (h, w, 4);
@@ -712,6 +734,9 @@ class ResourceCache:
         bold = size / 16.0 if (options.flags &
                                FontInstanceFlags.SYNTHETIC_BOLD) else 0.0
         italics = options.synthetic_italics.angle_deg
+        ttf_flags = options.flags & (FontInstanceFlags.TRANSPOSE |
+                                     FontInstanceFlags.FLIP_X |
+                                     FontInstanceFlags.FLIP_Y)
         out = {}
         ids = sorted(set(glyph_indices))
         raster_cache = {}
@@ -736,7 +761,8 @@ class ResourceCache:
                 raster_cache[gi] = res
         for gi in ids:
             cache_key = (font_key.namespace, font_key.key, size, gi,
-                         mono, bold, italics, subpx, subpx_x)
+                         mono, bold, italics, subpx, subpx_x,
+                         int(ttf_flags))
             cached = self.glyphs.get(cache_key)
             if cached is None:
                 alpha, left, top, _adv = raster_cache.get(gi) or \
@@ -756,12 +782,18 @@ class ResourceCache:
                         try:
                             m3, l_, t_ = self.fonts.rasterize_lcd(
                                 font_key, size, gi, subpx_x)
+                            if ttf_flags:
+                                m3, l_, t_ = _apply_font_flags(
+                                    m3, l_, t_, ttf_flags)
                             masks = np.concatenate(
                                 [m3, m3.max(-1, keepdims=True)], -1)
                             left, top = l_, t_
                         except Exception:  # noqa: BLE001 — fall back
                             masks = None
                     if masks is None:
+                        if ttf_flags:
+                            alpha, left, top = _apply_font_flags(
+                                alpha, left, top, ttf_flags)
                         masks = _subpixel_masks(alpha, subpx_x)
                     h2, w2 = masks.shape[:2]
                     # 2-texel zero border: bilinear taps of the 1-texel-
@@ -776,6 +808,10 @@ class ResourceCache:
                     cached = CachedGlyph(region, left, top, w2, h2,
                                          subpixel=True)
                 else:
+                    if ttf_flags:
+                        alpha, left, top = _apply_font_flags(
+                            alpha, left, top, ttf_flags)
+                        h, w = alpha.shape
                     if subpx_x > 0.0 and not mono:
                         alpha = _shift_bitmap(alpha, subpx_x)
                         h, w = alpha.shape

@@ -83,6 +83,10 @@ class TextRunPrim:
     glyphs: Tuple[Tuple[int, float, float], ...]
     color: ColorF
     shadow: bool = False        # rendered as part of a shadow pass
+    # accumulated stacking-context origin folded into the glyph coords —
+    # the snappable part of text_run.rs reference_frame_relative_offset
+    # (SC origins in WR accumulate there, not into coordinates)
+    frame_offset: Tuple[float, float] = (0.0, 0.0)
 
 
 @dataclass

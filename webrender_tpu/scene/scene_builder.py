@@ -466,7 +466,8 @@ class SceneBuilder:
             glyphs = tuple((g, x + top.offset.x, y + top.offset.y)
                            for (g, x, y) in item.glyphs)
             return TextRunPrim(common, item.font_instance_key, glyphs,
-                               item.color)
+                               item.color,
+                               frame_offset=(top.offset.x, top.offset.y))
         if isinstance(item, ImageItem):
             common = self._common(item.common, ns, top, item.bounds)
             return ImagePrim(common, item.image_key,

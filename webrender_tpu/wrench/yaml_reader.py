@@ -920,6 +920,12 @@ class YamlFrameReader:
         flags = FontInstanceFlags.NONE
         if item.get("synthetic-bold"):
             flags |= FontInstanceFlags.SYNTHETIC_BOLD
+        if item.get("transpose"):
+            flags |= FontInstanceFlags.TRANSPOSE
+        if item.get("flip-x"):
+            flags |= FontInstanceFlags.FLIP_X
+        if item.get("flip-y"):
+            flags |= FontInstanceFlags.FLIP_Y
         si = item.get("synthetic-italics")
         italics_deg = 0.0
         if isinstance(si, bool) and si:
@@ -941,31 +947,41 @@ class YamlFrameReader:
             text = item["text"]
             origin = as_point(item["origin"])
             glyphs, rect = self._layout_simple_ascii(
-                font_key, fi_key, text, size, origin)
+                font_key, fi_key, text, size, origin, flags)
         dl.push_text(info, rect, glyphs, fi_key, color)
 
-    def _layout_simple_ascii(self, font_key, fi_key, text, size, origin):
-        """wrench.rs layout_simple_ascii:320 — metrics-driven pen advance."""
+    def _layout_simple_ascii(self, font_key, fi_key, text, size, origin,
+                             flags=FontInstanceFlags.NONE):
+        """wrench.rs layout_simple_ascii:320 — metrics-driven pen advance;
+        TRANSPOSE advances the pen along ±y, FLIP_X along -x (:344)."""
         ctx = self._font_ctx
         glyphs = []
         cursor_x, cursor_y = origin.x, origin.y
+        if flags & FontInstanceFlags.TRANSPOSE:
+            dir_x, dir_y = 0.0, (-1.0 if flags & FontInstanceFlags.FLIP_Y
+                                 else 1.0)
+        else:
+            dir_x, dir_y = ((-1.0 if flags & FontInstanceFlags.FLIP_X
+                             else 1.0), 0.0)
         bound = None
         for ch in text:
             gi = ctx.glyph_index(font_key, ch)
             if gi == 0:
-                cursor_x += size / 3.0
+                cursor_x += dir_x * size / 3.0
+                cursor_y += dir_y * size / 3.0
                 continue
             alpha, left, top, _adv = ctx.rasterize(font_key, size, gi)
             advance = ctx.linear_advance(font_key, size, gi)
-            if alpha.size == 0:
-                glyphs.append((gi, cursor_x, cursor_y))
-                cursor_x += advance if advance > 0 else size / 3.0
-                continue
+            if advance <= 0:
+                advance = size / 3.0
             glyphs.append((gi, cursor_x, cursor_y))
-            h, w = alpha.shape
-            r = Rect(cursor_x + left, cursor_y - top, w, h)
-            bound = r if bound is None else bound.union(r)
-            cursor_x += advance
+            if alpha.size:
+                h, w = alpha.shape
+                m = max(w, h) + 2
+                r = Rect(cursor_x - m, cursor_y - m, 2 * m, 2 * m)
+                bound = r if bound is None else bound.union(r)
+            cursor_x += dir_x * advance
+            cursor_y += dir_y * advance
         bound = (bound or Rect(origin.x, origin.y, 0, 0)).inflate(2, 2)
         return glyphs, bound
 
