@@ -328,3 +328,110 @@ def test_print_tree_and_crash_annotator():
     assert "spatial tree" in st
     sc = print_scene(backend.built_scene)
     assert "picture" in sc and "RectanglePrim" in sc
+
+
+def test_huge_image_resample_matches_direct():
+    """The device-resolution host resample of a huge image produces the
+    same pixels as full direct residency (image_tiling.rs role)."""
+    import numpy as np
+    from webrender_tpu.api import (CommonItemProperties, DisplayListBuilder,
+                                   Epoch, PipelineId, Rect, SpatialId,
+                                   Transaction)
+    from webrender_tpu.api.display_item import AlphaType, ImageRendering
+    from webrender_tpu.api.image import (ImageData, ImageDescriptor,
+                                         ImageFormat)
+    from webrender_tpu.render_backend import RenderBackend
+
+    rng = np.random.RandomState(11)
+    px = (rng.rand(600, 700, 4) * 255).astype(np.uint8)
+    px[..., 3] = 255
+
+    def render(limit):
+        backend = RenderBackend((256, 200))
+        backend.resources.MAX_DIRECT_DIM = limit
+        pid = PipelineId(0, 1)
+        b = DisplayListBuilder(pid)
+        b.begin()
+        root = SpatialId.root_scroll_node(pid)
+        common = CommonItemProperties(Rect(0, 0, 256, 200), root)
+        b.push_image(common, Rect(5, 3, 240, 190), ImageRendering.AUTO,
+                     AlphaType.PREMULTIPLIED_ALPHA, 5)
+        _, dl = b.end()
+        txn = Transaction()
+        txn.set_root_pipeline(pid)
+        txn.add_image(5, ImageDescriptor(ImageFormat.RGBA8, 700, 600),
+                      ImageData(pixels=px))
+        txn.set_display_list(Epoch(0), dl)
+        txn.generate_frame()
+        backend.send_transaction(txn)
+        return backend.render_software()
+
+    direct = render(2048)     # fully resident
+    resampled = render(256)   # forces the host pre-resample path
+    assert np.abs(direct.astype(int) - resampled.astype(int)).max() <= 1
+
+
+def test_near_plane_crossing_rect_bounds():
+    """A rect crossing w=0 projects unbounded: device bounds return the
+    huge box instead of sign-flipped garbage (split/near-plane)."""
+    import numpy as np
+    from webrender_tpu.frame.transforms import (device_bounds_of_rect,
+                                                device_bounds_of_rects)
+    # H maps y -> w: w = 1 - y/100 (row-vector form; crosses w=0 at y=100)
+    H = np.array([[1.0, 0.0, 0.0],
+                  [0.0, 1.0, -0.01],
+                  [0.0, 0.0, 1.0]])
+    bb = device_bounds_of_rect(H, 0, 0, 10, 200)
+    assert bb[0] <= -1e6 and bb[3] >= 1e6
+    bbs = device_bounds_of_rects(H, np.array([[0, 0, 10, 200],
+                                              [0, 0, 10, 50.0]]))
+    assert bbs[0, 2] >= 1e6          # crossing rect → unbounded
+    assert abs(bbs[1, 2]) < 1e4      # fully in front → finite
+
+
+def test_text_frame_offset_snapping_equivalence():
+    """text_run.rs snapped_reference_frame_relative_offset: a fractional
+    SC origin and an equal fractional translate land glyphs identically."""
+    import numpy as np
+    from webrender_tpu.api import (ColorF, CommonItemProperties,
+                                   DisplayListBuilder, Epoch, PipelineId,
+                                   Point2D, Rect, SpatialId, Transaction)
+    from webrender_tpu.api.font import (FontInstanceKey, FontInstanceOptions,
+                                        FontKey)
+    from webrender_tpu.api.units import Transform
+    from webrender_tpu.render_backend import RenderBackend
+
+    font_path = "/root/reference/wrench/reftests/text/FreeSans.ttf"
+
+    def render(sc_origin, translate):
+        backend = RenderBackend((200, 60))
+        pid = PipelineId(0, 1)
+        b = DisplayListBuilder(pid)
+        b.begin()
+        root = SpatialId.root_scroll_node(pid)
+        spatial = root
+        if translate:
+            spatial = b.push_reference_frame(
+                Point2D(0, 0), root, None,
+                Transform.translation(translate[0], translate[1]), None)
+        common = CommonItemProperties(Rect(0, 0, 200, 60), spatial)
+        b.push_stacking_context(Point2D(*sc_origin), spatial)
+        glyphs = [(40 + i, 10.0 + i * 14.0, 30.0) for i in range(6)]
+        b.push_text(common, Rect(0, 0, 200, 60), glyphs, 1,
+                    ColorF(0, 0, 0, 1))
+        b.pop_stacking_context()
+        _, dl = b.end()
+        txn = Transaction()
+        txn.set_root_pipeline(pid)
+        fk = FontKey(0, 1)
+        txn.add_native_font(fk, font_path)
+        txn.add_font_instance(FontInstanceKey(0, 1), fk, 20.0,
+                              FontInstanceOptions())
+        txn.set_display_list(Epoch(0), dl)
+        txn.generate_frame()
+        backend.send_transaction(txn)
+        return backend.render_software()
+
+    a = render((0.5, 0.5), None)
+    b_ = render((0.0, 0.0), (0.5, 0.5))
+    assert np.array_equal(a, b_)
