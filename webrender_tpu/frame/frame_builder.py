@@ -667,11 +667,16 @@ class FrameBuilder:
             tx, ty = H[2, 0], H[2, 1]
             if abs(sx) >= 1e-9 and abs(sy) >= 1e-9 and \
                     np.isfinite((sx, sy, tx, ty)).all():
+                # util.rs snap: floor(v + 0.5) half-up (see _snap_rect)
                 snapped = np.empty_like(rects)
-                snapped[:, 0] = (np.round(rects[:, 0] * sx + tx) - tx) / sx
-                snapped[:, 1] = (np.round(rects[:, 1] * sy + ty) - ty) / sy
-                snapped[:, 2] = (np.round(rects[:, 2] * sx + tx) - tx) / sx
-                snapped[:, 3] = (np.round(rects[:, 3] * sy + ty) - ty) / sy
+                snapped[:, 0] = (np.floor(rects[:, 0] * sx + tx + 0.5)
+                                 - tx) / sx
+                snapped[:, 1] = (np.floor(rects[:, 1] * sy + ty + 0.5)
+                                 - ty) / sy
+                snapped[:, 2] = (np.floor(rects[:, 2] * sx + tx + 0.5)
+                                 - tx) / sx
+                snapped[:, 3] = (np.floor(rects[:, 3] * sy + ty + 0.5)
+                                 - ty) / sy
                 rects = np.where(finite[:, None], snapped, rects)
         cov = np.empty_like(rects)
         cov[:, 0] = np.maximum(rects[:, 0], clips[:, 0])
@@ -2103,10 +2108,13 @@ class FrameBuilder:
         if not all(math.isfinite(v) for v in (rect.x0, rect.y0, rect.x1,
                                               rect.y1, sx, sy, tx, ty)):
             return rect
-        dx0 = round(rect.x0 * sx + tx)
-        dy0 = round(rect.y0 * sy + ty)
-        dx1 = round(rect.x1 * sx + tx)
-        dy1 = round(rect.y1 * sy + ty)
+        # util.rs snap: floor(v + 0.5) — half-up, matching GL's fill
+        # convention at exact-half edges (a rect ending at 26.5 covers
+        # pixel-center 26; banker's rounding would drop it — snap.yaml)
+        dx0 = math.floor(rect.x0 * sx + tx + 0.5)
+        dy0 = math.floor(rect.y0 * sy + ty + 0.5)
+        dx1 = math.floor(rect.x1 * sx + tx + 0.5)
+        dy1 = math.floor(rect.y1 * sy + ty + 0.5)
         return Rect.from_bounds((dx0 - tx) / sx, (dy0 - ty) / sy,
                                 (dx1 - tx) / sx, (dy1 - ty) / sy)
 
