@@ -120,6 +120,8 @@ inline float rounded_rect_coverage(const float* r, const float* radii,
   return cov;
 }
 
+// swgl fixed-point bilinear (swgl/src/texture.h textureLinearPlanarRGBA8 /
+// linearQuantize): 7-bit fractions, truncating int lerps, y then x.
 inline void sample_plane(const float* plane, int64_t H, int64_t W, float u,
                          float v, float u0, float v0, float u1, float v1,
                          bool nearest, float* out) {
@@ -131,17 +133,23 @@ inline void sample_plane(const float* plane, int64_t H, int64_t W, float u,
     u = std::floor(u) + 0.5f;
     v = std::floor(v) + 0.5f;
   }
-  float uf = u - 0.5f, vf = v - 0.5f;
-  float xf = std::floor(uf), yf = std::floor(vf);
-  float fx = uf - xf, fy = vf - yf;
-  int64_t x0 = std::min(std::max((int64_t)xf, (int64_t)0), W - 1);
-  int64_t y0 = std::min(std::max((int64_t)yf, (int64_t)0), H - 1);
+  int64_t qu = (int64_t)std::floor(u * 128.0f - 63.5f);
+  int64_t qv = (int64_t)std::floor(v * 128.0f - 63.5f);
+  int64_t ix = qu >> 7, iy = qv >> 7;
+  int fx = (int)(qu & 127), fy = (int)(qv & 127);
+  if (ix < 0) fx = 0;
+  if (ix > W - 2) fx = 128;
+  int64_t x0 = std::min(std::max(ix, (int64_t)0), W - 2);
+  int64_t y0 = std::min(std::max(iy, (int64_t)0), H - 1);
+  int64_t y1 = y0 + ((iy >= 0 && iy < H - 1) ? 1 : 0);
   int64_t x1 = std::min(x0 + 1, W - 1);
-  int64_t y1 = std::min(y0 + 1, H - 1);
-  float t00 = plane[y0 * W + x0], t10 = plane[y0 * W + x1];
-  float t01 = plane[y1 * W + x0], t11 = plane[y1 * W + x1];
-  *out = (t00 * (1 - fx) + t10 * fx) * (1 - fy) +
-         (t01 * (1 - fx) + t11 * fx) * fy;
+  int t00 = (int)std::floor(plane[y0 * W + x0] * 255.0f + 0.5f);
+  int t10 = (int)std::floor(plane[y0 * W + x1] * 255.0f + 0.5f);
+  int t01 = (int)std::floor(plane[y1 * W + x0] * 255.0f + 0.5f);
+  int t11 = (int)std::floor(plane[y1 * W + x1] * 255.0f + 0.5f);
+  int a = t00 + (((t01 - t00) * fy) >> 7);
+  int b = t10 + (((t11 - t10) * fy) >> 7);
+  *out = (float)(a + (((b - a) * fx) >> 7)) * (1.0f / 255.0f);
 }
 
 inline void sample_rgba(const Ctx& c, const float* atlas, int64_t H,
@@ -421,6 +429,210 @@ inline void premult_convert(float col[4], bool to_linear) {
   }
 }
 
+// swgl integer blend pipeline (swgl/src/blend.h): muldiv255 = (x*y+x)>>8,
+// blend cases on u8-domain premultiplied values.
+inline void blend_px(int op, const float src[4], float cov, float dst[4]);
+
+inline int mul255i(int x, int y) { return (x * y + x) >> 8; }
+
+inline void blend_case_int(int op, const int s[4], const int d[4], int o[4]) {
+  if (op == 1) {  // clear: GL_ZERO, ONE_MINUS_SRC_ALPHA
+    for (int i = 0; i < 4; i++) o[i] = d[i] - mul255i(d[i], s[3]);
+    return;
+  }
+  if (op == 7) {  // per-channel punch: GL_ZERO, ONE_MINUS_SRC_COLOR
+    for (int i = 0; i < 4; i++) o[i] = d[i] - mul255i(d[i], s[i]);
+    return;
+  }
+  if (op == 8) {  // additive
+    for (int i = 0; i < 4; i++) o[i] = s[i] + d[i];
+    return;
+  }
+  if (op < 16 || op - 16 == 0) {  // normal over
+    for (int i = 0; i < 4; i++) o[i] = s[i] + d[i] - mul255i(d[i], s[3]);
+    return;
+  }
+  int mode = op - 16;
+  if (mode == 16) {  // plus-lighter
+    for (int i = 0; i < 4; i++) o[i] = s[i] + d[i];
+    return;
+  }
+  int sA = s[3], dA = d[3];
+  switch (mode) {
+    case 1: {  // multiply
+      int diff[4];
+      for (int i = 0; i < 3; i++) diff[i] = mul255i(sA - s[i], dA - d[i]);
+      diff[3] = mul255i(sA, dA);
+      for (int i = 0; i < 3; i++) o[i] = s[i] + d[i] + diff[i] - diff[3];
+      o[3] = s[3] + d[3] - diff[3];
+      return;
+    }
+    case 2:  // screen
+      for (int i = 0; i < 4; i++) o[i] = s[i] + d[i] - mul255i(s[i], d[i]);
+      return;
+    case 3: case 8: {  // overlay / hard-light
+      for (int i = 0; i < 4; i++) {
+        int diff = mul255i(s[i], d[i]) + mul255i(sA - s[i], dA - d[i]);
+        int diffA = mul255i(s[3], d[3]) + mul255i(sA - s[3], dA - d[3]);
+        bool sel = (mode == 3) ? (d[i] * 2 <= dA) : (s[i] * 2 <= sA);
+        if (i == 3) o[i] = s[i] + d[i] - diffA;
+        else o[i] = s[i] + d[i] + (sel ? diff - diffA : -diff);
+      }
+      return;
+    }
+    case 4:  // darken
+      for (int i = 0; i < 4; i++)
+        o[i] = s[i] + d[i] -
+               std::max(mul255i(s[i], dA), mul255i(d[i], sA));
+      return;
+    case 5:  // lighten
+      for (int i = 0; i < 4; i++)
+        o[i] = s[i] + d[i] -
+               std::min(mul255i(s[i], dA), mul255i(d[i], sA));
+      return;
+    case 6: {  // color-dodge (FP, blend.h:587)
+      for (int i = 0; i < 4; i++) {
+        float recip = (sA - s[i]) != 0 ? 1.0f / (float)(sA - s[i]) : 255.0f;
+        float t = std::min((float)dA, (float)d[i] * (float)sA * recip);
+        if (i == 3) t = (float)d[3];
+        float v = ((float)sA * t + (float)s[i] * (255.0f - (float)dA) +
+                   (float)d[i] * (255.0f - (float)sA)) * (1.0f / 255.0f);
+        o[i] = (int)std::floor(v + 0.5f);
+      }
+      return;
+    }
+    case 7: {  // color-burn (FP, blend.h:601)
+      for (int i = 0; i < 4; i++) {
+        float recip = s[i] != 0 ? 1.0f / (float)s[i] : 255.0f;
+        float t = (float)dA -
+                  std::min((float)dA, (float)(dA - d[i]) * (float)sA * recip);
+        if (i == 3) t = (float)d[3];
+        float v = ((float)sA * t + (float)s[i] * (255.0f - (float)dA) +
+                   (float)d[i] * (255.0f - (float)sA)) * (1.0f / 255.0f);
+        o[i] = (int)std::floor(v + 0.5f);
+      }
+      return;
+    }
+    case 9: {  // soft-light (FP, blend.h:622)
+      for (int i = 0; i < 4; i++) {
+        float dU = dA > 0 ? (float)d[i] / (float)dA : 0.0f;
+        float scale = (float)(s[i] + s[i] - sA);
+        float inv_sqrt = dU > 0.0f ? 1.0f / std::sqrt(dU) : 1e6f;
+        float inner = scale < 0.0f
+                          ? 1.0f - dU
+                          : std::min((16.0f * dU - 12.0f) * dU + 3.0f,
+                                     inv_sqrt - 1.0f);
+        float add = (i == 3) ? 0.0f : scale * inner;
+        float v = ((float)d[i] * (255.0f + add) +
+                   (float)s[i] * (255.0f - (float)dA)) * (1.0f / 255.0f);
+        o[i] = (int)std::floor(v + 0.5f);
+      }
+      return;
+    }
+    case 10: {  // difference
+      for (int i = 0; i < 4; i++) {
+        int diff = std::min(mul255i(d[i], sA), mul255i(s[i], dA));
+        o[i] = s[i] + d[i] - diff - (i == 3 ? 0 : diff);
+      }
+      return;
+    }
+    case 11: {  // exclusion
+      for (int i = 0; i < 4; i++) {
+        int diff = mul255i(s[i], d[i]);
+        o[i] = s[i] + d[i] - diff - (i == 3 ? 0 : diff);
+      }
+      return;
+    }
+    default: {  // HSL modes 12-15 (FP at 0..255 scale, blend.h DO_HSL)
+      float srcA = (float)s[3] * (1.0f / 255.0f);
+      float dstA = (float)d[3] * (1.0f / 255.0f);
+      float srcDstA = (float)s[3] * dstA;
+      float srcC[3], dstC[3];
+      for (int i = 0; i < 3; i++) {
+        srcC[i] = (float)s[i] * dstA;
+        dstC[i] = (float)d[i] * srcA;
+      }
+      auto lum = [](const float c[3]) {
+        return 0.3f * c[0] + 0.59f * c[1] + 0.11f * c[2];
+      };
+      auto set_lum = [&](const float base[3], const float ref[3],
+                         float alpha, float out3[3]) {
+        float l0 = lum(base);
+        float diffl = lum(ref) - l0;
+        float c[3] = {base[0] + diffl, base[1] + diffl, base[2] + diffl};
+        float l = l0 + diffl;
+        float cmin = std::min(std::min(c[0], c[1]), c[2]);
+        float cmax = std::max(std::max(c[0], c[1]), c[2]);
+        if (cmin < 0.0f) {
+          float safe = std::fabs(l - cmin) > 1e-6f ? l - cmin : 1e-6f;
+          for (int i = 0; i < 3; i++) c[i] = l + (c[i] - l) * (l / safe);
+        }
+        cmax = std::max(std::max(c[0], c[1]), c[2]);
+        if (cmax > alpha) {
+          float safe = std::fabs(cmax - l) > 1e-6f ? cmax - l : 1e-6f;
+          for (int i = 0; i < 3; i++)
+            c[i] = l + (c[i] - l) * ((alpha - l) / safe);
+        }
+        for (int i = 0; i < 3; i++) out3[i] = c[i];
+      };
+      auto set_lum_sat = [&](const float base[3], const float sref[3],
+                             const float lref[3], float alpha,
+                             float out3[3]) {
+        float cmin = std::min(std::min(base[0], base[1]), base[2]);
+        float cmax = std::max(std::max(base[0], base[1]), base[2]);
+        float dd = cmax - cmin;
+        float smax = std::max(std::max(sref[0], sref[1]), sref[2]) -
+                     std::min(std::min(sref[0], sref[1]), sref[2]);
+        float scaled[3];
+        for (int i = 0; i < 3; i++)
+          scaled[i] = dd > 1e-6f ? (base[i] - cmin) * (smax / dd) : 0.0f;
+        set_lum(scaled, lref, alpha, out3);
+      };
+      float rgb[3];
+      if (mode == 12) set_lum_sat(srcC, dstC, dstC, srcDstA, rgb);
+      else if (mode == 13) set_lum_sat(dstC, srcC, dstC, srcDstA, rgb);
+      else if (mode == 14) set_lum(srcC, dstC, srcDstA, rgb);
+      else set_lum(dstC, srcC, srcDstA, rgb);
+      for (int i = 0; i < 3; i++) {
+        float v = rgb[i] + (float)s[i] - srcC[i] + (float)d[i] - dstC[i];
+        o[i] = (int)std::floor(v + 0.5f);
+      }
+      o[3] = (int)std::floor((float)s[3] + (float)d[3] - srcDstA + 0.5f);
+      return;
+    }
+  }
+}
+
+// the full swgl per-fragment compose (rasterize.h + blend.h): pack the
+// shader color (round-half-even like SSE2 cvtps), span-AA weight 0..256,
+// u8 clip-mask via muldiv255, integer blend case, saturate
+inline void compose_px(int op, const float color[4], float cov, int m8,
+                       float dst[4]) {
+  if (op >= 64 || (op >= 2 && op <= 6)) {
+    // SVGFE composite ops / linearRGB blends stay in the float domain
+    float src[4];
+    float mc = cov * ((float)m8 * (1.0f / 255.0f));
+    for (int i = 0; i < 4; i++) src[i] = color[i] * mc;
+    blend_px(op, src, cov, dst);
+    for (int i = 0; i < 4; i++)
+      dst[i] = clampf(std::nearbyintf(dst[i] * 255.0f), 0.f, 255.f) *
+               (1.0f / 255.0f);
+    return;
+  }
+  int s8[4], d8[4], o8[4];
+  int aa = (int)std::nearbyintf(clampf(cov, 0.f, 1.f) * 256.0f);
+  for (int i = 0; i < 4; i++) {
+    int sv = (int)clampf(std::nearbyintf(color[i] * 255.0f), 0.f, 255.f);
+    sv = (sv * aa) >> 8;
+    sv = (sv * m8 + sv) >> 8;
+    s8[i] = sv;
+    d8[i] = (int)std::floor(dst[i] * 255.0f + 0.5f);
+  }
+  blend_case_int(op, s8, d8, o8);
+  for (int i = 0; i < 4; i++)
+    dst[i] = clampf((float)o8[i], 0.f, 255.f) * (1.0f / 255.0f);
+}
+
 // full blend of premultiplied src over dst (blend.py blend_src_over_dst)
 inline void blend_px(int op, const float src[4], float cov, float dst[4]) {
   if (op >= 64) {  // +64 = blend in linearRGB (SVGFE _CONVERTSRGB)
@@ -541,8 +753,10 @@ int wr_raster_pass(
         inverse_map(tr, px, py, &lx, &ly);
         float cov = rect_coverage(p[4], p[5], p[6], p[7], lx, ly, sx, sy,
                                   edge_aa);
-        // clips
-        for (int j = 0; j < clip_count && cov > 0.f; j++) {
+        // clips: rect clips join the span geometry, everything else
+        // chains through the u8 clip mask (render_task.rs new_mask)
+        int m8 = 255;
+        for (int j = 0; j < clip_count; j++) {
           const float* cr = f32_buf + clip_addr + j * CLIP_STRIDE;
           const float* ct = transforms + (int)cr[13] * 12;
           float clx, cly;
@@ -565,16 +779,46 @@ int wr_raster_pass(
             sample_plane(c.color_atlas, c.ca_h, c.ca_w, mu, mv, cr[16],
                          cr[17], cr[18], cr[19], false, &a);
             ccov = a * rc;
-          } else {  // device-space convex polygon (preserve-3d fragments)
+          } else if (cr[14] < 3.5f) {  // device-space convex polygon
             ccov = 1.f;
             for (int e = 0; e < 8; e++) {
               float d = cr[24 + 3 * e] * px + cr[25 + 3 * e] * py +
                         cr[26 + 3 * e];
               ccov = std::min(ccov, clampf(d + 0.5f, 0.f, 1.f));
             }
+          } else {  // kind 4: box-shadow nine-patch (cs_clip_box_shadow)
+            float dw = std::max(cr[2] - cr[0], 1e-6f);
+            float dh = std::max(cr[3] - cr[1], 1e-6f);
+            float aw = std::max(cr[4], 1e-6f);
+            float ah = std::max(cr[5], 1e-6f);
+            float u_lin = cr[6] > 0.5f ? (clx - cr[0]) / aw
+                                       : (clx - cr[0]) / dw;
+            float v_lin = cr[7] > 0.5f ? (cly - cr[1]) / ah
+                                       : (cly - cr[1]) / dh;
+            float e0x = cr[6] > 0.5f ? 0.5f : 1.f;
+            float e1x = cr[6] > 0.5f ? dw / aw - 0.5f : 1.f;
+            float e0y = cr[7] > 0.5f ? 0.5f : 1.f;
+            float e1y = cr[7] > 0.5f ? dh / ah - 0.5f : 1.f;
+            float uu = clampf(u_lin, 0.f, e0x) + std::max(0.f, u_lin - e1x);
+            float vv = clampf(v_lin, 0.f, e0y) + std::max(0.f, v_lin - e1y);
+            float mu = cr[16] + uu * (cr[18] - cr[16]);
+            float mv = cr[17] + vv * (cr[19] - cr[17]);
+            float texel;
+            sample_plane(c.color_atlas, c.ca_h, c.ca_w, mu, mv, cr[16],
+                         cr[17], cr[18], cr[19], false, &texel);
+            float in_rect = rect_coverage(cr[0], cr[1], cr[2], cr[3], clx,
+                                          cly, csx, csy, 0xF);
+            float mode = cr[15];
+            float alpha = texel * (1.f - mode) + (1.f - texel) * mode;
+            ccov = mode * (1.f - in_rect) + alpha * in_rect;
           }
           if (cr[12] > 0.5f) ccov = 1.f - ccov;
-          cov *= ccov;
+          if (cr[14] < 0.5f && cr[12] < 0.5f) {
+            cov *= ccov;
+          } else {
+            int c8 = (int)std::nearbyintf(ccov * 255.0f);
+            m8 = (c8 * m8 + c8) >> 8;
+          }
         }
         if (cov <= 0.f) continue;
 
@@ -1003,13 +1247,11 @@ int wr_raster_pass(
           default:
             continue;
         }
-        float src[4];
-        for (int ch = 0; ch < 4; ch++) src[ch] = color[ch] * cov;
         float dst[4] = {target[0 * plane + y * tw + x],
                         target[1 * plane + y * tw + x],
                         target[2 * plane + y * tw + x],
                         target[3 * plane + y * tw + x]};
-        blend_px(blend_op, src, cov, dst);
+        compose_px(blend_op, color, cov, m8, dst);
         for (int ch = 0; ch < 4; ch++)
           target[ch * plane + y * tw + x] = dst[ch];
       }

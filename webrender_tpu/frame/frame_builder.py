@@ -91,6 +91,10 @@ class RenderPass:
     src_region: Tuple[int, int, int, int] = (0, 0, 0, 0)
     src_target: int = TARGET_SURFACE
     sigma: float = 0.0
+    # cs_blur.glsl blur_region: sampling clamps into [0.5, blur_region-0.5]
+    # of the source task (content beyond it reads the clamped edge); None
+    # means the full src_region
+    blur_region: Optional[Tuple[int, int]] = None
     lut: Optional[np.ndarray] = None      # [4, 256] channel LUT
     srgb_to_linear: bool = True           # PASS_SRGB direction
     src_region2: Tuple[int, int, int, int] = (0, 0, 0, 0)  # PASS_ARITH b
@@ -1533,23 +1537,38 @@ class FrameBuilder:
             blur_sx = min(blur_sx + pic.shadow.blur_radius * 0.5 * dev_sx, 100.0)
             blur_sy = min(blur_sy + pic.shadow.blur_radius * 0.5 * dev_sy, 100.0)
 
-        inflate = int(math.ceil(3.0 * max(blur_sx, blur_sy)))
+        # per-axis blur inflation (picture.rs get_coverage/get_rect:
+        # Filter::Blur inflates by clamped(σ_local).ceil() * 3 per axis)
+        lsx = blur_sx / dev_sx if dev_sx > 1e-6 else 0.0
+        lsy = blur_sy / dev_sy if dev_sy > 1e-6 else 0.0
+        infl_x = math.ceil(lsx) * 3.0 * dev_sx
+        infl_y = math.ceil(lsy) * 3.0 * dev_sy
+        # CSS drop-shadow(): σ = blur_radius, NOT halved — picture.rs
+        # :5976 passes the full radius to new_blur (the *0.5 at
+        # scene_building.rs:2923 is only for push_shadow text shadows);
+        # device σ per axis, clamped (picture.rs clamp_blur_radius)
+        shadow_params = []
         for sh in drop_shadows:
-            # CSS drop-shadow(): σ = blur_radius, NOT halved — picture.rs
-            # :5976 passes the full radius to new_blur (the *0.5 at
-            # scene_building.rs:2923 is only for push_shadow text shadows)
-            inflate += int(math.ceil(
-                3.0 * min(sh.blur_radius * max(dev_sx, dev_sy), 100.0)
-                + max(abs(sh.offset.x * dev_sx), abs(sh.offset.y * dev_sy))))
+            sdx = min(sh.blur_radius * dev_sx, 100.0)
+            sdy = min(sh.blur_radius * dev_sy, 100.0)
+            odx, ody = self._dev_vec(pic.common.spatial_node,
+                                     sh.offset.x, sh.offset.y)
+            shadow_params.append((sdx, sdy, odx, ody))
+        svgfe_inflate = 0.0
         for f in svgfe_ops:
             # offset/blur/shadow nodes pull offscreen source pixels into
             # view: keep that margin of the source rendered
             # (svgfe-dropshadow-offscreen-source)
             node = f.svgfe
-            inflate += int(math.ceil(
+            svgfe_inflate += math.ceil(
                 3.0 * min(max(node["std_x"], node["std_y"])
                           * max(dev_sx, dev_sy), 100.0)
-                + max(abs(node["dx"] * dev_sx), abs(node["dy"] * dev_sy))))
+                + max(abs(node["dx"] * dev_sx), abs(node["dy"] * dev_sy)))
+        inflate = int(math.ceil(max(infl_x, infl_y)
+                                + sum(3.0 * max(sdx, sdy) +
+                                      max(abs(ox), abs(oy))
+                                      for sdx, sdy, ox, oy in shadow_params)
+                                + svgfe_inflate))
 
         bbox = None
         for i in child_insts:
@@ -1584,21 +1603,88 @@ class FrameBuilder:
             self._rctx = None  # composite-level clips are device-space
         clip_addr, clip_count, clip_bbox = self._serialize_clips(
             pic.common.clip_chain, pic.common.spatial_node)
-        if clip_bbox is not None and not use_ctx:
-            bbox = (max(bbox[0], clip_bbox[0] - inflate),
-                    max(bbox[1], clip_bbox[1] - inflate),
-                    min(bbox[2], clip_bbox[2] + inflate),
-                    min(bbox[3], clip_bbox[3] + inflate))
-        if not use_ctx:
-            vp = self.viewport.inflate(inflate + 2, inflate + 2)
-            bbox = (max(bbox[0], vp.x0), max(bbox[1], vp.y0),
-                    min(bbox[2], vp.x1), min(bbox[3], vp.y1))
-        if bbox[2] <= bbox[0] or bbox[3] <= bbox[1]:
-            return
-        x0 = math.floor(bbox[0]) - inflate
-        y0 = math.floor(bbox[1]) - inflate
-        sw = int(math.ceil(bbox[2]) - x0) + inflate
-        sh_ = int(math.ceil(bbox[3]) - y0) + inflate
+        blur_task = (blur_sx > 0 or blur_sy > 0 or shadow_params) \
+            and not svgfe_ops and not use_ctx
+        if blur_task:
+            # get_surface_rects (picture.rs:7686) rect algebra, device
+            # space (axis-aligned surfaces; dev scale folded into σ):
+            #   A = unclipped = content.inflate(ceil(σ)*3) ∪ shadow extents
+            #   B = A ∩ clip
+            #   C = clipped = (B re-inflated / shadow-required) ∩ A
+            ax0, ay0 = bbox[0] - infl_x, bbox[1] - infl_y
+            ax1, ay1 = bbox[2] + infl_x, bbox[3] + infl_y
+            for sdx, sdy, odx, ody in shadow_params:
+                ax0 = min(ax0, bbox[0] + odx - 3.0 * sdx)
+                ay0 = min(ay0, bbox[1] + ody - 3.0 * sdy)
+                ax1 = max(ax1, bbox[2] + odx + 3.0 * sdx)
+                ay1 = max(ay1, bbox[3] + ody + 3.0 * sdy)
+            kx0, ky0 = self.viewport.x0, self.viewport.y0
+            kx1, ky1 = self.viewport.x1, self.viewport.y1
+            if clip_bbox is not None:
+                kx0, ky0 = max(kx0, clip_bbox[0]), max(ky0, clip_bbox[1])
+                kx1, ky1 = min(kx1, clip_bbox[2]), min(ky1, clip_bbox[3])
+            bx0, by0 = max(ax0, kx0), max(ay0, ky0)
+            bx1, by1 = min(ax1, kx1), min(ay1, ky1)
+            if bx1 <= bx0 or by1 <= by0:
+                for r in self._region_scopes.pop():
+                    self.surface_atlas.free(r)
+                return
+            if shadow_params:
+                # DropShadows branch of get_surface_rects: required =
+                # (prim ∩ clip) ∪ per-shadow back-translated inflated clips
+                cx0 = max(bbox[0], kx0)
+                cy0 = max(bbox[1], ky0)
+                cx1 = min(bbox[2], kx1)
+                cy1 = min(bbox[3], ky1)
+                for sdx, sdy, odx, ody in shadow_params:
+                    ix = 3.0 * sdx
+                    iy = 3.0 * sdy
+                    r1x0 = max(bbox[0] + odx - ix, kx0)
+                    r1y0 = max(bbox[1] + ody - iy, ky0)
+                    r1x1 = min(bbox[2] + odx + ix, kx1)
+                    r1y1 = min(bbox[3] + ody + iy, ky1)
+                    if r1x1 <= r1x0 or r1y1 <= r1y0:
+                        continue
+                    cx0 = min(cx0, r1x0 - ix - odx)
+                    cy0 = min(cy0, r1y0 - iy - ody)
+                    cx1 = max(cx1, r1x1 + ix - odx)
+                    cy1 = max(cy1, r1y1 + iy - ody)
+                if blur_sx > 0 or blur_sy > 0:
+                    cx0 = min(cx0, bx0 - infl_x)
+                    cy0 = min(cy0, by0 - infl_y)
+                    cx1 = max(cx1, bx1 + infl_x)
+                    cy1 = max(cy1, by1 + infl_y)
+            else:
+                cx0, cy0 = bx0 - infl_x, by0 - infl_y
+                cx1, cy1 = bx1 + infl_x, by1 + infl_y
+            cx0, cy0 = max(cx0, ax0), max(cy0, ay0)
+            cx1, cy1 = min(cx1, ax1), min(cy1, ay1)
+            if cx1 <= cx0 or cy1 <= cy0:
+                for r in self._region_scopes.pop():
+                    self.surface_atlas.free(r)
+                return
+            x0 = math.floor(cx0)
+            y0 = math.floor(cy0)
+            sw = int(math.ceil(cx1) - x0)
+            sh_ = int(math.ceil(cy1) - y0)
+        else:
+            if clip_bbox is not None and not use_ctx:
+                bbox = (max(bbox[0], clip_bbox[0] - inflate),
+                        max(bbox[1], clip_bbox[1] - inflate),
+                        min(bbox[2], clip_bbox[2] + inflate),
+                        min(bbox[3], clip_bbox[3] + inflate))
+            if not use_ctx:
+                vp = self.viewport.inflate(inflate + 2, inflate + 2)
+                bbox = (max(bbox[0], vp.x0), max(bbox[1], vp.y0),
+                        min(bbox[2], vp.x1), min(bbox[3], vp.y1))
+            if bbox[2] <= bbox[0] or bbox[3] <= bbox[1]:
+                for r in self._region_scopes.pop():
+                    self.surface_atlas.free(r)
+                return
+            x0 = math.floor(bbox[0]) - inflate
+            y0 = math.floor(bbox[1]) - inflate
+            sw = int(math.ceil(bbox[2]) - x0) + inflate
+            sh_ = int(math.ceil(bbox[3]) - y0) + inflate
 
         # axis-aligned oversized surfaces: raster the device region at a
         # reduced resolution and upsample at composite (MAX_SURFACE_SIZE)
@@ -1611,10 +1697,18 @@ class FrameBuilder:
             dsize = max(sw, sh_)
             if dsize > 4096:
                 step = 2 ** int(math.ceil(math.log2(dsize / 4096.0)))
-        rw = int(math.ceil(sw / step))
-        rh = int(math.ceil(sh_ / step))
+        # blur sources render at a size adjusted so every downscale pass
+        # samples an even multiple (render_task.rs adjusted_blur_source_size
+        # — picture.rs:5890 Filter::Blur task sizing)
+        tw, th = sw, sh_
+        if blur_task and (blur_sx > 0 or blur_sy > 0):
+            tw, th = self.adjusted_blur_source_size(sw, sh_,
+                                                    blur_sx, blur_sy)
+        rw = int(math.ceil(tw / step))
+        rh = int(math.ceil(th / step))
         region = self.surface_atlas.alloc(rw, rh)
         assert region is not None, "surface atlas full"
+        region = AtlasRegion(region.x, region.y, rw, rh)
         # content size (the atlas allocator rounds regions up to its
         # alignment; compositing must hug the content or filters would
         # process the transparent padding)
@@ -1675,22 +1769,24 @@ class FrameBuilder:
             content_region = AtlasRegion(dst.x, dst.y, region.w, region.h)
         if blur_sx > 0 or blur_sy > 0:
             content_region, content_scale = self._push_blur(
-                content_region, blur_sx, blur_sy)
+                content_region, blur_sx, blur_sy,
+                blur_w=cw if blur_task else None,
+                blur_h=ch if blur_task else None)
 
-        # drop shadows: blurred+tinted copies behind the content
-        for sh in drop_shadows:
-            # picture.rs clamp_blur_radius: MAX_BLUR_RADIUS = 100
-            sigma = min(sh.blur_radius * dev_sx, 100.0)
-            if sigma > 0:
-                shadow_region, shadow_scale = self._push_blur(region, sigma,
-                                                              sigma)
+        # drop shadows: blurred+tinted copies behind the content; identical
+        # σ chains share tasks (render_task.rs BlurTaskCache at
+        # picture.rs:5966)
+        blur_cache: Dict = {}
+        for (sh, (sdx, sdy, odx, ody)) in zip(drop_shadows, shadow_params):
+            if sdx > 0 or sdy > 0:
+                shadow_region, shadow_scale = self._push_blur(
+                    region, sdx, sdy, blur_w=cw, blur_h=ch,
+                    cache=blur_cache)
             else:
                 shadow_region, shadow_scale = region, 1
             m = np.zeros((4, 5), np.float32)
             m[0, 4], m[1, 4], m[2, 4] = sh.color.r, sh.color.g, sh.color.b
             m[3, 3] = sh.color.a
-            odx, ody = self._dev_vec(pic.common.spatial_node,
-                                     sh.offset.x, sh.offset.y)
             self._emit_composite(shadow_region,
                                  (x0 + odx, y0 + ody),
                                  (cw, ch), pic, 1.0, m,
@@ -2024,43 +2120,96 @@ class FrameBuilder:
             final = srgb_pass(final, to_linear=False)
         return final
 
-    def _push_blur(self, src: AtlasRegion, sx: float, sy: float
+    @staticmethod
+    def adjusted_blur_source_size(w: int, h: int, sx: float, sy: float
+                                  ) -> Tuple[int, int]:
+        """`render_task.rs:264` BlurTask::adjusted_blur_source_size —
+        inflate the blur source so each downscale pass samples a multiple
+        of two."""
+        adj_w, adj_h = float(w), float(h)
+        scale = 1.0
+        stdw, stdh = sx, sy
+        while stdw > MAX_BLUR_SIGMA and stdh > MAX_BLUR_SIGMA:
+            if adj_w < MIN_DOWNSCALING_RT_SIZE or \
+                    adj_h < MIN_DOWNSCALING_RT_SIZE:
+                break
+            stdw *= 0.5
+            stdh *= 0.5
+            scale *= 2.0
+            adj_w = math.ceil(w / scale)
+            adj_h = math.ceil(h / scale)
+        return int(round(adj_w * scale)), int(round(adj_h * scale))
+
+    def _push_blur(self, src: AtlasRegion, sx: float, sy: float,
+                   blur_w: Optional[int] = None,
+                   blur_h: Optional[int] = None,
+                   cache: Optional[Dict] = None
                    ) -> Tuple[AtlasRegion, int]:
-        """Separable blur: optional downscale chain for large radii
-        (`render_task.rs` MAX_BLUR_STD_DEVIATION + cs_scale), then an H pass
-        into a temp region and a V pass into the final region.
-        Returns (region, scale): the result is 1/scale the source size."""
+        """`render_task.rs:1168` RenderTask::new_blur — downscale chain
+        while BOTH std devs exceed 4.0 (cs_scale bilinear passes with
+        truncated target sizes), then a VERTICAL blur followed by a
+        HORIZONTAL blur, each sampling clamped into the blur region
+        (cs_blur.glsl vUvRect).  `blur_w/h` is the content (clipped) size
+        within the task; `cache` de-dupes chains shared between drop
+        shadows (BlurTaskCache).  Returns (region, scale): the result is
+        1/scale the source size."""
+        task_w, task_h = src.w, src.h
+        if blur_w is None:
+            blur_w, blur_h = task_w, task_h
         scale = 1
         cur = src
-        while min(sx, sy) / scale > MAX_BLUR_SIGMA and \
-                cur.w >= MIN_DOWNSCALING_RT_SIZE and \
-                cur.h >= MIN_DOWNSCALING_RT_SIZE:
-            hw = max(int(src.w / (scale * 2)), 1)
-            hh = max(int(src.h / (scale * 2)), 1)
-            half = self.surface_atlas.alloc(hw, hh)
+        cw, ch = task_w, task_h
+        asx, asy = sx, sy
+        n_down = 0
+        while asx > MAX_BLUR_SIGMA and asy > MAX_BLUR_SIGMA:
+            if cw < MIN_DOWNSCALING_RT_SIZE or ch < MIN_DOWNSCALING_RT_SIZE:
+                break
+            asx *= 0.5
+            asy *= 0.5
+            scale *= 2
+            n_down += 1
+            nw = max(1, int(task_w / scale))   # to_i32 truncation
+            nh = max(1, int(task_h / scale))
+            if cache is not None and ("down", n_down) in cache:
+                cur = cache[("down", n_down)]
+                cw, ch = cur.w, cur.h
+                continue
+            half = self.surface_atlas.alloc(nw, nh)
             assert half is not None, "surface atlas full (downscale)"
             self.passes.append(RenderPass(
-                PASS_DOWNSCALE, TARGET_SURFACE, (half.x, half.y, hw, hh),
-                src_region=(cur.x, cur.y, cur.w, cur.h)))
-            if scale > 1:
+                PASS_DOWNSCALE, TARGET_SURFACE, (half.x, half.y, nw, nh),
+                src_region=(cur.x, cur.y, cw, ch)))
+            if cur is not src and cache is None:
                 self.surface_atlas.free(cur)  # chain intermediate, read once
-            cur = AtlasRegion(half.x, half.y, hw, hh)
-            scale *= 2
-        tmp = self.surface_atlas.alloc(cur.w, cur.h)
-        dst = self.surface_atlas.alloc(cur.w, cur.h)
+            cur = AtlasRegion(half.x, half.y, nw, nh)
+            cw, ch = nw, nh
+            if cache is not None:
+                cache[("down", n_down)] = cur
+        bw = max(1, blur_w // scale)
+        bh = max(1, blur_h // scale)
+        blur_key = ("blur", n_down, round(asx * 1024), round(asy * 1024))
+        if cache is not None and blur_key in cache:
+            return cache[blur_key], scale
+        tmp = self.surface_atlas.alloc(cw, ch)
+        dst = self.surface_atlas.alloc(cw, ch)
         assert tmp is not None and dst is not None, "surface atlas full (blur)"
         self.passes.append(RenderPass(
-            PASS_BLUR_H, TARGET_SURFACE,
-            (tmp.x, tmp.y, cur.w, cur.h),
-            src_region=(cur.x, cur.y, cur.w, cur.h), sigma=sx / scale))
-        self.passes.append(RenderPass(
             PASS_BLUR_V, TARGET_SURFACE,
-            (dst.x, dst.y, cur.w, cur.h),
-            src_region=(tmp.x, tmp.y, cur.w, cur.h), sigma=sy / scale))
-        if scale > 1:
+            (tmp.x, tmp.y, cw, ch),
+            src_region=(cur.x, cur.y, cw, ch), sigma=asy,
+            blur_region=(bw, bh)))
+        self.passes.append(RenderPass(
+            PASS_BLUR_H, TARGET_SURFACE,
+            (dst.x, dst.y, cw, ch),
+            src_region=(tmp.x, tmp.y, cw, ch), sigma=asx,
+            blur_region=(bw, bh)))
+        if cur is not src and cache is None:
             self.surface_atlas.free(cur)  # last downscale level, read once
         self.surface_atlas.free(tmp)
-        return AtlasRegion(dst.x, dst.y, cur.w, cur.h), scale
+        out = AtlasRegion(dst.x, dst.y, cw, ch)
+        if cache is not None:
+            cache[blur_key] = out
+        return out, scale
 
     def _emit_composite(self, region: AtlasRegion, origin: Tuple[float, float],
                         size: Tuple[int, int], pic: PicturePrim,
@@ -2121,16 +2270,20 @@ class FrameBuilder:
     # ------------------------------------------------------------------
     # clips
     # ------------------------------------------------------------------
-    def _serialize_clips(self, chain: Tuple[int, ...], prim_spatial: int
+    def _serialize_clips(self, chain: Tuple[int, ...], prim_spatial: int,
+                         extra_records: Optional[List[List[float]]] = None
                          ) -> Tuple[int, int, Optional[Tuple]]:
         """Write clip records; returns (addr, count, device clip AABB).
+        `extra_records` appends pre-built records (box-shadow nine-patch
+        masks) after the chain's — those combinations are per-prim, so
+        they bypass the chain cache.
 
         Note: scroll frames do NOT implicitly clip their content — the
         embedder defines explicit clips (wrench's `clip-to-frame` creates a
         rect clip; Gecko emits its own clip nodes)."""
         poly = self._poly_clip
         key = (chain, prim_spatial, poly, self._rctx)
-        cached = self._clip_cache.get(key)
+        cached = None if extra_records else self._clip_cache.get(key)
         if cached is not None:
             return cached
         nodes = [self.scene.clip_store.nodes[i] for i in chain]
@@ -2211,6 +2364,10 @@ class FrameBuilder:
                 bbox = db if bbox is None else (
                     max(bbox[0], db[0]), max(bbox[1], db[1]),
                     min(bbox[2], db[2]), min(bbox[3], db[3]))
+        if extra_records:
+            for rec in extra_records:
+                records.append(rec)
+                count += 1
         flat: List[float] = []
         for rec in records:
             flat.extend(rec)
@@ -2229,7 +2386,8 @@ class FrameBuilder:
             meta.append((node.spatial_node, node.kind, node.mode, db))
         self._clip_meta[addr] = (tuple(meta), poly is not None)
         result = (addr, count, bbox)
-        self._clip_cache[key] = result
+        if not extra_records:
+            self._clip_cache[key] = result
         return result
 
     def _polygon_clip_record(self, poly) -> Optional[List[float]]:
@@ -2336,6 +2494,7 @@ class FrameBuilder:
     # --- helpers -----------------------------------------------------------
     def _emit_common(self, c: PrimCommon, axis_aligned: bool,
                      pattern_rect: Rect, draw_rect: Rect, snap: bool = True,
+                     extra_clips: Optional[List[List[float]]] = None,
                      ) -> Optional[Tuple[List[float], int, int, int, Tuple]]:
         """Shared geometry prep: coverage rect, edge AA mask, clips, culling.
         Returns (payload_prefix, edge_aa, clip_addr, clip_count, bbox)."""
@@ -2362,7 +2521,7 @@ class FrameBuilder:
         else:
             edge_aa = 0xF
         clip_addr, clip_count, clip_bbox = self._serialize_clips(
-            c.clip_chain, c.spatial_node)
+            c.clip_chain, c.spatial_node, extra_records=extra_clips)
         db = device_bounds_of_rect(self._H(c.spatial_node),
                                    cov.x0, cov.y0, cov.x1, cov.y1)
         # tight bbox: AA spill (±1) is added at binning / span evaluation,
@@ -2802,13 +2961,266 @@ class FrameBuilder:
         self.metas.push_block(db[keep].astype(np.float32))
         out.extend(idxs.tolist())
 
+    @staticmethod
+    def _clamp_to_scale_factor(val: float) -> float:
+        """util.rs:1526 clamp_to_scale_factor(val, round_down=false):
+        clamp a scale to a power of two."""
+        val = abs(val)
+        if val < 1e-9:
+            return 1.0
+        inverse = val < 1.0
+        v = 1.0 / val if inverse else val
+        power = math.log2(v)
+        if abs(power - round(power)) < 1e-5:
+            power = round(power)
+        elif inverse:
+            power = math.floor(power)
+        else:
+            power = math.ceil(power)
+        scale = 2.0 ** power
+        return 1.0 / scale if inverse else scale
+
+    @staticmethod
+    def _corner_overlap_clamp(radii: List[float], w: float, h: float
+                              ) -> List[float]:
+        """border.rs ensure_no_corner_overlap: scale radii so adjacent
+        corner ellipses never overlap."""
+        ratio = 1.0
+        if w > 0:
+            for s_ in (radii[0] + radii[2], radii[6] + radii[4]):
+                if s_ > w:
+                    ratio = min(ratio, w / s_)
+        if h > 0:
+            for s_ in (radii[1] + radii[7], radii[3] + radii[5]):
+                if s_ > h:
+                    ratio = min(ratio, h / s_)
+        return [v * ratio for v in radii] if ratio < 1.0 else radii
+
+    def _prepare_box_shadow_task(self, prim: BoxShadowPrim, c: PrimCommon,
+                                 blur_radius: float, shadow_rect: Rect,
+                                 shadow_radii: List[float],
+                                 radii: List[float],
+                                 out: List[int], down: float = 1.0,
+                                 orig_alloc=None) -> None:
+        """Task-based box shadow for blur_radius > 0: a solid rect clipped
+        by (a) the rounded prim box and (b) a nine-patch-stretched cached
+        blurred rounded-rect mask — the reference pipeline exactly
+        (box_shadow.rs add_box_shadow normal path, clip.rs
+        compute_box_shadow_parameters:1765, render_task.rs new_mask:652,
+        cs_clip_box_shadow.glsl)."""
+        outset = prim.clip_mode == BoxShadowClipMode.OUTSET
+        blur_offset = math.ceil(3.0 * blur_radius)  # BLUR_SAMPLE_SCALE
+        dest_rect = shadow_rect.inflate(blur_offset, blur_offset)
+        if outset:
+            if shadow_rect.w <= 0 or shadow_rect.h <= 0:
+                return
+            draw_rect = dest_rect
+        else:
+            # inset fully-covered early-out (box_shadow.rs:530)
+            if all(v == 0.0 for v in radii):
+                inner = shadow_rect.inflate(-blur_radius, -blur_radius)
+                bb = prim.box_bounds
+                if inner.x0 <= bb.x0 and inner.y0 <= bb.y0 and \
+                        inner.x1 >= bb.x1 and inner.y1 >= bb.y1:
+                    return
+            draw_rect = prim.box_bounds
+        # compute_box_shadow_parameters (clip.rs:1765, local units; at
+        # `down` < 1 every geometric input is pre-scaled — the
+        # new_box_shadow MAX_SIZE=2048 reduced-resolution path)
+        sw_ = shadow_rect.w * down
+        sh2 = shadow_rect.h * down
+        sradii = self._corner_overlap_clamp(
+            [v * down for v in shadow_radii], sw_, sh2)
+        br_d = blur_radius * down
+        # fract offsets come from the UNSCALED rect, then scale
+        # (clip.rs new_box_shadow: shadow_rect_fract_offset * downscale)
+        fract_x = abs(shadow_rect.x0 - math.trunc(shadow_rect.x0)) * down
+        fract_y = abs(shadow_rect.y0 - math.trunc(shadow_rect.y0)) * down
+        fract_w = abs(sw_ - math.trunc(sw_))
+        fract_h = abs(sh2 - math.trunc(sh2))
+        max_cw = max(sradii[0], sradii[2], sradii[4], sradii[6])
+        max_ch = max(sradii[1], sradii[3], sradii[5], sradii[7])
+        blur_region = math.ceil(3.0 * br_d)
+        used_cw = max(max_cw, blur_region)
+        used_ch = max(max_ch, blur_region)
+        min_w = 2.0 * used_cw + blur_region + fract_w
+        min_h = 2.0 * used_ch + blur_region + fract_h
+        min_x = blur_region + fract_x
+        min_y = blur_region + fract_y
+        stretch_x = 1.0
+        if sw_ < min_w:
+            min_w = sw_
+            stretch_x = 0.0  # Simple
+        stretch_y = 1.0
+        if sh2 < min_h:
+            min_h = sh2
+            stretch_y = 0.0
+        alloc_w = 2.0 * blur_region + math.ceil(min_w)
+        alloc_h = 2.0 * blur_region + math.ceil(min_h)
+        # clip.rs new_box_shadow MAX_SIZE=2048: recompute at reduced scale
+        max_dim = max(alloc_w, alloc_h)
+        if down == 1.0 and max_dim > 2048.0:
+            return self._prepare_box_shadow_task(
+                prim, c, blur_radius, shadow_rect, shadow_radii, radii,
+                out, down=2048.0 / max_dim,
+                orig_alloc=(alloc_w, alloc_h))
+        cs = self._clamp_to_scale_factor(self.dpr)
+        # rust .round() = half away from zero (not Python's half-even)
+        cache_w = max(1, int(math.floor(alloc_w * cs + 0.5)))
+        cache_h = max(1, int(math.floor(alloc_h * cs + 0.5)))
+        sigma_i = int(math.floor(br_d * 0.5 * cs + 0.5))
+        bs_key = ("bs_mask", sigma_i, outset, cache_w, cache_h,
+                  round(min_x * cs * 16), round(min_y * cs * 16),
+                  round(min_w * cs * 16), round(min_h * cs * 16),
+                  tuple(round(v * cs * 16) for v in sradii))
+        mask_rect = (min_x, min_y, min_x + min_w, min_y + min_h)
+        render = self._render_box_shadow_mask(
+            mask_rect, sradii, float(sigma_i), cache_w, cache_h, cs)
+        # the stored mask is at the blur chain's downscaled resolution
+        # (new_blur's scale factor) — compute the final dims up front
+        sig_f = float(sigma_i)
+        dscale = 1
+        fin_w, fin_h = cache_w, cache_h
+        while sig_f > MAX_BLUR_SIGMA:
+            if fin_w < MIN_DOWNSCALING_RT_SIZE or \
+                    fin_h < MIN_DOWNSCALING_RT_SIZE:
+                break
+            sig_f *= 0.5
+            dscale *= 2
+            fin_w = max(1, cache_w // dscale)
+            fin_h = max(1, cache_h // dscale)
+        key = self.resources.get_or_render_source(bs_key, fin_w, fin_h,
+                                                  render)
+        req = self.resources.request_image(key)
+        if req is None:
+            return
+        reg, desc = req
+        # extra clip records: rounded prim box (out for outset, in for
+        # inset) + the nine-patch mask clip (kind 4)
+        row = float(self._row(c.spatial_node))
+        pal = [float(v) for v in self._pal(c.spatial_node)]
+        rec_a = [0.0] * CLIP_STRIDE
+        rec_a[96:108] = pal
+        bb = prim.box_bounds
+        rec_a[0:4] = [bb.x0, bb.y0, bb.x1, bb.y1]
+        rec_a[4:12] = self._corner_overlap_clamp(list(radii), bb.w, bb.h)
+        rec_a[12] = 1.0 if outset else 0.0
+        rec_a[13] = row
+        rec_a[14] = 1.0
+        rec_b = [0.0] * CLIP_STRIDE
+        rec_b[96:108] = pal
+        rec_b[0:4] = [dest_rect.x0, dest_rect.y0, dest_rect.x1, dest_rect.y1]
+        # the nine-patch maps local space over the ORIGINAL (unscaled)
+        # alloc size (batch.rs src_rect_size = original_alloc_size)
+        oa_w, oa_h = orig_alloc if orig_alloc is not None \
+            else (alloc_w, alloc_h)
+        rec_b[4] = oa_w
+        rec_b[5] = oa_h
+        rec_b[6] = stretch_x
+        rec_b[7] = stretch_y
+        rec_b[13] = row
+        rec_b[14] = 4.0
+        rec_b[15] = 0.0 if outset else 1.0
+        rec_b[16:20] = [reg.x, reg.y, reg.x + desc.width,
+                        reg.y + desc.height]
+        res = self._emit_common(c, True, draw_rect, draw_rect,
+                                extra_clips=[rec_a, rec_b])
+        if res is None:
+            return
+        prefix, edge_aa, clip_addr, clip_count, bbox = res
+        payload = prefix + list(_premult(prim.color))
+        addr = self.gb.push_f32(payload)
+        idx = self.gb.push_instance(KIND_SOLID,
+                                    self._row(c.spatial_node), addr,
+                                    clip_addr, clip_count, BLEND_NORMAL,
+                                    edge_aa)
+        self.metas.push(bbox)
+        out.append(idx)
+
+    def _render_box_shadow_mask(self, mask_rect, sradii, sigma: float,
+                                cache_w: int, cache_h: int, cs: float):
+        """Host raster of the cached blurred mask (the render_task the
+        reference caches in the texture cache): rounded-rect AA coverage
+        (cs_clip_rectangle math = patterns.rounded_rect_coverage), R8
+        quantized, then the exact swgl blur chain (downscale while σ>4,
+        V then H, integer weights)."""
+        from ..ops import patterns as _pk
+        from ..ops.raster import gaussian_weights as _gw
+        from ..ops.raster import resample_bilinear as _rs
+
+        def render():
+            xs = (np.arange(cache_w, dtype=np.float32) + 0.5) / cs
+            ys = (np.arange(cache_h, dtype=np.float32) + 0.5) / cs
+            lx = np.broadcast_to(xs[None, :], (cache_h, cache_w))
+            ly = np.broadcast_to(ys[:, None], (cache_h, cache_w))
+            cov = _pk.rounded_rect_coverage(
+                np, np.asarray(mask_rect, np.float32),
+                np.asarray(sradii, np.float32), lx, ly,
+                np.float32(cs), np.float32(cs))
+            mask = np.rint(cov * np.float32(255.0)) * np.float32(1 / 255.0)
+            plane = mask[None]  # [1, h, w] for the resample helper
+            sig = sigma
+            tw_, th_ = cache_w, cache_h
+            scale = 1
+            while sig > MAX_BLUR_SIGMA:
+                if tw_ < MIN_DOWNSCALING_RT_SIZE or \
+                        th_ < MIN_DOWNSCALING_RT_SIZE:
+                    break
+                sig *= 0.5
+                scale *= 2
+                nw = max(1, cache_w // scale)
+                nh = max(1, cache_h // scale)
+                plane = _rs(np, plane, nw, nh).astype(np.float32)
+                tw_, th_ = nw, nh
+            if sig > 0:
+                radius = max(1, int(np.ceil(1.5 * sig)) * 2)
+                w = _gw(sig, radius)
+                for axis in (1, 2):  # V then H
+                    n = plane.shape[axis]
+                    content = np.floor(plane * np.float32(255.0) + 0.5)
+                    pad = [(0, 0), (0, 0), (0, 0)]
+                    pad[axis] = (radius, radius)
+                    x = np.pad(content, pad, mode="edge")
+                    acc = np.zeros_like(content)
+                    for k in range(2 * radius + 1):
+                        sl = [slice(None)] * 3
+                        sl[axis] = slice(k, k + n)
+                        acc += w[k] * x[tuple(sl)]
+                    plane = (np.floor(np.minimum(acc, 65535.0)
+                                      * np.float32(1.0 / 256.0))
+                             * np.float32(1.0 / 255.0)).astype(np.float32)
+            m8 = np.clip(np.floor(plane[0] * 255.0 + 0.5), 0,
+                         255).astype(np.uint8)
+            texels = np.stack([m8, m8, m8, m8], axis=-1)
+            return texels
+        return render
+
     def _prepare_box_shadow(self, prim: BoxShadowPrim, c: PrimCommon,
                             out: List[int]) -> None:
-        """Analytic gaussian box shadow (box_shadow.rs semantics re-designed:
-        instead of a blurred cached task, the kernel evaluates the closed-form
-        blurred-rounded-rect; sigma = blur_radius/2)."""
+        """Box shadows (box_shadow.rs add_box_shadow): blur_radius > 0 goes
+        through the cached-blurred-mask nine-patch task path; zero blur
+        keeps the analytic sharp path (the reference's no-blur fast path
+        uses plain rounded clips)."""
         # box_shadow.rs:283/329 — MAX_BLUR_RADIUS = 300 clamp before halving
-        sigma = min(prim.blur_radius, 300.0) * 0.5
+        blur_radius_c = min(prim.blur_radius, 300.0)
+        if blur_radius_c > 0.0:
+            spread = prim.spread_radius
+            outset = prim.clip_mode == BoxShadowClipMode.OUTSET
+            amt = spread if outset else -spread
+            shadow_rect = prim.box_bounds.inflate(amt, amt).translate(
+                prim.offset.x, prim.offset.y)
+            r = prim.border_radius
+            radii = [r.top_left.width, r.top_left.height,
+                     r.top_right.width, r.top_right.height,
+                     r.bottom_right.width, r.bottom_right.height,
+                     r.bottom_left.width, r.bottom_left.height]
+            shadow_radii = [max(v + amt, 0.0) if v > 0.0 else 0.0
+                            for v in radii]
+            self._prepare_box_shadow_task(prim, c, blur_radius_c,
+                                          shadow_rect, shadow_radii, radii,
+                                          out)
+            return
+        sigma = blur_radius_c * 0.5
         spread = prim.spread_radius
         if prim.clip_mode == BoxShadowClipMode.OUTSET:
             shadow_rect = prim.box_bounds.inflate(spread, spread).translate(
@@ -3128,22 +3540,29 @@ def _resample_image_device(tpl, desc, r, stretch_w, stretch_h, dx0, dy0,
         vi = np.clip(np.floor(v).astype(np.int64), 0, Hh - 1)
         out = gather(vi, ui)
     else:
-        uf = u - 0.5
-        vf = v - 0.5
-        u0 = np.floor(uf)
-        v0 = np.floor(vf)
-        fx = (uf - u0).astype(np.float32)[None, :, None]
-        fy = (vf - v0).astype(np.float32)[:, None, None]
-        x0i = np.clip(u0.astype(np.int64), 0, W - 1)
-        y0i = np.clip(v0.astype(np.int64), 0, Hh - 1)
+        # swgl fixed-point bilinear (patterns.swgl_bilinear_coords):
+        # the device kernel samples with 7-bit fracs and truncating
+        # lerps, so the host pre-resample must too
+        from ..ops.patterns import swgl_bilinear_coords
+        uu = np.clip(u, 0.5, max(W - 0.5, 0.5))
+        vv = np.clip(v, 0.5, max(Hh - 0.5, 0.5))
+        x0i, _, _, fx1, _ = swgl_bilinear_coords(
+            np, uu.astype(np.float32), np.zeros_like(uu, np.float32), W, Hh)
+        _, y0i, row1, _, fy1 = swgl_bilinear_coords(
+            np, np.zeros_like(vv, np.float32), vv.astype(np.float32), W, Hh)
+        fx = fx1.astype(np.float32)[None, :, None]
+        fy = fy1.astype(np.float32)[:, None, None]
+        x0i = x0i.astype(np.int64)
+        y0i = y0i.astype(np.int64)
         x1i = np.clip(x0i + 1, 0, W - 1)
-        y1i = np.clip(y0i + 1, 0, Hh - 1)
+        y1i = y0i + row1.astype(np.int64)
         t00 = gather(y0i, x0i)
         t10 = gather(y0i, x1i)
         t01 = gather(y1i, x0i)
         t11 = gather(y1i, x1i)
-        out = (t00 * (1 - fx) + t10 * fx) * (1 - fy) + \
-              (t01 * (1 - fx) + t11 * fx) * fy
+        a_ = t00 + np.floor((t01 - t00) * fy * np.float32(1.0 / 128.0))
+        b_ = t10 + np.floor((t11 - t10) * fy * np.float32(1.0 / 128.0))
+        out = a_ + np.floor((b_ - a_) * fx * np.float32(1.0 / 128.0))
     scale = np.float32(1.0 / 255.0)
     if desc.format == ImageFormat.RGBAF32:
         scale = np.float32(1.0)

@@ -35,8 +35,12 @@ Layouts (addresses in f32_buf, per instance ``prim_addr``):
 
 Clip records, CLIP_STRIDE floats each at instance ``clip_addr``:
   [0:4] rect  [4:12] radii (tl.x,tl.y,tr,br,bl)  [12] mode (0 in / 1 out)
-  [13] spatial node  [14] kind (0 rect,1 rounded,2 image mask)
+  [13] spatial node  [14] kind (0 rect, 1 rounded, 2 image mask,
+  3 device polygon, 4 box-shadow nine-patch)
   [16:20] mask uv rect  [20:24] pad
+  kind 4 (cs_clip_box_shadow): [0:4] dest rect, [4:6] original alloc size
+  (local units), [6:8] stretch modes (1 Stretch / 0 Simple), [15] clip
+  mode (0 outset / 1 inset), [16:20] cached blurred-mask uv rect
 """
 from __future__ import annotations
 

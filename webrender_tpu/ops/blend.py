@@ -159,6 +159,182 @@ def mix_blend_rgb(xp, mode: int, cb, cs):
     return cs  # normal
 
 
+def _mul255(xp, x, y):
+    """swgl muldiv255 (blend.h:126): (x*y + x) >> 8 on u8-domain integers
+    held exactly in f32."""
+    return xp.floor((x * y + x) * (1.0 / 256.0))
+
+
+def _alphas(xp, c):
+    """Broadcast the alpha lane across all four channels (blend.h alphas)."""
+    return xp.stack([c[3], c[3], c[3], c[3]], 0)
+
+
+def _rgb_only(xp, c):
+    """Zero the alpha lane (blend.h RGB_MASK)."""
+    z = c[3] * 0.0
+    return xp.stack([c[0], c[1], c[2], z], 0)
+
+
+def _pack_float(xp, v):
+    """swgl pack_pixels_RGBA8 round: roundfast = SSE2 cvtps round-half-even
+    of v*255, saturating (glsl.h:732)."""
+    return xp.clip(xp.rint(v * 255.0), 0.0, 255.0)
+
+
+def _blend_case_int(xp, op: int, s, d):
+    """swgl blend_pixels (blend.h:416-698) integer blend cases on
+    u8-domain [4, ...] premultiplied values (exact integers in f32).
+    Returns the unpacked (possibly >255) result; caller saturates."""
+    if op == BLEND_CLEAR:
+        # GL_ZERO, GL_ONE_MINUS_SRC_ALPHA (ps_clear)
+        return d - _mul255(xp, d, _alphas(xp, s))
+    if op == BLEND_CH_CLEAR:
+        # GL_ZERO, GL_ONE_MINUS_SRC_COLOR (subpixel text punch)
+        return d - _mul255(xp, d, s)
+    if op == BLEND_ADD:
+        return s + d
+    if op == BLEND_NORMAL or op < BLEND_MIX_BASE:
+        return s + d - _mul255(xp, d, _alphas(xp, s))
+    mode = op - BLEND_MIX_BASE
+    if mode == 0:
+        return s + d - _mul255(xp, d, _alphas(xp, s))
+    if mode == 16:  # plus-lighter: GL_ONE, GL_ONE
+        return s + d
+    sA = _alphas(xp, s)
+    dA = _alphas(xp, d)
+    if mode == 1:  # multiply (GL_MULTIPLY_KHR)
+        diff = _mul255(xp, sA - _rgb_only(xp, s), dA - _rgb_only(xp, d))
+        return s + d + _rgb_only(xp, diff) - _alphas(xp, diff)
+    if mode == 2:  # screen
+        return s + d - _mul255(xp, s, d)
+    if mode in (3, 8):  # overlay / hard-light
+        diff = _mul255(xp, s, d) + _mul255(xp, sA - s, dA - d)
+        sel = d * 2.0 <= dA if mode == 3 else s * 2.0 <= sA
+        return s + d + xp.where(sel,
+                                _rgb_only(xp, diff) - _alphas(xp, diff),
+                                -diff)
+    if mode == 4:  # darken
+        return s + d - xp.maximum(_mul255(xp, s, dA), _mul255(xp, d, sA))
+    if mode == 5:  # lighten
+        return s + d - xp.minimum(_mul255(xp, s, dA), _mul255(xp, d, sA))
+    if mode == 6:  # color-dodge (FP path, blend.h:587)
+        # recip_or(sA - s, 255): 1/(sA-s), or 255 when the divisor is zero
+        recip = xp.where(sA - s != 0.0,
+                         1.0 / xp.where(sA - s != 0.0, sA - s, 1.0), 255.0)
+        t = xp.minimum(dA, d * sA * recip)
+        term = sA * _set_alpha_lane(xp, t, d)
+        v = (term + s * (255.0 - dA) + d * (255.0 - sA)) * (1.0 / 255.0)
+        return xp.floor(v + 0.5)
+    if mode == 7:  # color-burn (blend.h:601)
+        recip = xp.where(s != 0.0, 1.0 / xp.where(s != 0.0, s, 1.0), 255.0)
+        t = dA - xp.minimum(dA, (dA - d) * sA * recip)
+        term = sA * _set_alpha_lane(xp, t, d)
+        v = (term + s * (255.0 - dA) + d * (255.0 - sA)) * (1.0 / 255.0)
+        return xp.floor(v + 0.5)
+    if mode == 9:  # soft-light (blend.h:622, FP)
+        dU = xp.where(dA > 0.0, d / xp.where(dA > 0.0, dA, 1.0), 0.0)
+        scale = s + s - sA
+        inv_sqrt = xp.where(dU > 0.0, 1.0 / xp.sqrt(xp.where(dU > 0.0, dU,
+                                                             1.0)), 1e6)
+        inner = xp.where(scale < 0.0, 1.0 - dU,
+                         xp.minimum((16.0 * dU - 12.0) * dU + 3.0,
+                                    inv_sqrt - 1.0))
+        v = (d * (255.0 + _set_alpha_lane(xp, scale * inner, inner * 0.0))
+             + s * (255.0 - dA)) * (1.0 / 255.0)
+        return xp.floor(v + 0.5)
+    if mode == 10:  # difference
+        diff = xp.minimum(_mul255(xp, d, sA), _mul255(xp, s, dA))
+        return s + d - diff - _rgb_only(xp, diff)
+    if mode == 11:  # exclusion
+        diff = _mul255(xp, s, d)
+        return s + d - diff - _rgb_only(xp, diff)
+    # HSL modes (blend.h DO_HSL, FP at 0..255 scale)
+    srcA = s[3] * (1.0 / 255.0)
+    dstA = d[3] * (1.0 / 255.0)
+    srcDstA = s[3] * dstA
+    srcC = s[:3] * dstA
+    dstC = d[:3] * srcA
+    if mode == 12:    # hue
+        rgb = _set_lum_sat255(xp, srcC, dstC, dstC, srcDstA)
+    elif mode == 13:  # saturation
+        rgb = _set_lum_sat255(xp, dstC, srcC, dstC, srcDstA)
+    elif mode == 14:  # color
+        rgb = _set_lum255(xp, srcC, dstC, srcDstA)
+    else:             # luminosity
+        rgb = _set_lum255(xp, dstC, srcC, srcDstA)
+    out_rgb = rgb + s[:3] - srcC + d[:3] - dstC
+    out_a = s[3] + d[3] - srcDstA
+    v = xp.stack([out_rgb[0], out_rgb[1], out_rgb[2], out_a], 0)
+    return xp.floor(v + 0.5)
+
+
+def _set_alpha_lane(xp, c, a):
+    """set_alphas: rgb lanes from c, alpha lane from a."""
+    return xp.stack([c[0], c[1], c[2], a[3]], 0)
+
+
+def _lum255(xp, c):
+    """swgl lum_coeffs dot (blend.h HSL helpers) at 0..255 scale."""
+    return 0.3 * c[0] + 0.59 * c[1] + 0.11 * c[2]
+
+
+def _set_lum255(xp, base, ref, alpha):
+    """swgl set_lum (blend.h:~660): offset base to ref's luminance and clip
+    into [0, alpha] preserving luminance; 0..255-scale floats."""
+    lum = _lum255(xp, base)
+    diff = _lum255(xp, ref) - lum
+    c = base + diff
+    l = lum + diff
+    cmin = xp.minimum(xp.minimum(c[0], c[1]), c[2])
+    cmax = xp.maximum(xp.maximum(c[0], c[1]), c[2])
+    lo_safe = xp.where(xp.abs(l - cmin) > 1e-6, l - cmin, 1e-6)
+    hi_safe = xp.where(xp.abs(cmax - l) > 1e-6, cmax - l, 1e-6)
+    c = xp.where(cmin < 0.0, l + (c - l) * (l / lo_safe), c)
+    cmax = xp.maximum(xp.maximum(c[0], c[1]), c[2])
+    hi_safe = xp.where(xp.abs(cmax - l) > 1e-6, cmax - l, 1e-6)
+    c = xp.where(cmax > alpha, l + (c - l) * ((alpha - l) / hi_safe), c)
+    return c
+
+
+def _set_lum_sat255(xp, base, sref, lref, alpha):
+    cmin = xp.minimum(xp.minimum(base[0], base[1]), base[2])
+    cmax = xp.maximum(xp.maximum(base[0], base[1]), base[2])
+    d = cmax - cmin
+    smax = xp.maximum(xp.maximum(sref[0], sref[1]), sref[2]) - \
+        xp.minimum(xp.minimum(sref[0], sref[1]), sref[2])
+    safe = xp.where(d > 1e-6, d, 1.0)
+    scaled = xp.where(d > 1e-6, (base - cmin) * (smax / safe), 0.0)
+    return _set_lum255(xp, scaled, lref, alpha)
+
+
+def compose_swgl(xp, op: int, color, cov, mcov, dst):
+    """The full swgl per-fragment compose (rasterize.h + blend.h):
+    pack the shader's premultiplied f32 color to u8 (round_pixel:
+    trunc(v*255+0.5)), scale by the span-AA weight 0..256 (DO_AA
+    muldiv256), multiply by the u8 clip mask (muldiv255), run the
+    integer blend case, saturate.  `cov` is geometric/edge-AA coverage,
+    `mcov` the clip-mask chain value (both [H, W] f32 in [0,1]);
+    `dst` is premultiplied f32 on the u8 grid.  Exact in f32: every
+    intermediate is an integer below 2^24."""
+    if op >= BLEND_LINEAR_BASE or op in (BLEND_PD_IN, BLEND_PD_OUT,
+                                         BLEND_PD_ATOP, BLEND_PD_XOR,
+                                         BLEND_PD_LIGHTER):
+        # SVGFE composite ops run in the filter shader's float domain
+        # (cs_svg_filter_node.glsl), not the framebuffer blender
+        src = color * (cov * mcov)[None]
+        out = blend_src_over_dst(xp, op, src, dst)
+        return _pack_float(xp, out) * (1.0 / 255.0)
+    s = _pack_float(xp, color)
+    aa = xp.rint(xp.clip(cov, 0.0, 1.0) * 256.0)[None]
+    s = xp.floor(s * aa * (1.0 / 256.0))
+    m = xp.rint(xp.clip(mcov, 0.0, 1.0) * 255.0)[None]
+    s = xp.floor((s * m + s) * (1.0 / 256.0))
+    d = xp.floor(dst * 255.0 + 0.5)
+    out = _blend_case_int(xp, op, s, d)
+    return xp.clip(out, 0.0, 255.0) * (1.0 / 255.0)
+
+
 def blend_src_over_dst(xp, op: int, src, dst):
     """Full blend of premultiplied src [4,...] over premultiplied dst [4,...]
     for a *static* blend op id. Coverage must already be folded into src."""

@@ -168,6 +168,16 @@ def pallas_pass_supported(instances: np.ndarray, tile_insts: np.ndarray,
                              abs(crec[19] - crec[17])) + 2.0
                 if span_x > MAX_SEP_SPAN_X or span_y > MAX_SEP_SPAN_Y:
                     return False
+            elif crec[14] >= 3.5:
+                # box-shadow nine-patch: axis-aligned + the whole mask
+                # must fit the SEP window (the stretch mapping can jump
+                # across the mask within one tile)
+                ct = crec[96:108]
+                if not _axis_aligned(ct):
+                    return False
+                if abs(crec[18] - crec[16]) + 2.0 > MAX_SEP_SPAN_X or \
+                        abs(crec[19] - crec[17]) + 2.0 > MAX_SEP_SPAN_Y:
+                    return False
     return True
 
 
@@ -366,7 +376,7 @@ def dense_dispatch_info(f32_buf, instances, tile_insts, dense_kinds):
         caddr = int(rec[INST_CLIP_ADDR])
         for j in range(int(rec[INST_CLIP_COUNT])):
             ck = f32_buf[caddr + j * CLIP_STRIDE + 14]
-            if 1.5 <= ck < 2.5:
+            if 1.5 <= ck < 2.5 or ck >= 3.5:
                 mask_clips = True
                 break
         if mask_clips:
@@ -427,11 +437,13 @@ def render_tiles_pallas_dense(dense, tile_counts, tile_origins, clear_color,
 
         def _sep_sample(u1d, v1d, u0, v0, u1, v1, nearest, src_hbm,
                         nplanes, chan0=0):
-            """Axis-aligned bilinear sampling on the MXU: u depends only on
-            x and v only on y, so the bilinear taps become two weight-matrix
-            contractions against a DMA'd atlas window — exactly the math of
-            patterns.sample_rgba (clamped to the uv rect's half-texel inset,
-            optional nearest snapping).  u1d: [1, TILE_W]; v1d: [TILE_H, 1].
+            """Axis-aligned bilinear sampling on the MXU with swgl's
+            fixed-point filtering (texture.h textureLinearPlanarRGBA8):
+            coordinates quantize to 7-bit fractions and the four taps are
+            gathered with one-hot weight-matrix contractions against a
+            DMA'd atlas window, then combined with truncating int16 lerps
+            (y first, then x) — exactly the math of patterns.sample_rgba.
+            u1d: [1, TILE_W]; v1d: [TILE_H, 1].
             Returns [nplanes, TILE_H, TILE_W] (or [TILE_H, TILE_W])."""
             lo_u = u0 + 0.5
             hi_u = jnp.maximum(u1 - 0.5, lo_u)
@@ -441,14 +453,24 @@ def render_tiles_pallas_dense(dense, tile_counts, tile_origins, clear_color,
             v = jnp.clip(v1d, lo_v, hi_v)
             u = jnp.where(nearest > 0.5, jnp.floor(u) + 0.5, u)
             v = jnp.where(nearest > 0.5, jnp.floor(v) + 0.5, v)
-            uf = u - 0.5
-            vf = v - 0.5
             H = src_hbm.shape[-2]
             W = src_hbm.shape[-1]
-            x0 = jnp.floor(jnp.min(uf)).astype(jnp.int32)
-            y0 = jnp.floor(jnp.min(vf)).astype(jnp.int32)
-            x0c = (jnp.clip(x0, 0, W - SEP_W) // 128) * 128
-            y0c = (jnp.clip(y0, 0, H - SEP_H) // 8) * 8
+            qu = jnp.floor(u * 128.0 - 63.5)
+            qv = jnp.floor(v * 128.0 - 63.5)
+            ixf = jnp.floor(qu * (1.0 / 128.0))
+            iyf = jnp.floor(qv * (1.0 / 128.0))
+            fx = qu - ixf * 128.0                      # [1, TILE_W]
+            fy = qv - iyf * 128.0                      # [TILE_H, 1]
+            over = ixf > (W - 2)
+            fx = jnp.where(ixf < 0.0, 0.0, fx)
+            fx = jnp.where(over, 128.0, fx)
+            x0f = jnp.clip(ixf, 0.0, W - 2)
+            y0f = jnp.clip(iyf, 0.0, H - 1)
+            row1 = jnp.where((iyf >= 0.0) & (iyf < H - 1), 1.0, 0.0)
+            x0w = jnp.floor(jnp.min(x0f)).astype(jnp.int32)
+            y0w = jnp.floor(jnp.min(y0f)).astype(jnp.int32)
+            x0c = (jnp.clip(x0w, 0, W - SEP_W) // 128) * 128
+            y0c = (jnp.clip(y0w, 0, H - SEP_H) // 8) * 8
             if len(src_hbm.shape) == 2:
                 cp = pltpu.make_async_copy(
                     src_hbm.at[pl.ds(y0c, SEP_H), pl.ds(x0c, SEP_W)],
@@ -463,15 +485,31 @@ def render_tiles_pallas_dense(dense, tile_counts, tile_origins, clear_color,
                         sep.at[c], sep_sem)
                     cp.start()
                     cp.wait()
-            ur = uf - x0c.astype(jnp.float32)          # [1, TILE_W]
-            vr = vf - y0c.astype(jnp.float32)          # [TILE_H, 1]
+            xr0 = x0f - x0c.astype(jnp.float32)        # [1, TILE_W]
+            yr0 = y0f - y0c.astype(jnp.float32)        # [TILE_H, 1]
+            yr1 = yr0 + row1
             kx = jax.lax.broadcasted_iota(
                 jnp.int32, (SEP_W, TILE_W), 0).astype(jnp.float32)
-            C = jnp.clip(1.0 - jnp.abs(kx - ur), 0.0, 1.0)
+            # one-hot column selectors for the x0 / x0+1 taps
+            C0 = (jnp.abs(kx - xr0) < 0.5).astype(jnp.float32)
+            C1 = (jnp.abs(kx - jnp.minimum(xr0 + 1.0, W - 1 - x0c)) <
+                  0.5).astype(jnp.float32)
             ky = jax.lax.broadcasted_iota(
                 jnp.int32, (TILE_H, SEP_H), 1).astype(jnp.float32)
-            R = jnp.clip(1.0 - jnp.abs(ky - vr), 0.0, 1.0)
-            outs = [_mm(R, _mm(sep[c], C)) for c in range(nplanes)]
+            R0 = (jnp.abs(ky - yr0) < 0.5).astype(jnp.float32)
+            R1 = (jnp.abs(ky - yr1) < 0.5).astype(jnp.float32)
+            outs = []
+            for c in range(nplanes):
+                s0 = _mm(sep[c], C0)                    # [SEP_H, TILE_W]
+                s1 = _mm(sep[c], C1)
+                t00 = jnp.floor(_mm(R0, s0) * 255.0 + 0.5)
+                t01 = jnp.floor(_mm(R1, s0) * 255.0 + 0.5)
+                t10 = jnp.floor(_mm(R0, s1) * 255.0 + 0.5)
+                t11 = jnp.floor(_mm(R1, s1) * 255.0 + 0.5)
+                a = t00 + jnp.floor((t01 - t00) * fy * (1.0 / 128.0))
+                b = t10 + jnp.floor((t11 - t10) * fy * (1.0 / 128.0))
+                outs.append((a + jnp.floor((b - a) * fx * (1.0 / 128.0)))
+                            * (1.0 / 255.0))
             return jnp.stack(outs, 0) if nplanes > 1 else outs[0]
 
         def body(i, carry):
@@ -487,7 +525,8 @@ def render_tiles_pallas_dense(dense, tile_counts, tile_origins, clear_color,
 
             clip_row = r[REC_CLIP_ROW].astype(jnp.int32)
 
-            def clip_body(j, cov):
+            def clip_body(j, carry):
+                cov = carry[0]
                 crec = f32_rows_ref[clip_row + j]
                 # clips may live in other spatial nodes; their palette row
                 # is inlined in the record tail at serialization time
@@ -517,32 +556,83 @@ def render_tiles_pallas_dense(dense, tile_counts, tile_origins, clear_color,
                                         crec[18], crec[19], 0.0, ca_hbm,
                                         1, chan0=0)
                         return m * rect_cov
+                    def _bs_cov():
+                        # kind 4: box-shadow nine-patch
+                        # (cs_clip_box_shadow.glsl; patterns
+                        # .box_shadow_ninepatch_coverage)
+                        dw = jnp.maximum(crec[2] - crec[0], 1e-6)
+                        dh = jnp.maximum(crec[3] - crec[1], 1e-6)
+                        aw = jnp.maximum(crec[4], 1e-6)
+                        ah = jnp.maximum(crec[5], 1e-6)
+                        lxr = clx[0:1, :]
+                        lyc = cly[:, 0:1]
+                        u_lin = jnp.where(crec[6] > 0.5,
+                                          (lxr - crec[0]) / aw,
+                                          (lxr - crec[0]) / dw)
+                        v_lin = jnp.where(crec[7] > 0.5,
+                                          (lyc - crec[1]) / ah,
+                                          (lyc - crec[1]) / dh)
+                        e0x = jnp.where(crec[6] > 0.5, 0.5, 1.0)
+                        e1x = jnp.where(crec[6] > 0.5, dw / aw - 0.5, 1.0)
+                        e0y = jnp.where(crec[7] > 0.5, 0.5, 1.0)
+                        e1y = jnp.where(crec[7] > 0.5, dh / ah - 0.5, 1.0)
+                        uu = jnp.clip(u_lin, 0.0, e0x) + \
+                            jnp.maximum(0.0, u_lin - e1x)
+                        vv = jnp.clip(v_lin, 0.0, e0y) + \
+                            jnp.maximum(0.0, v_lin - e1y)
+                        mu = crec[16] + uu * (crec[18] - crec[16])
+                        mv = crec[17] + vv * (crec[19] - crec[17])
+                        texel = _sep_sample(mu, mv, crec[16], crec[17],
+                                            crec[18], crec[19], 0.0,
+                                            ca_hbm, 1, chan0=0)
+                        mode = crec[15]
+                        alpha = texel * (1.0 - mode) + (1.0 - texel) * mode
+                        return mode * (1.0 - rect_cov) + alpha * rect_cov
                     is_mask = jnp.logical_and(crec[14] >= 1.5,
                                               crec[14] < 2.5)
                     masked = jax.lax.cond(
                         is_mask, _mask_cov,
                         lambda: jnp.zeros((TILE_H, TILE_W), jnp.float32))
+                    bshadow = jax.lax.cond(
+                        crec[14] >= 3.5, _bs_cov,
+                        lambda: jnp.zeros((TILE_H, TILE_W), jnp.float32))
                     ccov = jnp.where(
                         crec[14] < 0.5, rect_cov,
                         jnp.where(crec[14] < 1.5, rounded,
-                                  jnp.where(crec[14] < 2.5, masked, poly)))
+                                  jnp.where(crec[14] < 2.5, masked,
+                                            jnp.where(crec[14] < 3.5, poly,
+                                                      bshadow))))
                 else:
                     ccov = jnp.where(crec[14] < 0.5, rect_cov,
                                      jnp.where(crec[14] < 1.5, rounded,
                                                poly))
                 ccov = jnp.where(crec[12] > 0.5, 1.0 - ccov, ccov)
-                return cov * ccov
-            cov = jax.lax.fori_loop(0, r[REC_CLIP_COUNT].astype(jnp.int32),
-                                    clip_body, cov)
+                cov, m8 = carry
+                # rect clips join the span geometry; the rest go through
+                # the u8 clip-mask chain (render_task.rs new_mask)
+                is_geom = jnp.logical_and(crec[14] < 0.5, crec[12] < 0.5)
+                c8 = jnp.rint(ccov * 255.0)
+                m8n = jnp.floor((c8 * m8 + c8) * (1.0 / 256.0))
+                return (jnp.where(is_geom, cov * ccov, cov),
+                        jnp.where(is_geom, m8, m8n))
+            cov, m8 = jax.lax.fori_loop(
+                0, r[REC_CLIP_COUNT].astype(jnp.int32), clip_body,
+                (cov, jnp.full(cov.shape, 255.0, jnp.float32)))
+            mcov = m8 * (1.0 / 255.0)
 
             def sampled_branch(kind_s, p, lx, ly, sx, sy, f32_rows,
                                trow):
                 fx = ox + trow[6] + (p[8] - p[0])
                 fy = oy + trow[7] + (p[9] - p[1])
-                x0f = jnp.floor(fx)
-                y0f = jnp.floor(fy)
-                frx = fx - x0f
-                fry = fy - y0f
+                # swgl fixed-point addressing for a translation-only
+                # mapping: the 7-bit fraction is constant across the tile
+                # (texture.h linearQuantize with u = fx + col + 0.5)
+                qx = jnp.floor(fx * 128.0 + 0.5)
+                qy = jnp.floor(fy * 128.0 + 0.5)
+                x0f = jnp.floor(qx * (1.0 / 128.0))
+                y0f = jnp.floor(qy * (1.0 / 128.0))
+                frx = qx - x0f * 128.0
+                fry = qy - y0f * 128.0
                 x0i = x0f.astype(jnp.int32)
                 y0i = y0f.astype(jnp.int32)
                 if kind_s == KIND_GLYPH:
@@ -579,11 +669,17 @@ def render_tiles_pallas_dense(dense, tile_counts, tile_origins, clear_color,
                         jnp.clip(dys, -8, 7) + 8,
                         [(lambda k: lambda: plane[k:k + TILE_H + 1, :])(k)
                          for k in range(16)])
-                    t00 = plane[:TILE_H, :TILE_W]
-                    t10 = plane[:TILE_H, 1:TILE_W + 1]
-                    t01 = plane[1:TILE_H + 1, :TILE_W]
-                    t11 = plane[1:TILE_H + 1, 1:TILE_W + 1]
-                    a = (t00 * (1 - frx) + t10 * frx) * (1 - fry) +                         (t01 * (1 - frx) + t11 * frx) * fry
+                    t00 = jnp.floor(plane[:TILE_H, :TILE_W] * 255.0 + 0.5)
+                    t10 = jnp.floor(plane[:TILE_H, 1:TILE_W + 1] * 255.0
+                                    + 0.5)
+                    t01 = jnp.floor(plane[1:TILE_H + 1, :TILE_W] * 255.0
+                                    + 0.5)
+                    t11 = jnp.floor(plane[1:TILE_H + 1, 1:TILE_W + 1]
+                                    * 255.0 + 0.5)
+                    aa_ = t00 + jnp.floor((t01 - t00) * fry * (1.0 / 128.0))
+                    bb_ = t10 + jnp.floor((t11 - t10) * fry * (1.0 / 128.0))
+                    a = (aa_ + jnp.floor((bb_ - aa_) * frx
+                                         * (1.0 / 128.0))) * (1.0 / 255.0)
                     return jnp.stack([p[12] * a, p[13] * a,
                                       p[14] * a, p[15] * a], 0)
                 src_hbm = ca_hbm if kind_s == KIND_SUBPX_GLYPH else sa_hbm
@@ -617,11 +713,17 @@ def render_tiles_pallas_dense(dense, tile_counts, tile_origins, clear_color,
                     jnp.clip(dys, -8, 7) + 8,
                     [(lambda k: lambda: planes[:, k:k + TILE_H + 1, :])(k)
                      for k in range(16)])
-                t00 = planes[:, :TILE_H, :TILE_W]
-                t10 = planes[:, :TILE_H, 1:TILE_W + 1]
-                t01 = planes[:, 1:TILE_H + 1, :TILE_W]
-                t11 = planes[:, 1:TILE_H + 1, 1:TILE_W + 1]
-                texel = (t00 * (1 - frx) + t10 * frx) * (1 - fry) +                     (t01 * (1 - frx) + t11 * frx) * fry
+                t00 = jnp.floor(planes[:, :TILE_H, :TILE_W] * 255.0 + 0.5)
+                t10 = jnp.floor(planes[:, :TILE_H, 1:TILE_W + 1] * 255.0
+                                + 0.5)
+                t01 = jnp.floor(planes[:, 1:TILE_H + 1, :TILE_W] * 255.0
+                                + 0.5)
+                t11 = jnp.floor(planes[:, 1:TILE_H + 1, 1:TILE_W + 1]
+                                * 255.0 + 0.5)
+                aa_ = t00 + jnp.floor((t01 - t00) * fry * (1.0 / 128.0))
+                bb_ = t10 + jnp.floor((t11 - t10) * fry * (1.0 / 128.0))
+                texel = (aa_ + jnp.floor((bb_ - aa_) * frx
+                                         * (1.0 / 128.0))) * (1.0 / 255.0)
                 if kind_s == KIND_SUBPX_GLYPH:
                     # rgb = LCD channel masks (pattern_subpx_glyph)
                     m_avg = (texel[0] + texel[1] + texel[2]) * (1.0 / 3.0)
@@ -732,19 +834,19 @@ def render_tiles_pallas_dense(dense, tile_counts, tile_origins, clear_color,
                                             f32_rows_ref, trow)
                           for b in branches])
 
-            src = color * cov[None]
             dst = jnp.stack([acc[0], acc[1], acc[2], acc[3]], 0)
             if len(blends) == 1:
-                blended = blend_mod.blend_src_over_dst(jnp, blends[0], src,
-                                                       dst)
+                blended = blend_mod.compose_swgl(jnp, blends[0], color, cov,
+                                                 mcov, dst)
             else:
                 bpos = lut_ref[16 + r[REC_BLEND].astype(jnp.int32)]
                 blended = jax.lax.switch(
                     bpos,
                     [functools.partial(
-                        (lambda op: lambda s, d:
-                         blend_mod.blend_src_over_dst(jnp, op, s, d))(b),
-                        src, dst)
+                        (lambda op: lambda c_, cv_, mc_, d_:
+                         blend_mod.compose_swgl(jnp, op, c_, cv_, mc_,
+                                                d_))(b),
+                        color, cov, mcov, dst)
                      for b in blends])
             for c in range(4):
                 acc[c] = blended[c]
@@ -791,252 +893,3 @@ def render_tiles_pallas_dense(dense, tile_counts, tile_origins, clear_color,
     )(tile_counts.reshape(nt, 1, 1), tile_origins.reshape(nt, 1, 2),
       clear_color, jnp.asarray(lut), dense, f32_rows, alpha_atlas,
       surface_atlas, color_atlas)
-
-
-@functools.partial(jax.jit, static_argnames=("kinds", "blends"))
-def render_tiles_pallas(f32_buf, instances, transforms, tile_insts,
-                        tile_origins, clear_color, alpha_atlas,
-                        surface_atlas, *, kinds: Tuple[int, ...],
-                        blends: Tuple[int, ...]):
-    """Pallas raster for one pass → [nt, 4, TILE_H, TILE_W]."""
-    nt, slots = tile_insts.shape
-    # per-tile instance counts: the loop runs exactly count iterations
-    # (the XLA path must run the padded slot count on every tile)
-    tile_counts = jnp.sum((tile_insts >= 0).astype(jnp.int32), axis=1)
-    kinds = tuple(kinds)
-    blends = tuple(blends)
-    math_kinds = [k for k in kinds if k in MATH_KINDS]
-    # subpixel glyphs need the color atlas — only the dense variant (the
-    # production path) threads it through
-    sampled_kinds = [k for k in kinds
-                     if k in SAMPLED_KINDS and k != KIND_SUBPX_GLYPH]
-    branch_kinds = math_kinds + sampled_kinds
-    kind_lut_host = np.zeros(16, np.int32)
-    for pos, k in enumerate(branch_kinds):
-        kind_lut_host[k] = pos
-    blend_lut_host = np.zeros(blend_mod.N_BLEND_OPS, np.int32)
-    for pos, b in enumerate(blends):
-        blend_lut_host[b] = pos
-
-    def kernel(ti_ref, or_ref, cnt_ref, clear_ref, inst_vmem, f32_rows_ref,
-               tr_ref, lut_ref, aa_hbm, sa_hbm, out_ref,
-               acc, samp, samp_sem):
-        col = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W),
-                                       1).astype(jnp.float32)
-        row = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W),
-                                       0).astype(jnp.float32)
-        ox = or_ref[0, 0, 0]
-        oy = or_ref[0, 0, 1]
-        px = ox + col + 0.5
-        py = oy + row + 0.5
-        for c in range(4):
-            acc[c] = jnp.full((TILE_H, TILE_W), clear_ref[c], jnp.float32)
-
-        def body(i, carry):
-            iid = ti_ref[0, 0, i]
-
-            if True:
-                sid = jnp.maximum(iid, 0)
-                rec_kind = inst_vmem[sid, INST_KIND]
-                spatial = inst_vmem[sid, INST_SPATIAL]
-                prim_addr = inst_vmem[sid, INST_PRIM_ADDR]
-                clip_addr = inst_vmem[sid, INST_CLIP_ADDR]
-                clip_count = inst_vmem[sid, INST_CLIP_COUNT]
-                blend_op = inst_vmem[sid, INST_BLEND]
-                edge_aa = inst_vmem[sid, INST_EDGE_AA]
-
-                p = f32_rows_ref[prim_addr // 128]
-                trow = tr_ref[spatial]
-                lx, ly = pk.inverse_map(jnp, trow, px, py)
-                sx = trow[9]
-                sy = trow[10]
-                cov = pk.rect_coverage(jnp, p[4], p[5], p[6], p[7], lx, ly,
-                                       sx, sy, edge_aa)
-
-                def clip_body(j, cov):
-                    crec = f32_rows_ref[clip_addr // 128 + j]
-                    ct = tr_ref[crec[13].astype(jnp.int32)]
-                    clx, cly = pk.inverse_map(jnp, ct, px, py)
-                    csx = ct[9]
-                    csy = ct[10]
-                    rect_cov = pk.rect_coverage(jnp, crec[0], crec[1],
-                                                crec[2], crec[3], clx, cly,
-                                                csx, csy, 0xF)
-                    rounded = pk.rounded_rect_coverage(
-                        jnp, crec[0:4], crec[4:12], clx, cly, csx, csy)
-                    poly = pk.polygon_coverage(jnp, crec, px, py)
-                    ccov = jnp.where(crec[14] < 0.5, rect_cov,
-                                     jnp.where(crec[14] < 1.5, rounded,
-                                               poly))
-                    ccov = jnp.where(crec[12] > 0.5, 1.0 - ccov, ccov)
-                    return cov * ccov
-                cov = jax.lax.fori_loop(0, clip_count, clip_body, cov)
-
-                def sampled_branch(kind_s, p, lx, ly, sx, sy, f32_rows,
-                               trow):
-                    # translation mapping: atlas = device + (uv0 - rect0)
-                    fx = ox + trow[6] + (p[8] - p[0])
-                    fy = oy + trow[7] + (p[9] - p[1])
-                    x0f = jnp.floor(fx)
-                    y0f = jnp.floor(fy)
-                    frx = fx - x0f
-                    fry = fy - y0f
-                    x0i = x0f.astype(jnp.int32)
-                    y0i = y0f.astype(jnp.int32)
-                    if kind_s == KIND_GLYPH:
-                        H, W = aa_hbm.shape
-                        x0c = jnp.clip(x0i, 0, W - SAMP_W)
-                        y0c = jnp.clip(y0i, 0, H - SAMP_H)
-                        # HBM slices must start tile-aligned (Mosaic (8,128)
-                        # tiling); the SAMP_* windows carry exactly the needed
-                        # slack, and a roll re-registers the window
-                        x0c = (x0c // 128) * 128
-                        y0c = (y0c // 8) * 8
-                        dxs = x0i - x0c
-                        dsty = ((jnp.maximum(y0c - y0i, 0) // 8) * 8)
-                        dys = y0i - y0c + dsty
-                        cp = pltpu.make_async_copy(
-                            aa_hbm.at[pl.ds(y0c, SAMP_H), pl.ds(x0c, SAMP_W)],
-                            samp.at[0, pl.ds(dsty, SAMP_H), :], samp_sem)
-                        cp.start()
-                        cp.wait()
-                        plane = samp[0, :, :]
-                        # lane rolls are exact; dynamic sublane rolls mis-shift on
-                        # multi-tile axes, so Y re-registers via an 8-way switch of
-                        # static slices (dys ∈ [0,8) by construction)
-                        plane = pltpu.roll(plane, -dxs, 1)
-                        # dys ∈ [−8, 7]: negative when the uv rect starts above
-                        # the tile (window clipped at the atlas edge); top-pad
-                        # with transparent rows so those taps read zero
-                        plane = jnp.concatenate(
-                            [jnp.zeros((8, SAMP_W), jnp.float32), plane], 0)
-                        plane = jax.lax.switch(
-                            jnp.clip(dys, -8, 7) + 8,
-                            [(lambda k: lambda: plane[k:k + TILE_H + 1, :])(k)
-                             for k in range(16)])
-                        t00 = plane[:TILE_H, :TILE_W]
-                        t10 = plane[:TILE_H, 1:TILE_W + 1]
-                        t01 = plane[1:TILE_H + 1, :TILE_W]
-                        t11 = plane[1:TILE_H + 1, 1:TILE_W + 1]
-                        a = (t00 * (1 - frx) + t10 * frx) * (1 - fry) + \
-                            (t01 * (1 - frx) + t11 * frx) * fry
-                        return jnp.stack([p[12] * a, p[13] * a,
-                                          p[14] * a, p[15] * a], 0)
-                    H = sa_hbm.shape[1]
-                    W = sa_hbm.shape[2]
-                    x0c = jnp.clip(x0i, 0, W - SAMP_W)
-                    y0c = jnp.clip(y0i, 0, H - SAMP_H)
-                    # HBM slices must start tile-aligned (Mosaic (8,128)
-                    # tiling); the SAMP_* windows carry exactly the needed
-                    # slack, and a roll re-registers the window
-                    x0c = (x0c // 128) * 128
-                    y0c = (y0c // 8) * 8
-                    # dst offset absorbs arbitrarily-negative y0i (glyph uv far
-                    # above its device rect): rows the DMA leaves stale map to
-                    # cov=0 pixels
-                    dsty = ((jnp.maximum(y0c - y0i, 0) // 8) * 8)
-                    dxs = x0i - x0c
-                    dys = y0i - y0c + dsty
-                    for c in range(4):
-                        cp = pltpu.make_async_copy(
-                            sa_hbm.at[c, pl.ds(y0c, SAMP_H),
-                                      pl.ds(x0c, SAMP_W)],
-                            samp.at[c, pl.ds(dsty, SAMP_H), :], samp_sem)
-                        cp.start()
-                        cp.wait()
-                    planes = samp[:, :, :]
-                    planes = pltpu.roll(planes, -dxs, 2)
-                    planes = jnp.concatenate(
-                        [jnp.zeros((4, 8, SAMP_W), jnp.float32), planes], 1)
-                    planes = jax.lax.switch(
-                        jnp.clip(dys, -8, 7) + 8,
-                        [(lambda k: lambda: planes[:, k:k + TILE_H + 1, :])(k)
-                         for k in range(16)])
-                    t00 = planes[:, :TILE_H, :TILE_W]
-                    t10 = planes[:, :TILE_H, 1:TILE_W + 1]
-                    t01 = planes[:, 1:TILE_H + 1, :TILE_W]
-                    t11 = planes[:, 1:TILE_H + 1, 1:TILE_W + 1]
-                    texel = (t00 * (1 - frx) + t10 * frx) * (1 - fry) + \
-                        (t01 * (1 - frx) + t11 * frx) * fry
-                    texel = jnp.stack([texel[0] * p[12], texel[1] * p[13],
-                                       texel[2] * p[14], texel[3] * p[15]], 0)
-                    return pk.apply_color_matrix(jnp, texel, p[16:36], p[36])
-
-                branches = [functools.partial(_pattern_math, k)
-                            for k in math_kinds]
-                branches += [functools.partial(sampled_branch, k)
-                             for k in sampled_kinds]
-                pos = lut_ref[rec_kind]
-                if len(branches) == 1:
-                    color = branches[0](p, lx, ly, sx, sy, f32_rows_ref, trow)
-                else:
-                    color = jax.lax.switch(
-                        pos, [functools.partial(b, p, lx, ly, sx, sy,
-                                                f32_rows_ref, trow)
-                              for b in branches])
-
-                src = color * cov[None]
-                dst = jnp.stack([acc[0], acc[1], acc[2], acc[3]], 0)
-                if len(blends) == 1:
-                    blended = blend_mod.blend_src_over_dst(jnp, blends[0],
-                                                           src, dst)
-                else:
-                    bpos = lut_ref[16 + blend_op]
-                    blended = jax.lax.switch(
-                        bpos,
-                        [functools.partial(
-                            (lambda op: lambda s, d:
-                             blend_mod.blend_src_over_dst(jnp, op, s, d))(b),
-                            src, dst)
-                         for b in blends])
-                for c in range(4):
-                    acc[c] = blended[c]
-            return carry
-
-        jax.lax.fori_loop(0, cnt_ref[0, 0, 0], body, 0)
-        for c in range(4):
-            out_ref[0, c] = acc[c]
-
-    # combined scalar LUT: [0:16] kind→branch, [16:16+N_BLEND] blend→branch
-    lut = np.zeros(16 + blend_mod.N_BLEND_OPS, np.int32)
-    lut[:16] = kind_lut_host
-    lut[16:] = blend_lut_host
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=0,
-        grid=(nt,),
-        in_specs=[
-            pl.BlockSpec((1, 1, slots), lambda t: (t, 0, 0),
-                         memory_space=pltpu.SMEM),      # tile instance list
-            pl.BlockSpec((1, 1, 2), lambda t: (t, 0, 0),
-                         memory_space=pltpu.SMEM),      # tile origin
-            pl.BlockSpec((1, 1, 1), lambda t: (t, 0, 0),
-                         memory_space=pltpu.SMEM),      # tile count
-            pl.BlockSpec(memory_space=pltpu.SMEM),      # clear color [4]
-            pl.BlockSpec(memory_space=pltpu.VMEM),      # instances (resident)
-            pl.BlockSpec(memory_space=pltpu.VMEM),      # f32_buf rows (2D)
-            pl.BlockSpec(memory_space=pltpu.VMEM),      # transforms
-            pl.BlockSpec(memory_space=pltpu.SMEM),      # dispatch LUT
-            pl.BlockSpec(memory_space=pltpu.ANY),       # alpha atlas (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),       # surface atlas (HBM)
-        ],
-        out_specs=pl.BlockSpec((1, 4, TILE_H, TILE_W),
-                               lambda t: (t, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((4, TILE_H, TILE_W), jnp.float32),
-            pltpu.VMEM((4, SAMP_H + 72, SAMP_W), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-    )
-
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((nt, 4, TILE_H, TILE_W), jnp.float32),
-        grid_spec=grid_spec,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-    )(tile_insts.reshape(nt, 1, slots), tile_origins.reshape(nt, 1, 2),
-      tile_counts.reshape(nt, 1, 1), clear_color, instances,
-      f32_buf.reshape(-1, 128), transforms, jnp.asarray(lut), alpha_atlas,
-      surface_atlas)

@@ -137,9 +137,41 @@ def rounded_rect_coverage(xp, rect4, radii8, lx, ly, sx, sy):
 # ---------------------------------------------------------------------------
 # texture sampling
 
+def swgl_bilinear_coords(xp, u, v, W, H):
+    """swgl's fixed-point bilinear addressing (`swgl/src/texture.h`:
+    linearQuantize :428 + textureLinearPlanarRGBA8 :481): coordinates
+    quantize to 7-bit fractions, the x fraction snaps to 0/128 at the
+    row ends (computeFracX :465), and the second row collapses onto the
+    first at the bottom edge (computeNextRowOffset :458).
+    Returns (x0, y0, row1_off, fx, fy) with fx/fy in [0, 128]."""
+    qu = xp.floor(u * 128.0 - 63.5)
+    qv = xp.floor(v * 128.0 - 63.5)
+    ix = xp.floor(qu / 128.0)
+    iy = xp.floor(qv / 128.0)
+    fx = qu - ix * 128.0
+    fy = qv - iy * 128.0
+    overread = ix > (W - 2)
+    fx = xp.where(ix < 0, 0.0, fx)
+    fx = xp.where(overread, 128.0, fx)
+    x0 = xp.clip(ix, 0, W - 2)
+    y0 = xp.clip(iy, 0, H - 1)
+    row1 = xp.where((iy >= 0) & (iy < H - 1), 1.0, 0.0)
+    return (x0.astype("int32"), y0.astype("int32"),
+            row1.astype("int32"), fx, fy)
+
+
+def _fixed_lerp(xp, a, b, frac):
+    """swgl int16 lerp: a + ((b - a) * frac) >> 7 with arithmetic shift
+    (floor division).  a/b are u8 texel values held in f32 (exact)."""
+    return a + xp.floor((b - a) * frac * (1.0 / 128.0))
+
+
 def sample_rgba(xp, atlas, u, v, u0, v0, u1, v1, nearest):
     """Bilinear/nearest sample of a planar [4, H, W] atlas, clamped to the
-    half-texel inset of the uv rect (brush_image.glsl sample bounds)."""
+    half-texel inset of the uv rect (brush_image.glsl sample bounds).
+    The bilinear path reproduces swgl's fixed-point filtering exactly:
+    7-bit fractions, int16 lerps with truncating shifts
+    (`swgl/src/texture.h` textureLinearPlanarRGBA8)."""
     H, W = atlas.shape[1], atlas.shape[2]
     lo_u = u0 + 0.5
     hi_u = xp.maximum(u1 - 0.5, lo_u)
@@ -152,51 +184,41 @@ def sample_rgba(xp, atlas, u, v, u0, v0, u1, v1, nearest):
     vn = xp.floor(v) + 0.5
     u = xp.where(nearest > 0.5, un, u)
     v = xp.where(nearest > 0.5, vn, v)
-    uf = u - 0.5
-    vf = v - 0.5
-    xi0 = xp.floor(uf)
-    yi0 = xp.floor(vf)
-    fx = (uf - xi0)[None]
-    fy = (vf - yi0)[None]
-    x0i = xp.clip(xi0.astype("int32"), 0, W - 1)
-    y0i = xp.clip(yi0.astype("int32"), 0, H - 1)
+    x0i, y0i, row1, fx, fy = swgl_bilinear_coords(xp, u, v, W, H)
+    fx = fx[None]
+    fy = fy[None]
+    y1i = y0i + row1
     x1i = xp.clip(x0i + 1, 0, W - 1)
-    y1i = xp.clip(y0i + 1, 0, H - 1)
     # flat 1D gathers: 2D advanced indexing under a tile vmap makes XLA
-    # materialize a per-tile copy of the whole atlas (OOM at 4096²×96)
+    # materialize a per-tile copy of the whole atlas (OOM at 4096²×96);
+    # u8-ify the gathered taps only (atlas values sit on the u8 grid)
     flat = atlas.reshape(4, -1)
-    t00 = flat[:, y0i * W + x0i]
-    t10 = flat[:, y0i * W + x1i]
-    t01 = flat[:, y1i * W + x0i]
-    t11 = flat[:, y1i * W + x1i]
-    top = t00 * (1.0 - fx) + t10 * fx
-    bot = t01 * (1.0 - fx) + t11 * fx
-    return top * (1.0 - fy) + bot * fy
+    t00 = xp.floor(flat[:, y0i * W + x0i] * 255.0 + 0.5)
+    t10 = xp.floor(flat[:, y0i * W + x1i] * 255.0 + 0.5)
+    t01 = xp.floor(flat[:, y1i * W + x0i] * 255.0 + 0.5)
+    t11 = xp.floor(flat[:, y1i * W + x1i] * 255.0 + 0.5)
+    a = _fixed_lerp(xp, t00, t01, fy)
+    b = _fixed_lerp(xp, t10, t11, fy)
+    return _fixed_lerp(xp, a, b, fx) * (1.0 / 255.0)
 
 
 def sample_alpha(xp, atlas, u, v, u0, v0, u1, v1):
-    """Bilinear sample of an alpha [H, W] atlas with uv-rect clamping."""
+    """Bilinear sample of an alpha [H, W] atlas with uv-rect clamping;
+    swgl's fixed-point filtering (textureLinearUnpackedR8)."""
     H, W = atlas.shape
     u = xp.clip(u, u0 + 0.5, xp.maximum(u1 - 0.5, u0 + 0.5))
     v = xp.clip(v, v0 + 0.5, xp.maximum(v1 - 0.5, v0 + 0.5))
-    uf = u - 0.5
-    vf = v - 0.5
-    xi0 = xp.floor(uf)
-    yi0 = xp.floor(vf)
-    fx = uf - xi0
-    fy = vf - yi0
-    x0i = xp.clip(xi0.astype("int32"), 0, W - 1)
-    y0i = xp.clip(yi0.astype("int32"), 0, H - 1)
+    x0i, y0i, row1, fx, fy = swgl_bilinear_coords(xp, u, v, W, H)
+    y1i = y0i + row1
     x1i = xp.clip(x0i + 1, 0, W - 1)
-    y1i = xp.clip(y0i + 1, 0, H - 1)
     flat = atlas.reshape(-1)
-    t00 = flat[y0i * W + x0i]
-    t10 = flat[y0i * W + x1i]
-    t01 = flat[y1i * W + x0i]
-    t11 = flat[y1i * W + x1i]
-    top = t00 * (1.0 - fx) + t10 * fx
-    bot = t01 * (1.0 - fx) + t11 * fx
-    return top * (1.0 - fy) + bot * fy
+    t00 = xp.floor(flat[y0i * W + x0i] * 255.0 + 0.5)
+    t10 = xp.floor(flat[y0i * W + x1i] * 255.0 + 0.5)
+    t01 = xp.floor(flat[y1i * W + x0i] * 255.0 + 0.5)
+    t11 = xp.floor(flat[y1i * W + x1i] * 255.0 + 0.5)
+    a = _fixed_lerp(xp, t00, t01, fy)
+    b = _fixed_lerp(xp, t10, t11, fy)
+    return _fixed_lerp(xp, a, b, fx) * (1.0 / 255.0)
 
 
 # ---------------------------------------------------------------------------
@@ -851,10 +873,43 @@ def clip_coverage(xp, rec, transforms, px, py, mask_plane, gather_row):
     masked = sample_alpha(xp, mask_plane, mask_u, mask_v,
                           rec[16], rec[17], rec[18], rec[19]) * rect_cov
     poly = polygon_coverage(xp, rec, px, py)
+    bshadow = box_shadow_ninepatch_coverage(xp, rec, lx, ly, sx, sy,
+                                            mask_plane)
     cov = xp.where(kind < 0.5, rect_cov,
                    xp.where(kind < 1.5, rounded,
-                            xp.where(kind < 2.5, masked, poly)))
+                            xp.where(kind < 2.5, masked,
+                                     xp.where(kind < 3.5, poly, bshadow))))
     return xp.where(rec[12] > 0.5, 1.0 - cov, cov)
+
+
+def box_shadow_ninepatch_coverage(xp, rec, lx, ly, sx, sy, mask_plane):
+    """Kind-4 clip: box-shadow nine-patch (cs_clip_box_shadow.glsl).
+    rec layout: [0:4] dest rect, [4:6] original alloc size (local units),
+    [6:8] stretch modes (1 = Stretch / 0 = Simple), [15] clip mode
+    (0 outset / 1 inset), [16:20] cached blurred-mask uv rect (color-atlas
+    red plane).  The mask fraction mapping follows the shader's
+    vEdge/vUv math; the sample is swgl's fixed-point bilinear."""
+    dw = xp.maximum(rec[2] - rec[0], 1e-6)
+    dh = xp.maximum(rec[3] - rec[1], 1e-6)
+    aw = xp.maximum(rec[4], 1e-6)
+    ah = xp.maximum(rec[5], 1e-6)
+    u_lin = xp.where(rec[6] > 0.5, (lx - rec[0]) / aw, (lx - rec[0]) / dw)
+    v_lin = xp.where(rec[7] > 0.5, (ly - rec[1]) / ah, (ly - rec[1]) / dh)
+    e0x = xp.where(rec[6] > 0.5, 0.5, 1.0)
+    e1x = xp.where(rec[6] > 0.5, dw / aw - 0.5, 1.0)
+    e0y = xp.where(rec[7] > 0.5, 0.5, 1.0)
+    e1y = xp.where(rec[7] > 0.5, dh / ah - 0.5, 1.0)
+    uu = xp.clip(u_lin, 0.0, e0x) + xp.maximum(0.0, u_lin - e1x)
+    vv = xp.clip(v_lin, 0.0, e0y) + xp.maximum(0.0, v_lin - e1y)
+    mu = rec[16] + uu * (rec[18] - rec[16])
+    mv = rec[17] + vv * (rec[19] - rec[17])
+    texel = sample_alpha(xp, mask_plane, mu, mv,
+                         rec[16], rec[17], rec[18], rec[19])
+    in_rect = rect_coverage(xp, rec[0], rec[1], rec[2], rec[3],
+                            lx, ly, sx, sy, 0xF)
+    mode = rec[15]
+    alpha = texel * (1.0 - mode) + (1.0 - texel) * mode
+    return mode * (1.0 - in_rect) + alpha * in_rect
 
 
 def polygon_coverage(xp, rec, px, py):

@@ -111,8 +111,8 @@ def render_tiles(f32_buf, instances, transforms, tile_insts, tile_origins,
     nt_chunk = 8  # tiles per vmap batch: bounds gather scratch on TPU
     pattern_fns = [_pattern_branch(k) for k in kinds]
     blend_fns = [
-        (lambda op: lambda src, dst: blend_mod.blend_src_over_dst(
-            jnp, op, src, dst))(b) for b in blends]
+        (lambda op: lambda color, cov, mcov, dst: blend_mod.compose_swgl(
+            jnp, op, color, cov, mcov, dst))(b) for b in blends]
 
     if clear_color.ndim == 1:
         init_tiles = jnp.broadcast_to(
@@ -138,14 +138,26 @@ def render_tiles(f32_buf, instances, transforms, tile_insts, tile_origins,
             cov = pk.rect_coverage(jnp, p[4], p[5], p[6], p[7], lx, ly,
                                    sx, sy, rec[INST_EDGE_AA])
 
-            def clip_body(j, cov):
+            def clip_body(j, carry):
+                cov, m8 = carry
                 crec = jax.lax.dynamic_slice(
                     f32_buf, (rec[INST_CLIP_ADDR] + j * CLIP_STRIDE,),
                     (CLIP_STRIDE,))
-                return cov * pk.clip_coverage(jnp, crec, transforms, px, py,
-                                              mask_plane,
-                                              lambda t, idx: t[idx])
-            cov = jax.lax.fori_loop(0, rec[INST_CLIP_COUNT], clip_body, cov)
+                ccov = pk.clip_coverage(jnp, crec, transforms, px, py,
+                                        mask_plane, lambda t, idx: t[idx])
+                # plain rect clips shrink the span geometry (AA path);
+                # everything else renders into the u8 clip-mask chain
+                # (cs_clip_* passes multiply the R8 target — each step
+                # quantizes, render_task.rs new_mask)
+                is_geom = jnp.logical_and(crec[14] < 0.5, crec[12] < 0.5)
+                c8 = jnp.rint(ccov * 255.0)
+                m8n = jnp.floor((c8 * m8 + c8) * (1.0 / 256.0))
+                return (jnp.where(is_geom, cov * ccov, cov),
+                        jnp.where(is_geom, m8, m8n))
+            m8_init = jnp.full(cov.shape, 255.0, jnp.float32)
+            cov, m8 = jax.lax.fori_loop(0, rec[INST_CLIP_COUNT], clip_body,
+                                        (cov, m8_init))
+            mcov = m8 * (1.0 / 255.0)
 
             if len(pattern_fns) == 1:
                 color = pattern_fns[0](p, lx, ly, px, py, sx, sy, ctx)
@@ -154,13 +166,13 @@ def render_tiles(f32_buf, instances, transforms, tile_insts, tile_origins,
                     kind_lut[rec[INST_KIND]],
                     [functools.partial(f, p, lx, ly, px, py, sx, sy, ctx)
                      for f in pattern_fns])
-            src = color * cov[None]
             if len(blend_fns) == 1:
-                blended = blend_fns[0](src, fb)
+                blended = blend_fns[0](color, cov, mcov, fb)
             else:
                 blended = jax.lax.switch(
                     blend_lut[rec[INST_BLEND]],
-                    [functools.partial(f, src, fb) for f in blend_fns])
+                    [functools.partial(f, color, cov, mcov, fb)
+                     for f in blend_fns])
             return jnp.where(iid >= 0, blended, fb)
 
         return jax.lax.fori_loop(0, slots, body, init)
@@ -206,26 +218,100 @@ def disassemble_tiles(img, nx: int, ny: int):
         ny * nx, 4, TILE_H, TILE_W)
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "axis"),
+@functools.partial(jax.jit, static_argnames=("radius", "axis", "bw", "bh"),
                    donate_argnums=(0,))
-def blur_region(src, weights, *, radius: int, axis: int):
-    """Separable gaussian blur of a planar [4, h, w] region; transparent
-    beyond the edges (`cs_blur.glsl` semantics for offscreen targets)."""
+def blur_region(src, weights, *, radius: int, axis: int,
+                bw: int = 0, bh: int = 0):
+    """Separable gaussian blur of a planar [4, h, w] region.  Sampling is
+    clamped into the blur region [0, bw) × [0, bh) (`cs_blur.glsl` vUvRect:
+    taps read the clamped edge texel beyond it, and fragments outside the
+    region reduce to copies of the edge output)."""
+    h, w = src.shape[1], src.shape[2]
+    if bw <= 0:
+        bw = w
+    if bh <= 0:
+        bh = h
+    # swgl gaussianBlur*: u8 texels × integer weights accumulated in u16
+    # with saturation, truncating `>> 8` (texture.h:1166-1310); exact in
+    # f32 since every intermediate is an integer < 2^24
+    content = jnp.floor(src[:, :bh, :bw] * 255.0 + 0.5)
     pad = [(0, 0), (0, 0), (0, 0)]
     pad[1 + axis] = (radius, radius)
-    x = jnp.pad(src, pad)
-    out = jnp.zeros_like(src)
+    x = jnp.pad(content, pad, mode="edge")
+    out = jnp.zeros_like(content)
     for k in range(2 * radius + 1):
         if axis == 0:
-            sl = x[:, k:k + src.shape[1], :]
+            sl = x[:, k:k + bh, :]
         else:
-            sl = x[:, :, k:k + src.shape[2]]
+            sl = x[:, :, k:k + bw]
         out = out + weights[k] * sl
-    return out
+    out = jnp.floor(jnp.minimum(out, 65535.0) * (1.0 / 256.0)) \
+        * (1.0 / 255.0)
+    # fragments beyond the blur region sample fully-clamped taps — i.e.
+    # replicate the edge output across the task margin
+    return jnp.pad(out, ((0, 0), (0, h - bh), (0, w - bw)), mode="edge")
 
 
 def gaussian_weights(sigma: float, radius: int) -> np.ndarray:
-    xs = np.arange(-radius, radius + 1, dtype=np.float64)
-    w = np.exp(-0.5 * (xs / max(sigma, 1e-6)) ** 2)
-    w /= w.sum()
-    return w.astype(np.float32)
+    """swgl's integer blur weights, exactly: the vertex shader's f32
+    incremental-gaussian recurrence for the normalization total
+    (cs_blur.glsl calculate_gauss_coefficients :47-70), then each tap's
+    coefficient quantized `uint16_t(coeff * 256 + 0.5)` with the same f32
+    recurrence (swgl/src/texture.h gaussianBlurHorizontal :1166-1239).
+    Returns the symmetric [2*radius+1] tap array of integer weights (as
+    f32 values; the blur accumulates w*c exactly in f32 and truncates
+    `>> 8` like swgl's u16 pipeline)."""
+    f = np.float32
+    s = f(sigma)
+    x = f(1.0) / f(np.sqrt(f(2.0) * f(3.14159265)) * s)
+    y = f(np.exp(f(-0.5) / (s * s)))
+    z = f(y * y)
+    gx, gy = x, y
+    total = gx
+    i = 1
+    while i <= radius:
+        gx = f(gx * gy)
+        gy = f(gy * z)
+        sub = gx
+        gx = f(gx * gy)
+        gy = f(gy * z)
+        sub = f(sub + gx)
+        total = f(total + f(f(2.0) * sub))
+        i += 2
+    coeff = f(f(x / total) * f(256.0))
+    step = y
+    step2 = f(y * y)
+    w = np.zeros(2 * radius + 1, np.float32)
+    w[radius] = np.trunc(f(coeff + f(0.5)))
+    for k in range(1, radius + 1):
+        coeff = f(coeff * step)
+        step = f(step * step2)
+        wk = np.trunc(f(coeff + f(0.5)))
+        w[radius + k] = wk
+        w[radius - k] = wk
+    return w
+
+def resample_bilinear(xp, src, dw: int, dh: int):
+    """cs_scale.glsl resample with swgl's fixed-point bilinear filtering
+    (texture.h textureLinearPlanarRGBA8): each target texel samples the
+    source at `src_size * (i + 0.5) / dst_size`, clamped half a texel
+    inside, with 7-bit fractions and truncating int16 lerps.  `src` is a
+    planar [4, h, w] array of u8-quantized values; returns the same."""
+    c, h, w = src.shape
+    u = (xp.arange(dw).astype("float32") + 0.5) * (w / dw)
+    v = (xp.arange(dh).astype("float32") + 0.5) * (h / dh)
+    u = xp.clip(u, 0.5, max(w - 0.5, 0.5))
+    v = xp.clip(v, 0.5, max(h - 0.5, 0.5))
+    from . import patterns as _pk
+    ug, vg = xp.meshgrid(u, v)
+    x0, y0, row1, fx, fy = _pk.swgl_bilinear_coords(xp, ug, vg, w, h)
+    y1 = y0 + row1
+    x1 = xp.clip(x0 + 1, 0, w - 1)
+    flat = src.reshape(c, -1)
+    t00 = xp.floor(flat[:, y0 * w + x0] * 255.0 + 0.5)
+    t10 = xp.floor(flat[:, y0 * w + x1] * 255.0 + 0.5)
+    t01 = xp.floor(flat[:, y1 * w + x0] * 255.0 + 0.5)
+    t11 = xp.floor(flat[:, y1 * w + x1] * 255.0 + 0.5)
+    a = _pk._fixed_lerp(xp, t00, t01, fy[None])
+    b = _pk._fixed_lerp(xp, t10, t11, fy[None])
+    return _pk._fixed_lerp(xp, a, b, fx[None]) * (1.0 / 255.0)

@@ -31,8 +31,8 @@ from ..ops.raster import gaussian_weights
 
 
 def _quantize_unorm8(img):
-    """RGBA8 offscreen target quantization — round half to even like GPU
-    unorm conversion (see renderer.py)."""
+    """RGBA8 offscreen target quantization — swgl pack rounding:
+    roundfast = SSE2 cvtps round-half-even of v*255 (glsl.h:732)."""
     return np.clip(np.rint(img * np.float32(255.0)),
                    0.0, 255.0).astype(np.float32) * np.float32(1.0 / 255.0)
 
@@ -146,13 +146,10 @@ class SoftwareRenderer:
                 sx, sy, sw, sh = p.src_region
                 dx, dy, dw, dh = p.region
                 src = self.surface_atlas[:, sy:sy + sh, sx:sx + sw]
-                ph, pw = dh * 2 - sh, dw * 2 - sw
-                x = np.pad(src, ((0, 0), (0, max(0, ph)), (0, max(0, pw))),
-                           mode="edge")[:, : dh * 2, : dw * 2]
-                out = 0.25 * (x[:, 0::2, 0::2] + x[:, 1::2, 0::2] +
-                              x[:, 0::2, 1::2] + x[:, 1::2, 1::2])
+                from ..ops.raster import resample_bilinear
+                out = resample_bilinear(np, src, dw, dh)
                 self.surface_atlas[:, dy:dy + dh, dx:dx + dw] = \
-                    _quantize_unorm8(out.astype(np.float32))
+                    out.astype(np.float32)
         rgba = np.transpose(fb, (1, 2, 0))
         # unorm8 conversion in f64: GL's float->u8 rounds the exact product,
         # not an f32 intermediate (f32*255 can round 229.49999 up to 229.5);
@@ -210,12 +207,20 @@ class SoftwareRenderer:
             sx, sy = trow[9], trow[10]
             cov = pk.rect_coverage(np, pl[4], pl[5], pl[6], pl[7], lx, ly,
                                    sx, sy, int(rec[INST_EDGE_AA]))
+            m8 = np.full(cov.shape, 255.0, np.float32)
             for j in range(int(rec[INST_CLIP_COUNT])):
                 ca = int(rec[INST_CLIP_ADDR]) + j * CLIP_STRIDE
                 crec = f32[ca:ca + CLIP_STRIDE]
-                cov = cov * pk.clip_coverage(np, crec, frame.transforms,
-                                             px, py, self.color_atlas[0],
-                                             lambda t, idx: t[int(idx)])
+                ccov = pk.clip_coverage(np, crec, frame.transforms,
+                                        px, py, self.color_atlas[0],
+                                        lambda t, idx: t[int(idx)])
+                # rect clips join the span geometry; the rest go through
+                # the u8 clip-mask chain (render_task.rs new_mask)
+                if crec[14] < 0.5 and crec[12] < 0.5:
+                    cov = cov * ccov
+                else:
+                    c8 = np.rint(ccov * np.float32(255.0))
+                    m8 = np.floor((c8 * m8 + c8) * np.float32(1.0 / 256.0))
             kind = int(rec[INST_KIND])
             if kind == KIND_SOLID:
                 color = pk.pattern_solid(np, pl, lx, ly)
@@ -245,10 +250,10 @@ class SoftwareRenderer:
                 color = pk.pattern_line_dec(np, pl, lx, ly, sx, sy)
             else:
                 continue
-            src = (color * cov[None]).astype(np.float32)
             dst = target[:, y0:y1, x0:x1]
-            target[:, y0:y1, x0:x1] = blend_mod.blend_src_over_dst(
-                np, int(rec[INST_BLEND]), src, dst)
+            target[:, y0:y1, x0:x1] = blend_mod.compose_swgl(
+                np, int(rec[INST_BLEND]), color.astype(np.float32), cov,
+                m8 * np.float32(1.0 / 255.0), dst).astype(np.float32)
 
     # ------------------------------------------------------------------
     def _blur(self, p) -> None:
@@ -261,13 +266,23 @@ class SoftwareRenderer:
         radius = max(1, int(np.ceil(1.5 * p.sigma)) * 2)
         w = gaussian_weights(p.sigma, radius)
         axis = 2 if p.kind == PASS_BLUR_H else 1
+        bw, bh = p.blur_region if p.blur_region is not None else (sw, sh)
+        # swgl gaussianBlur*: u8 texels × integer weights, u16-saturating
+        # accumulate, truncating >>8; sampling clamps into the blur region
+        # (cs_blur.glsl vUvRect) = edge-replicate padding of the content,
+        # edge-replicated output across the task margin
+        content = np.floor(src[:, :bh, :bw] * np.float32(255.0) + 0.5)
         pad = [(0, 0), (0, 0), (0, 0)]
         pad[axis] = (radius, radius)
-        x = np.pad(src, pad)
-        out = np.zeros_like(src)
+        x = np.pad(content, pad, mode="edge")
+        out = np.zeros_like(content)
         for k in range(2 * radius + 1):
             if axis == 1:
-                out += w[k] * x[:, k:k + sh, :]
+                out += w[k] * x[:, k:k + bh, :]
             else:
-                out += w[k] * x[:, :, k:k + sw]
-        self.surface_atlas[:, dy:dy + sh, dx:dx + sw] = _quantize_unorm8(out)
+                out += w[k] * x[:, :, k:k + bw]
+        out = np.floor(np.minimum(out, 65535.0) * np.float32(1.0 / 256.0)) \
+            * np.float32(1.0 / 255.0)
+        out = np.pad(out, ((0, 0), (0, sh - bh), (0, sw - bw)), mode="edge")
+        self.surface_atlas[:, dy:dy + sh, dx:dx + sw] = \
+            out.astype(np.float32)

@@ -127,36 +127,45 @@ def _blur_rows_sharded(src, weights, *, radius: int, axis: int, mesh: Mesh):
                 # halo wider than a shard: fall back to gather-all
                 full = jax.lax.all_gather(x, MESH_AXIS, axis=1, tiled=True)
                 pad = [(0, 0), (radius, radius), (0, 0)]
-                fp = jnp.pad(full, pad)
+                fp = jnp.pad(full, pad, mode="edge")
                 out = jnp.zeros_like(full)
                 for k in range(2 * radius + 1):
                     out = out + w[k] * fp[:, k:k + full.shape[1], :]
+                out = jnp.floor(jnp.minimum(out, 65535.0) * (1.0 / 256.0)) \
+                    * (1.0 / 255.0)
                 i = jax.lax.axis_index(MESH_AXIS)
                 h = x.shape[1]
                 return jax.lax.dynamic_slice(
                     out, (0, i * h, 0), (4, h, full.shape[2]))
             # rows above come from the previous shard's bottom rows,
-            # rows below from the next shard's top rows; edge shards
-            # receive zeros (transparent beyond the image, matching
-            # blur_region's zero padding)
+            # rows below from the next shard's top rows; boundary shards
+            # replicate their own edge rows (cs_blur.glsl vUvRect clamp —
+            # taps beyond the blur region read the clamped edge texel)
             top_halo = jax.lax.ppermute(
                 x[:, -radius:, :], MESH_AXIS,
                 perm=[(i, i + 1) for i in range(n - 1)])
             bot_halo = jax.lax.ppermute(
                 x[:, :radius, :], MESH_AXIS,
                 perm=[(i + 1, i) for i in range(n - 1)])
+            idx = jax.lax.axis_index(MESH_AXIS)
+            top_edge = jnp.repeat(x[:, :1, :], radius, axis=1)
+            bot_edge = jnp.repeat(x[:, -1:, :], radius, axis=1)
+            top_halo = jnp.where(idx == 0, top_edge, top_halo)
+            bot_halo = jnp.where(idx == n - 1, bot_edge, bot_halo)
             ext = jnp.concatenate([top_halo, x, bot_halo], axis=1)
             out = jnp.zeros_like(x)
             for k in range(2 * radius + 1):
                 out = out + w[k] * ext[:, k:k + x.shape[1], :]
-            return out
+            return jnp.floor(jnp.minimum(out, 65535.0) * (1.0 / 256.0)) \
+                * (1.0 / 255.0)
         # horizontal: pure local work
         pad = [(0, 0), (0, 0), (radius, radius)]
-        ext = jnp.pad(x, pad)
+        ext = jnp.pad(x, pad, mode="edge")
         out = jnp.zeros_like(x)
         for k in range(2 * radius + 1):
             out = out + w[k] * ext[:, :, k:k + x.shape[2]]
-        return out
+        return jnp.floor(jnp.minimum(out, 65535.0) * (1.0 / 256.0)) \
+            * (1.0 / 255.0)
 
     fn = jax.shard_map(shard_fn, mesh=mesh,
                        in_specs=(P(None, MESH_AXIS, None), P()),
@@ -164,17 +173,27 @@ def _blur_rows_sharded(src, weights, *, radius: int, axis: int, mesh: Mesh):
     return fn(src, weights)
 
 
-def blur_image_sharded(mesh: Mesh, src, weights, *, radius: int, axis: int):
+def blur_image_sharded(mesh: Mesh, src, weights, *, radius: int, axis: int,
+                       bw: int = 0, bh: int = 0):
     """Separable gaussian blur of a planar [4, h, w] image with the row axis
     sharded over `mesh`; vertical blurs halo-exchange boundary rows via
-    `ppermute` (the ICI path).  Transparent beyond the edges — bit-equal to
+    `ppermute` (the ICI path).  Sampling clamps into the blur region
+    [0, bw) × [0, bh) like cs_blur.glsl's vUvRect — implemented by
+    edge-replicating the content across the task margin first (taps beyond
+    the region then read the same clamped-edge texel) — bit-equal to
     ops.raster.blur_region."""
     n = mesh.devices.size
     c, h, w = src.shape
+    if bw <= 0:
+        bw = w
+    if bh <= 0:
+        bh = h
+    src = jnp.pad(jnp.floor(src[:, :bh, :bw] * 255.0 + 0.5),
+                  ((0, 0), (0, h - bh), (0, w - bw)), mode="edge")
     ph = (-h) % n
     x = jnp.asarray(src)
     if ph:
-        x = jnp.pad(x, ((0, 0), (0, ph), (0, 0)))
+        x = jnp.pad(x, ((0, 0), (0, ph), (0, 0)), mode="edge")
     rows_sh = NamedSharding(mesh, P(None, MESH_AXIS, None))
     x = jax.device_put(x, rows_sh)
     out = _blur_rows_sharded(x, jnp.asarray(weights), radius=radius,

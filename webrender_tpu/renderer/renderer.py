@@ -49,9 +49,8 @@ def _upload_alpha(atlas, texels, x: int, y: int):
 
 def _quantize_unorm8(img):
     """The reference's offscreen surfaces are RGBA8 render targets; quantize
-    intermediate results to 8-bit so filter/composite chains match exactly.
-    GPU unorm conversion rounds half-to-even (127.5→128 for
-    filter-saturate-red-alpha-1, 178.5→178 for svgfe-subregion-bigger)."""
+    intermediate results to 8-bit exactly as swgl packs shader output:
+    roundfast = SSE2 cvtps round-half-even of v*255 (glsl.h:732)."""
     return jnp.clip(jnp.rint(img * 255.0), 0.0, 255.0) * (1.0 / 255.0)
 
 
@@ -109,15 +108,11 @@ def _apply_channel_lut(src, lut):
 
 @functools.partial(jax.jit, static_argnames=("dw", "dh"))
 def _downscale2x(src, dw: int, dh: int):
-    """2x2 box filter downscale (cs_scale.glsl role)."""
-    c, h, w = src.shape
-    ph = dh * 2 - h
-    pw = dw * 2 - w
-    x = jnp.pad(src, ((0, 0), (0, max(0, ph)), (0, max(0, pw))),
-                mode="edge")
-    x = x[:, : dh * 2, : dw * 2]
-    return 0.25 * (x[:, 0::2, 0::2] + x[:, 1::2, 0::2] +
-                   x[:, 0::2, 1::2] + x[:, 1::2, 1::2])
+    """cs_scale.glsl via swgl's fixed-point bilinear (ops.raster
+    .resample_bilinear): a truncating 2x2 average at exact halving,
+    fractional for truncated target sizes (RenderTask::new_scaling)."""
+    from ..ops.raster import resample_bilinear
+    return resample_bilinear(jnp, src, dw, dh)
 
 
 @functools.partial(jax.jit, static_argnames=("nx", "ny"))
@@ -142,7 +137,12 @@ def _slice_composite(fb, img, dst_x, dst_y, src_x, src_y, *, w: int, h: int):
     (composite.rs draw-compositor tile draw)."""
     src = jax.lax.dynamic_slice(img, (0, src_y, src_x), (4, h, w))
     dst = jax.lax.dynamic_slice(fb, (0, dst_y, dst_x), (4, h, w))
-    out = src + dst * (1.0 - src[3:4])
+    # swgl integer src-over (blend.h:473): u8-domain exact in f32
+    s8 = jnp.floor(src * 255.0 + 0.5)
+    d8 = jnp.floor(dst * 255.0 + 0.5)
+    a8 = jnp.broadcast_to(s8[3:4], s8.shape)
+    out8 = s8 + d8 - jnp.floor((d8 * a8 + d8) * (1.0 / 256.0))
+    out = jnp.clip(out8, 0.0, 255.0) * (1.0 / 255.0)
     return jax.lax.dynamic_update_slice(fb, out, (0, dst_y, dst_x))
 
 
@@ -649,10 +649,13 @@ class Renderer:
         weights = jnp.asarray(gaussian_weights(sigma, radius))
         src = jax.lax.dynamic_slice(self.surface_atlas, (0, sy, sx),
                                     (4, sh, sw))
-        if self.mesh is not None and sh >= 2 * self.mesh.devices.size:
+        bw, bh = p.blur_region if p.blur_region is not None else (sw, sh)
+        if self.mesh is not None and bh >= 2 * self.mesh.devices.size:
             from ..parallel.mesh import blur_image_sharded
             blurred = blur_image_sharded(self.mesh, src, weights,
-                                         radius=radius, axis=axis)
+                                         radius=radius, axis=axis,
+                                         bw=bw, bh=bh)
         else:
-            blurred = blur_region(src, weights, radius=radius, axis=axis)
+            blurred = blur_region(src, weights, radius=radius, axis=axis,
+                                  bw=bw, bh=bh)
         self.surface_atlas = _copy_region(self.surface_atlas, blurred, dx, dy)
