@@ -120,6 +120,59 @@ inline float rounded_rect_coverage(const float* r, const float* radii,
   return cov;
 }
 
+// swgl fwidth(local_pos) (glsl.h:765): |dFdx(lx)| + |dFdx(ly)| from the
+// projective inverse map's screen-X derivatives.
+inline float local_fwidth(const float* tr, float lx, float ly, float px,
+                          float py) {
+  float w = px * tr[2] + py * tr[5] + tr[8];
+  if (std::fabs(w) < 1e-9f) w = 1e-9f;
+  float dlx = (tr[0] - lx * tr[2]) / w;
+  float dly = (tr[1] - ly * tr[2]) / w;
+  return std::fabs(dlx) + std::fabs(dly);
+}
+
+// transform.glsl rectangle_aa_fragment + SWGL distance_aa_xy
+inline float rect_coverage_tx(float x0, float y0, float x1, float y1,
+                              float lx, float ly, float fw) {
+  float dx = std::max(x0 - lx, lx - x1);
+  float dy = std::max(y0 - ly, ly - y1);
+  if (fw < 1e-9f) fw = 1e-9f;
+  return clampf(0.5f - std::max(dx, dy) / fw, 0.f, 1.f);
+}
+
+inline bool is_transformed(const float* tr) {
+  return (((int)tr[11]) & 4) != 0;
+}
+
+inline float rect_coverage_auto(const float* tr, float x0, float y0,
+                                float x1, float y1, float lx, float ly,
+                                float px, float py, int edge_aa) {
+  if (is_transformed(tr))
+    return rect_coverage_tx(x0, y0, x1, y1, lx, ly,
+                            local_fwidth(tr, lx, ly, px, py));
+  return rect_coverage(x0, y0, x1, y1, lx, ly, tr[9], tr[10], edge_aa);
+}
+
+inline float rounded_rect_coverage_auto(const float* tr, const float* r,
+                                        const float* radii, float lx,
+                                        float ly, float px, float py) {
+  if (!is_transformed(tr))
+    return rounded_rect_coverage(r, radii, lx, ly, tr[9], tr[10]);
+  float fw = local_fwidth(tr, lx, ly, px, py);
+  if (fw < 1e-9f) fw = 1e-9f;
+  float inv = 1.0f / fw;
+  float cov = rect_coverage_tx(r[0], r[1], r[2], r[3], lx, ly, fw);
+  cov *= corner_coverage(lx, ly, r[0] + radii[0], r[1] + radii[1], radii[0],
+                         radii[1], 1.f, 1.f, inv);
+  cov *= corner_coverage(lx, ly, r[2] - radii[2], r[1] + radii[3], radii[2],
+                         radii[3], -1.f, 1.f, inv);
+  cov *= corner_coverage(lx, ly, r[2] - radii[4], r[3] - radii[5], radii[4],
+                         radii[5], -1.f, -1.f, inv);
+  cov *= corner_coverage(lx, ly, r[0] + radii[6], r[3] - radii[7], radii[6],
+                         radii[7], 1.f, -1.f, inv);
+  return cov;
+}
+
 // swgl fixed-point bilinear (swgl/src/texture.h textureLinearPlanarRGBA8 /
 // linearQuantize): 7-bit fractions, truncating int lerps, y then x.
 inline void sample_plane(const float* plane, int64_t H, int64_t W, float u,
@@ -608,7 +661,7 @@ inline void blend_case_int(int op, const int s[4], const int d[4], int o[4]) {
 // u8 clip-mask via muldiv255, integer blend case, saturate
 inline void compose_px(int op, const float color[4], float cov, int m8,
                        float dst[4]) {
-  if (op >= 64 || (op >= 2 && op <= 6)) {
+  if (op >= 40 || (op >= 2 && op <= 6)) {  // 40.. = SVGFE float domain
     // SVGFE composite ops / linearRGB blends stay in the float domain
     float src[4];
     float mc = cov * ((float)m8 * (1.0f / 255.0f));
@@ -683,6 +736,7 @@ inline void blend_px(int op, const float src[4], float cov, float dst[4]) {
     for (int i = 0; i < 4; i++) dst[i] = src[i] + dst[i] * inv;
     return;
   }
+  if (op >= 40 && op < 64) op = 16 + (op - 40);  // SVGFE float mix
   int mode = op - 16;
   if (mode == 16) {  // plus-lighter
     for (int i = 0; i < 4; i++) dst[i] = std::min(src[i] + dst[i], 1.f);
@@ -751,8 +805,8 @@ int wr_raster_pass(
         float px = ox + (float)x + 0.5f;
         float lx, ly;
         inverse_map(tr, px, py, &lx, &ly);
-        float cov = rect_coverage(p[4], p[5], p[6], p[7], lx, ly, sx, sy,
-                                  edge_aa);
+        float cov = rect_coverage_auto(tr, p[4], p[5], p[6], p[7], lx, ly,
+                                       px, py, edge_aa);
         // clips: rect clips join the span geometry, everything else
         // chains through the u8 clip mask (render_task.rs new_mask)
         int m8 = 255;
@@ -764,13 +818,14 @@ int wr_raster_pass(
           float csx = ct[9], csy = ct[10];
           float ccov;
           if (cr[14] < 0.5f) {
-            ccov = rect_coverage(cr[0], cr[1], cr[2], cr[3], clx, cly, csx,
-                                 csy, 0xF);
+            ccov = rect_coverage_auto(ct, cr[0], cr[1], cr[2], cr[3], clx,
+                                      cly, px, py, 0xF);
           } else if (cr[14] < 1.5f) {
-            ccov = rounded_rect_coverage(cr, cr + 4, clx, cly, csx, csy);
+            ccov = rounded_rect_coverage_auto(ct, cr, cr + 4, clx, cly,
+                                              px, py);
           } else if (cr[14] < 2.5f) {  // image mask: premult red plane
-            float rc = rect_coverage(cr[0], cr[1], cr[2], cr[3], clx, cly,
-                                     csx, csy, 0xF);
+            float rc = rect_coverage_auto(ct, cr[0], cr[1], cr[2], cr[3],
+                                          clx, cly, px, py, 0xF);
             float rw = std::max(cr[2] - cr[0], 1e-6f);
             float rh = std::max(cr[3] - cr[1], 1e-6f);
             float mu = cr[16] + (clx - cr[0]) / rw * (cr[18] - cr[16]);

@@ -41,7 +41,7 @@ from ..scene.prims import (BackdropFilterPrim, BoxShadowPrim, ClearPrim,
 from ..scene.scene import BuiltScene
 from ..scene.spatial_tree import SpatialNodeKind
 from .gpu import (BLEND_ADD, BLEND_CH_CLEAR, BLEND_CLEAR,
-                  BLEND_LINEAR_BASE, BLEND_MIX_BASE,
+                  BLEND_LINEAR_BASE, BLEND_MIX_BASE, BLEND_SVGFE_MIX_BASE,
                   BLEND_NORMAL, BLEND_PD_ATOP, BLEND_PD_IN, BLEND_PD_LIGHTER,
                   BLEND_PD_OUT, BLEND_PD_XOR, CLIP_STRIDE,
                   GRAD_LUT_SIZE, GpuBufferBuilder, KIND_BORDER,
@@ -2052,7 +2052,8 @@ class FrameBuilder:
             elif op in two_input:
                 base = blend_names.get(op)
                 if base is not None:
-                    blend_op = (BLEND_MIX_BASE + base) if base else \
+                    # float-domain mix (cs_svg_filter semantics)
+                    blend_op = (BLEND_SVGFE_MIX_BASE + base) if base else \
                         BLEND_NORMAL
                 else:
                     blend_op = composite_names[op]
@@ -2072,9 +2073,10 @@ class FrameBuilder:
                 tmp = None
                 if linear and not legacy:
                     base = tmp = srgb_pass(base, to_linear=True)
-                blurred, scale = self._push_blur(
-                    base, (node["std_x"] or 0.0) * dev_sx,
-                    (node["std_y"] or 0.0) * dev_sy)
+                ssx = (node["std_x"] or 0.0) * dev_sx
+                ssy = (node["std_y"] or 0.0) * dev_sy
+                base = self._svgfe_blur_input(base, cw, ch, ssx, ssy)
+                blurred, scale = self._push_blur(base, ssx, ssy)
                 if tmp is not None:
                     pool.append(tmp)
                 pre = new_buffer()
@@ -2090,7 +2092,8 @@ class FrameBuilder:
                 ssx = (node["std_x"] or 0.0) * dev_sx
                 ssy = (node["std_y"] or 0.0) * dev_sy
                 if max(ssx, ssy) > 0.01:
-                    blurred, scale = self._push_blur(base, ssx, ssy)
+                    bsrc = self._svgfe_blur_input(base, cw, ch, ssx, ssy)
+                    blurred, scale = self._push_blur(bsrc, ssx, ssy)
                 else:
                     blurred, scale = base, 1
                 c = node["color"] or ColorF.BLACK
@@ -2139,6 +2142,21 @@ class FrameBuilder:
             adj_w = math.ceil(w / scale)
             adj_h = math.ceil(h / scale)
         return int(round(adj_w * scale)), int(round(adj_h * scale))
+
+    def _svgfe_blur_input(self, src: AtlasRegion, cw: int, ch: int,
+                          sx: float, sy: float) -> AtlasRegion:
+        """SVGFE blur inputs are copied into a transparent-padded task of
+        adjusted_blur_source_size so the downscale chain samples even
+        multiples (render_task.rs:2280-2330)."""
+        tw, th = self.adjusted_blur_source_size(cw, ch, sx, sy)
+        if (tw, th) == (src.w, src.h):
+            return src
+        padded = self.surface_atlas.alloc(tw, th)
+        assert padded is not None, "surface atlas full (svgfe blur pad)"
+        self.passes.append(RenderPass(
+            PASS_COPY, TARGET_SURFACE, (padded.x, padded.y, tw, th),
+            src_region=(src.x, src.y, min(cw, tw), min(ch, th))))
+        return AtlasRegion(padded.x, padded.y, tw, th)
 
     def _push_blur(self, src: AtlasRegion, sx: float, sy: float,
                    blur_w: Optional[int] = None,
@@ -3153,10 +3171,9 @@ class FrameBuilder:
             ys = (np.arange(cache_h, dtype=np.float32) + 0.5) / cs
             lx = np.broadcast_to(xs[None, :], (cache_h, cache_w))
             ly = np.broadcast_to(ys[:, None], (cache_h, cache_w))
-            cov = _pk.rounded_rect_coverage(
+            cov = _pk.rounded_rect_sdf_coverage(
                 np, np.asarray(mask_rect, np.float32),
-                np.asarray(sradii, np.float32), lx, ly,
-                np.float32(cs), np.float32(cs))
+                np.asarray(sradii, np.float32), lx, ly, np.float32(cs))
             mask = np.rint(cov * np.float32(255.0)) * np.float32(1 / 255.0)
             plane = mask[None]  # [1, h, w] for the resample helper
             sig = sigma

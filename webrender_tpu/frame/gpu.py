@@ -88,7 +88,8 @@ BLEND_PD_XOR = 5
 BLEND_PD_LIGHTER = 6
 BLEND_CH_CLEAR = 7       # dst·(1−src) per channel (subpixel text punch)
 BLEND_ADD = 8            # dst + src, clamped (subpixel text add)
-BLEND_MIX_BASE = 16      # BLEND_MIX_BASE + MixBlendMode.value
+BLEND_MIX_BASE = 16
+BLEND_SVGFE_MIX_BASE = 40      # BLEND_MIX_BASE + MixBlendMode.value
 BLEND_LINEAR_BASE = 64   # +64 = blend in linearRGB (SVGFE _CONVERTSRGB)
 
 GRAD_LUT_SIZE = 256      # gradient LUT entries (gpu_cache.rs stores 128; we

@@ -55,6 +55,10 @@ def build_transform_palette(resolved: List[ResolvedSpatialNode],
         # backface only within a preserve-3d context (spatial_tree.resolve)
         if node.backface:
             flags += 2.0
+        # bit 2: transformed (not 2d-axis-aligned) — kernels switch to the
+        # fwidth-based AA of transform.glsl/cs_clip (rotations/perspective)
+        if not node.is_2d_axis_aligned:
+            flags += 4.0
         out[i, 0:9] = Hinv.reshape(-1).astype(np.float32)
         out[i, 9] = sx if sx > 1e-9 else 1.0
         out[i, 10] = sy if sy > 1e-9 else 1.0

@@ -26,6 +26,10 @@ BLEND_PD_LIGHTER = 6   # min(src+dst, 1)
 BLEND_CH_CLEAR = 7
 BLEND_ADD = 8
 BLEND_MIX_BASE = 16
+# SVGFE feBlend nodes run the float mix formulas inside the filter shader
+# (cs_svg_filter_node.glsl), NOT the framebuffer's integer KHR blend cases:
+# ops 40..56 = float-domain mix blend of (40 + MixBlendMode)
+BLEND_SVGFE_MIX_BASE = 40
 # +64 on any op = perform the blend in linearRGB: both operands are
 # converted sRGB→linear (straight-alpha), blended, and the result converted
 # back (the _CONVERTSRGB shader variants of cs_svg_filter_node.glsl:105-118)
@@ -319,9 +323,12 @@ def compose_swgl(xp, op: int, color, cov, mcov, dst):
     intermediate is an integer below 2^24."""
     if op >= BLEND_LINEAR_BASE or op in (BLEND_PD_IN, BLEND_PD_OUT,
                                          BLEND_PD_ATOP, BLEND_PD_XOR,
-                                         BLEND_PD_LIGHTER):
-        # SVGFE composite ops run in the filter shader's float domain
-        # (cs_svg_filter_node.glsl), not the framebuffer blender
+                                         BLEND_PD_LIGHTER) or \
+            BLEND_SVGFE_MIX_BASE <= op < BLEND_LINEAR_BASE:
+        # SVGFE composite/blend ops run in the filter shader's float
+        # domain (cs_svg_filter_node.glsl), not the framebuffer blender
+        if BLEND_SVGFE_MIX_BASE <= op < BLEND_LINEAR_BASE:
+            op = BLEND_MIX_BASE + (op - BLEND_SVGFE_MIX_BASE)
         src = color * (cov * mcov)[None]
         out = blend_src_over_dst(xp, op, src, dst)
         return _pack_float(xp, out) * (1.0 / 255.0)
@@ -363,6 +370,8 @@ def blend_src_over_dst(xp, op: int, src, dst):
         return xp.minimum(dst + src, 1.0)
     if op == BLEND_NORMAL or op < BLEND_MIX_BASE:
         return src + dst * (1.0 - src[3])
+    if op >= BLEND_SVGFE_MIX_BASE:
+        op = BLEND_MIX_BASE + (op - BLEND_SVGFE_MIX_BASE)
     mode = op - BLEND_MIX_BASE
     if mode == 0:
         return src + dst * (1.0 - src[3])

@@ -520,8 +520,8 @@ def render_tiles_pallas_dense(dense, tile_counts, tile_origins, clear_color,
             sx = trow[9]
             sy = trow[10]
             edge_aa = r[REC_EDGE].astype(jnp.int32)
-            cov = pk.rect_coverage(jnp, p[4], p[5], p[6], p[7], lx, ly,
-                                   sx, sy, edge_aa)
+            cov = pk.rect_coverage_auto(jnp, trow, p[4], p[5], p[6], p[7],
+                                        lx, ly, px, py, edge_aa)
 
             clip_row = r[REC_CLIP_ROW].astype(jnp.int32)
 
@@ -535,10 +535,11 @@ def render_tiles_pallas_dense(dense, tile_counts, tile_origins, clear_color,
                 clx, cly = pk.inverse_map(jnp, ct, px, py)
                 csx = ct[9]
                 csy = ct[10]
-                rect_cov = pk.rect_coverage(jnp, crec[0], crec[1], crec[2],
-                                            crec[3], clx, cly, csx, csy, 0xF)
-                rounded = pk.rounded_rect_coverage(
-                    jnp, crec[0:4], crec[4:12], clx, cly, csx, csy)
+                rect_cov = pk.rect_coverage_auto(jnp, ct, crec[0], crec[1],
+                                                 crec[2], crec[3], clx, cly,
+                                                 px, py, 0xF)
+                rounded = pk.rounded_rect_coverage_auto(
+                    jnp, ct, crec[0:4], crec[4:12], clx, cly, px, py)
                 poly = pk.polygon_coverage(jnp, crec, px, py)
                 if mask_clips:
                     # image-mask clip (kind 2): the mask value is the color

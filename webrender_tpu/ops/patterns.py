@@ -96,6 +96,40 @@ def rect_coverage(xp, x0, y0, x1, y1, lx, ly, sx, sy, edge_aa):
     return cov_x * cov_y
 
 
+def local_fwidth(xp, trow, lx, ly, px, py):
+    """swgl's fwidth(local_pos) (glsl.h:765): |dFdx(lx)| + |dFdx(ly)| with
+    the screen-X derivatives of the projective inverse map — the uniform
+    AA filter width for transformed primitives."""
+    w = px * trow[2] + py * trow[5] + trow[8]
+    w = xp.where(xp.abs(w) > 1e-9, w, 1e-9)
+    dlx = (trow[0] - lx * trow[2]) / w
+    dly = (trow[1] - ly * trow[2]) / w
+    return xp.abs(dlx) + xp.abs(dly)
+
+
+def rect_coverage_tx(xp, x0, y0, x1, y1, lx, ly, fw):
+    """Transformed-rect AA (transform.glsl rectangle_aa_fragment + SWGL
+    distance_aa_xy): per-axis signed distances scaled by the uniform
+    fwidth, straight-corner max() combine."""
+    dx = xp.maximum(x0 - lx, lx - x1)
+    dy = xp.maximum(y0 - ly, ly - y1)
+    fw_safe = xp.where(fw > 1e-9, fw, 1e-9)
+    d = xp.maximum(dx, dy) / fw_safe
+    return xp.clip(0.5 - d, 0.0, 1.0)
+
+
+def rect_coverage_auto(xp, trow, x0, y0, x1, y1, lx, ly, px, py, edge_aa):
+    """Coverage of a local rect: axis-aligned prims use the per-edge
+    box-filter ramp, transformed prims (palette flag bit 2) the
+    fwidth-based transform path."""
+    sx, sy = trow[9], trow[10]
+    aligned = rect_coverage(xp, x0, y0, x1, y1, lx, ly, sx, sy, edge_aa)
+    fw = local_fwidth(xp, trow, lx, ly, px, py)
+    tx = rect_coverage_tx(xp, x0, y0, x1, y1, lx, ly, fw)
+    is_tx = xp.floor(trow[11] * 0.25) % 2.0 >= 1.0
+    return xp.where(is_tx, tx, aligned)
+
+
 def _corner_coverage(xp, lx, ly, cx, cy, rx, ry, sign_x, sign_y, scale):
     """AA coverage multiplier for one rounded corner (ellipse.rs first-order
     SDF: dist = (g - 1) * g / |∇g|)."""
@@ -115,6 +149,69 @@ def _corner_coverage(xp, lx, ly, cx, cy, rx, ry, sign_x, sign_y, scale):
     dist = (g - 1.0) * g / grad  # local units, positive outside the ellipse
     cov = xp.clip(0.5 - dist * scale, 0.0, 1.0)
     return xp.where(in_region, cov, 1.0)
+
+
+def rounded_rect_sdf_coverage(xp, rect4, radii8, lx, ly, aa_mul):
+    """cs_clip_rectangle's exact fragment math (ellipse.glsl
+    distance_to_rounded_rect): select the corner via the diagonal
+    half-space planes, Taubin first-order ellipse distance
+    g/|∇g| (distance_to_ellipse_approx with scale=1), combined with the
+    rect SDF via max(), one AA clamp with the reciprocal aa range
+    `aa_mul` (compute_aa_range)."""
+    x0, y0, x1, y1 = rect4[0], rect4[1], rect4[2], rect4[3]
+    big = 1e-6
+    pxc = lx
+    pyc = ly
+    # default corner: tiny point, unit radii → hugely negative distance
+    cpx = xp.full_like(lx, big)
+    cpy = xp.full_like(ly, big)
+    civx = xp.ones_like(lx)
+    civy = xp.ones_like(ly)
+    corners = (
+        # (rx, ry, nx, ny, plane point, corner-local p)
+        (radii8[0], radii8[1], -radii8[1], -radii8[0],
+         (x0, y0 + radii8[1]),
+         lambda rx, ry: ((x0 + rx) - pxc, (y0 + ry) - pyc)),
+        (radii8[2], radii8[3], radii8[3], -radii8[2],
+         (x1 - radii8[2], y0),
+         lambda rx, ry: (-((x1 - rx) - pxc), (y0 + ry) - pyc)),
+        (radii8[4], radii8[5], radii8[5], radii8[4],
+         (x1, y1 - radii8[5]),
+         lambda rx, ry: (pxc - (x1 - rx), pyc - (y1 - ry))),
+        (radii8[6], radii8[7], -radii8[7], radii8[6],
+         (x0 + radii8[6], y1),
+         lambda rx, ry: ((x0 + rx) - pxc, -((y1 - ry) - pyc))),
+    )
+    for rx, ry, nx, ny, (ppx, ppy), mk in corners:
+        off = nx * ppx + ny * ppy
+        sel = (nx * pxc + ny * pyc) > off
+        cx, cy = mk(rx, ry)
+        ivx = 1.0 / xp.maximum(rx * rx, 1e-6)
+        ivy = 1.0 / xp.maximum(ry * ry, 1e-6)
+        cpx = xp.where(sel, cx, cpx)
+        cpy = xp.where(sel, cy, cpy)
+        civx = xp.where(sel, ivx, civx)
+        civy = xp.where(sel, ivy, civy)
+    prx = cpx * civx
+    pry = cpy * civy
+    g = cpx * prx + cpy * pry - 1.0
+    dgx = 2.0 * prx
+    dgy = 2.0 * pry
+    norm = xp.sqrt(dgx * dgx + dgy * dgy)
+    ell = g / xp.where(norm > 1e-12, norm, 1e-12)
+    rect = xp.maximum(xp.maximum(x0 - lx, lx - x1),
+                      xp.maximum(y0 - ly, ly - y1))
+    dist = xp.maximum(ell, rect)
+    return xp.clip(0.5 - dist * aa_mul, 0.0, 1.0)
+
+
+def rounded_rect_coverage_auto(xp, trow, rect4, radii8, lx, ly, px, py):
+    """Rounded-rect clip coverage — the cs_clip_rectangle SDF with the
+    fwidth-based reciprocal AA range (uniform across axis-aligned and
+    transformed prims, like the shader)."""
+    fw = local_fwidth(xp, trow, lx, ly, px, py)
+    aa_mul = 1.0 / xp.where(fw > 1e-9, fw, 1e-9)
+    return rounded_rect_sdf_coverage(xp, rect4, radii8, lx, ly, aa_mul)
 
 
 def rounded_rect_coverage(xp, rect4, radii8, lx, ly, sx, sy):
@@ -863,9 +960,10 @@ def clip_coverage(xp, rec, transforms, px, py, mask_plane, gather_row):
     lx, ly = inverse_map(xp, trow, px, py)
     sx, sy = trow[9], trow[10]
     kind = rec[14]
-    rect_cov = rect_coverage(xp, rec[0], rec[1], rec[2], rec[3],
-                             lx, ly, sx, sy, 0xF)
-    rounded = rounded_rect_coverage(xp, rec[0:4], rec[4:12], lx, ly, sx, sy)
+    rect_cov = rect_coverage_auto(xp, trow, rec[0], rec[1], rec[2], rec[3],
+                                  lx, ly, px, py, 0xF)
+    rounded = rounded_rect_coverage_auto(xp, trow, rec[0:4], rec[4:12],
+                                         lx, ly, px, py)
     rw = xp.maximum(rec[2] - rec[0], 1e-6)
     rh = xp.maximum(rec[3] - rec[1], 1e-6)
     mask_u = rec[16] + (lx - rec[0]) / rw * (rec[18] - rec[16])

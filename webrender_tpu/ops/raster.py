@@ -135,8 +135,8 @@ def render_tiles(f32_buf, instances, transforms, tile_insts, tile_origins,
             trow = transforms[rec[INST_SPATIAL]]
             lx, ly = pk.inverse_map(jnp, trow, px, py)
             sx, sy = trow[9], trow[10]
-            cov = pk.rect_coverage(jnp, p[4], p[5], p[6], p[7], lx, ly,
-                                   sx, sy, rec[INST_EDGE_AA])
+            cov = pk.rect_coverage_auto(jnp, trow, p[4], p[5], p[6], p[7],
+                                        lx, ly, px, py, rec[INST_EDGE_AA])
 
             def clip_body(j, carry):
                 cov, m8 = carry

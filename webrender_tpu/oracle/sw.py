@@ -90,11 +90,19 @@ class SoftwareRenderer:
                 self._blur(p)
             elif p.kind == PASS_COPY:
                 sx, sy, sw, sh = p.src_region
-                dx, dy, _, _ = p.region
+                dx, dy, dw, dh = p.region
                 src_arr = fb if p.src_target == TARGET_ROOT \
                     else self.surface_atlas
-                self.surface_atlas[:, dy:dy + sh, dx:dx + sw] = \
-                    _quantize_unorm8(src_arr[:, sy:sy + sh, sx:sx + sw])
+                src = src_arr[:, sy:sy + sh, sx:sx + sw]
+                if dw > sw or dh > sh:
+                    # transparent-padded copy (SVGFE blur input padding)
+                    src = np.pad(src, ((0, 0), (0, max(0, dh - sh)),
+                                       (0, max(0, dw - sw))))
+                    self.surface_atlas[:, dy:dy + dh, dx:dx + dw] = \
+                        _quantize_unorm8(src)
+                else:
+                    self.surface_atlas[:, dy:dy + sh, dx:dx + sw] = \
+                        _quantize_unorm8(src)
             elif p.kind == PASS_CHANNEL_LUT:
                 sx, sy, sw, sh = p.src_region
                 dx, dy, _, _ = p.region
@@ -205,8 +213,9 @@ class SoftwareRenderer:
             trow = frame.transforms[int(rec[INST_SPATIAL])]
             lx, ly = pk.inverse_map(np, trow, px, py)
             sx, sy = trow[9], trow[10]
-            cov = pk.rect_coverage(np, pl[4], pl[5], pl[6], pl[7], lx, ly,
-                                   sx, sy, int(rec[INST_EDGE_AA]))
+            cov = pk.rect_coverage_auto(np, trow, pl[4], pl[5], pl[6],
+                                        pl[7], lx, ly, px, py,
+                                        int(rec[INST_EDGE_AA]))
             m8 = np.full(cov.shape, 255.0, np.float32)
             for j in range(int(rec[INST_CLIP_COUNT])):
                 ca = int(rec[INST_CLIP_ADDR]) + j * CLIP_STRIDE

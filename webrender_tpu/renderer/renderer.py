@@ -263,10 +263,15 @@ class Renderer:
                 self._run_blur(p)
             elif p.kind == PASS_COPY:
                 sx, sy, sw, sh = p.src_region
-                dx, dy, _, _ = p.region
+                dx, dy, dw, dh = p.region
                 src_arr = framebuffer if p.src_target == TARGET_ROOT \
                     else self.surface_atlas
                 src = jax.lax.dynamic_slice(src_arr, (0, sy, sx), (4, sh, sw))
+                if dw > sw or dh > sh:
+                    # transparent-padded copy (render_task.rs:2290 SVGFE
+                    # blur input padding)
+                    src = jnp.pad(src, ((0, 0), (0, max(0, dh - sh)),
+                                        (0, max(0, dw - sw))))
                 self.surface_atlas = _copy_region(self.surface_atlas, src,
                                                   dx, dy)
             elif p.kind == PASS_CHANNEL_LUT:
