@@ -102,18 +102,35 @@ def _apply_font_flags(arr: np.ndarray, left: float, top: float, flags):
     (left, top)."""
     from ..api.font import FontInstanceFlags as F
     h, w = arr.shape[:2]
-    if flags & F.TRANSPOSE:
-        # (x, y) -> (y, x): rot180 of the array transpose
-        arr = np.ascontiguousarray(np.swapaxes(arr, 0, 1)[::-1, ::-1])
-        left, top = top - h, left + w
-        h, w = w, h
-    if flags & F.FLIP_X:
-        arr = np.ascontiguousarray(arr[:, ::-1])
-        left = -(left + w)
-    if flags & F.FLIP_Y:
-        arr = np.ascontiguousarray(arr[::-1, :])
-        top = -(top - h)
-    return arr, float(left), float(top)
+    tr = bool(flags & F.TRANSPOSE)
+    fx = bool(flags & F.FLIP_X)
+    fy = bool(flags & F.FLIP_Y)
+    # The outline path applies the ops by PREPENDING to the glyph-space
+    # input (FontTransform flip_x/swap_xy, rasterizer.rs:356-368): the
+    # point pipeline is swap → flip_x → flip_y → scale, so the composite
+    # bitmap transform differs per flag combination (derived from the
+    # y-up bbox mapping; bearings are y-up (left, top)):
+    # FontTransform operates in y-DOWN glyph space (the FT matrix hands
+    # negated skews to FreeType's y-up outlines); pipeline on the y-down
+    # input point: swap → flip_x → flip_y → scale.  Derived bitmap ops
+    # per combination (t_ = transpose; bearings stay y-up (left, top)):
+    t_ = np.swapaxes(arr, 0, 1)
+    if tr and fx and fy:
+        arr, left, top = t_[::-1, ::-1], top - h, left + w
+    elif tr and fx:
+        arr, left, top = t_[:, ::-1], top - h, -left
+    elif tr and fy:
+        arr, left, top = t_[::-1, :], -top, left + w
+    elif tr:
+        arr, left, top = t_, -top, -left
+    else:
+        if fx:
+            arr = arr[:, ::-1]
+            left = -(left + w)
+        if fy:
+            arr = arr[::-1, :]
+            top = -(top - h)
+    return np.ascontiguousarray(arr), float(left), float(top)
 
 
 def _to_premult_rgba_f32(desc: ImageDescriptor, data: ImageData,
