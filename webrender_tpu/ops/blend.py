@@ -339,7 +339,11 @@ def compose_swgl(xp, op: int, color, cov, mcov, dst):
     s = xp.floor((s * m + s) * (1.0 / 256.0))
     d = xp.floor(dst * 255.0 + 0.5)
     out = _blend_case_int(xp, op, s, d)
-    return xp.clip(out, 0.0, 255.0) * (1.0 / 255.0)
+    out = xp.clip(out, 0.0, 255.0) * (1.0 / 255.0)
+    # fragments with zero geometric coverage are never rasterized (the
+    # span doesn't reach them) — also keeps NaN pattern values from
+    # stale sampling windows out of the accumulator
+    return xp.where(xp.broadcast_to(cov[None] > 0.0, out.shape), out, dst)
 
 
 def blend_src_over_dst(xp, op: int, src, dst):

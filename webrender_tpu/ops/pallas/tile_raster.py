@@ -385,13 +385,15 @@ def dense_dispatch_info(f32_buf, instances, tile_insts, dense_kinds):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("kinds", "blends", "mask_clips"))
+                   static_argnames=("kinds", "blends", "mask_clips",
+                                    "interpret"))
 def render_tiles_pallas_dense(dense, tile_counts, tile_origins, clear_color,
                               f32_rows, alpha_atlas, surface_atlas,
                               color_atlas,
                               *, kinds: Tuple[int, ...],
                               blends: Tuple[int, ...],
-                              mask_clips: bool = False):
+                              mask_clips: bool = False,
+                              interpret: bool = False):
     """Dense-record pallas raster → [nt, 4, TILE_H, TILE_W].
 
     All per-instance state arrives in the tile's own VMEM block — no
@@ -889,6 +891,7 @@ def render_tiles_pallas_dense(dense, tile_counts, tile_origins, clear_color,
         kernel,
         out_shape=jax.ShapeDtypeStruct((nt, 4, TILE_H, TILE_W), jnp.float32),
         grid_spec=grid_spec,
+        interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(tile_counts.reshape(nt, 1, 1), tile_origins.reshape(nt, 1, 2),

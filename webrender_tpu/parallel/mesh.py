@@ -112,6 +112,60 @@ def render_tiles_sharded(mesh: Mesh, f32_buf, instances, transforms,
     return out[:nt]
 
 
+def render_tiles_pallas_sharded(mesh: Mesh, dense, tile_counts,
+                                tile_origins, clear_color, f32_rows,
+                                alpha_atlas, surface_atlas, color_atlas,
+                                *, kinds, blends, mask_clips: bool = False,
+                                interpret: bool = False):
+    """The PRODUCTION raster path sharded: the dense-record Pallas kernel
+    (ops/pallas/tile_raster.render_tiles_pallas_dense) runs per-device on
+    its shard of the tile axis — dense records are already per-tile, so
+    the tile grid is the natural shard unit (the sw_compositor.rs:743
+    band-parallel role on real chips).  GPU-buffer rows and atlases are
+    replicated; no collectives in the pass.  Bit-equal to the unsharded
+    kernel (placement only).  `interpret` runs the kernel in Pallas
+    interpret mode for CPU-mesh dryruns."""
+    from ..ops.pallas.tile_raster import render_tiles_pallas_dense
+    n = mesh.devices.size
+    nt = int(dense.shape[0])
+    padded = -(-nt // n) * n
+    dn = jnp.asarray(dense)
+    cnt = jnp.asarray(tile_counts)
+    org = jnp.asarray(tile_origins)
+    clear = jnp.asarray(clear_color, jnp.float32)
+    per_tile_clear = clear.ndim > 1
+    if padded != nt:
+        dn = jnp.pad(dn, ((0, padded - nt), (0, 0), (0, 0)))
+        cnt = jnp.pad(cnt, (0, padded - nt))
+        org = jnp.pad(org, ((0, padded - nt), (0, 0)))
+        if per_tile_clear:
+            clear = jnp.pad(clear, ((0, padded - nt),) +
+                            ((0, 0),) * (clear.ndim - 1))
+    kinds = tuple(kinds)
+    blends = tuple(blends)
+
+    def shard_fn(d, c, o, cl, fr, aa, sa, ca):
+        return render_tiles_pallas_dense(
+            d, c, o, cl, fr, aa, sa, ca, kinds=kinds, blends=blends,
+            mask_clips=mask_clips, interpret=interpret)
+
+    in_specs = (P(MESH_AXIS), P(MESH_AXIS), P(MESH_AXIS),
+                P(MESH_AXIS) if per_tile_clear else P(),
+                P(), P(), P(), P())
+    fn = jax.shard_map(shard_fn, mesh=mesh, in_specs=in_specs,
+                       out_specs=P(MESH_AXIS), check_vma=False)
+    tile_sh = NamedSharding(mesh, P(MESH_AXIS))
+    repl = NamedSharding(mesh, P())
+    out = fn(jax.device_put(dn, tile_sh), jax.device_put(cnt, tile_sh),
+             jax.device_put(org, tile_sh),
+             jax.device_put(clear, tile_sh if per_tile_clear else repl),
+             jax.device_put(jnp.asarray(f32_rows), repl),
+             jax.device_put(alpha_atlas, repl),
+             jax.device_put(surface_atlas, repl),
+             jax.device_put(color_atlas, repl))
+    return out[:nt]
+
+
 @functools.partial(jax.jit, static_argnames=("radius", "axis", "mesh"))
 def _blur_rows_sharded(src, weights, *, radius: int, axis: int, mesh: Mesh):
     """shard_map body wrapper (jit so the shard_map traces once)."""

@@ -158,10 +158,14 @@ class Renderer:
                  alpha_atlas_size=(2048, 2048),
                  surface_atlas_size=(2048, 4096),
                  use_pallas: Optional[bool] = None,
-                 mesh=None):
+                 mesh=None,
+                 pallas_interpret: bool = False):
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
+        # run the Pallas kernel in interpret mode (CPU mesh dryruns — the
+        # driver validates the production kernel's sharding without chips)
+        self.pallas_interpret = pallas_interpret
         # multi-chip: a 1-D jax.sharding.Mesh shards raster passes by tiles
         # and large blurs by rows (parallel/mesh.py — the sw_compositor.rs
         # tile-band worker model mapped onto devices)
@@ -402,16 +406,6 @@ class Renderer:
         multi-chip sharded (mesh set), Pallas (supported + TPU), or the XLA
         fallback.  Returns [nt, 4, TH, TW] tiles; records the engine used in
         `self.last_engine` (device-correctness evidence for artifacts)."""
-        if self.mesh is not None and \
-                tile_insts.shape[0] >= self.mesh.devices.size:
-            from ..parallel.mesh import render_tiles_sharded
-            self.last_engine = "sharded"
-            self.engine_counts["sharded"] = \
-                self.engine_counts.get("sharded", 0) + 1
-            return render_tiles_sharded(
-                self.mesh, f32_buf, instances, transforms, tile_insts,
-                origins, clear, self.color_atlas, self.alpha_atlas,
-                self.surface_atlas, kinds=kinds, blends=blends, step=step)
         use_pallas = False
         if self.use_pallas and allow_pallas and step == 1.0:
             from ..ops.pallas.tile_raster import (
@@ -441,6 +435,19 @@ class Renderer:
                 cached = (dense, jnp.asarray(counts), pk, pb, mask_clips)
                 if dense_cache_holder is not None:
                     dense_cache_holder._dense_cache = cached
+            if self.mesh is not None and \
+                    tile_insts.shape[0] >= self.mesh.devices.size:
+                from ..parallel.mesh import render_tiles_pallas_sharded
+                self.last_engine = "pallas-sharded"
+                self.engine_counts["pallas-sharded"] = \
+                    self.engine_counts.get("pallas-sharded", 0) + 1
+                return render_tiles_pallas_sharded(
+                    self.mesh, cached[0], cached[1], jnp.asarray(origins),
+                    clear, f32_buf.reshape(-1, 128), self.alpha_atlas,
+                    self.surface_atlas, self.color_atlas,
+                    kinds=cached[2], blends=cached[3],
+                    mask_clips=cached[4],
+                    interpret=self.pallas_interpret)
             self.last_engine = "pallas"
             self.engine_counts["pallas"] = \
                 self.engine_counts.get("pallas", 0) + 1
@@ -448,7 +455,18 @@ class Renderer:
                 cached[0], cached[1], jnp.asarray(origins), clear,
                 f32_buf.reshape(-1, 128), self.alpha_atlas,
                 self.surface_atlas, self.color_atlas,
-                kinds=cached[2], blends=cached[3], mask_clips=cached[4])
+                kinds=cached[2], blends=cached[3], mask_clips=cached[4],
+                interpret=self.pallas_interpret)
+        if self.mesh is not None and \
+                tile_insts.shape[0] >= self.mesh.devices.size:
+            from ..parallel.mesh import render_tiles_sharded
+            self.last_engine = "sharded"
+            self.engine_counts["sharded"] = \
+                self.engine_counts.get("sharded", 0) + 1
+            return render_tiles_sharded(
+                self.mesh, f32_buf, instances, transforms, tile_insts,
+                origins, clear, self.color_atlas, self.alpha_atlas,
+                self.surface_atlas, kinds=kinds, blends=blends, step=step)
         self.last_engine = "xla"
         self.engine_counts["xla"] = self.engine_counts.get("xla", 0) + 1
         return render_tiles(
