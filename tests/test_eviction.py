@@ -203,3 +203,49 @@ def test_many_blurred_surfaces_stay_within_atlas():
     assert frame is not None
     img = backend.render_software()
     assert img.shape == (480, 640, 4)
+
+
+def test_surface_atlas_oom_recovery_ladder():
+    """SurfaceAtlasFullError is recoverable: the backend enables emergency
+    aliasing + grows the cap and rebuilds (VERDICT r2 #9 — no assert-crash
+    reachable from content; renderer/mod.rs:1289 retry role). The recovered
+    frame renders identically to one built with an ample cap."""
+    from webrender_tpu.api import (ColorF, CommonItemProperties,
+                                   DisplayListBuilder, Epoch, PipelineId,
+                                   Point2D, Rect, SpatialId, Transaction)
+    from webrender_tpu.api.display_item import FilterOp
+    from webrender_tpu.render_backend import RenderBackend
+
+    def build(cap):
+        backend = RenderBackend((320, 240))
+        if cap is not None:
+            backend.frame_builder.surface_max_height = cap
+        pid = PipelineId(0, 1)
+        b = DisplayListBuilder(pid)
+        b.begin()
+        root = SpatialId.root_scroll_node(pid)
+        common = CommonItemProperties(Rect(0, 0, 320, 240), root)
+        # nested filter chain: every level holds its source live while the
+        # child renders, so a small cap genuinely overflows
+        for i in range(6):
+            b.push_stacking_context(Point2D(0, 0), root,
+                                    filters=[FilterOp.blur(2.0, 2.0)])
+        b.push_rect(common, Rect(20, 20, 280, 200),
+                    ColorF(0.8, 0.3, 0.1, 1.0))
+        for i in range(6):
+            b.pop_stacking_context()
+        _, dl = b.end()
+        txn = Transaction()
+        txn.set_root_pipeline(pid)
+        txn.set_display_list(Epoch(0), dl)
+        txn.generate_frame()
+        backend.send_transaction(txn)
+        frame = backend.build_frame()
+        assert frame is not None
+        return backend, backend.render_software()
+
+    b_ref, img_ref = build(None)
+    b_small, img_small = build(96)   # tiny cap → must take the ladder
+    assert (b_small.profiler.get("surface_atlas_recoveries") or 0) > 0
+    assert b_ref.profiler.get("surface_atlas_recoveries") is None
+    assert np.array_equal(img_ref, img_small)

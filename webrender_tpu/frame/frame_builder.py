@@ -193,6 +193,11 @@ class FrameBuilder:
     def __init__(self, surface_atlas_size=(2048, 4096)):
         # (h, w) — matches renderer's surface atlas array
         self.surface_atlas_size = surface_atlas_size
+        # surface-OOM recovery state (render_backend.build_frame ladder):
+        # grown cap + emergency aliasing persist across builds so content
+        # that once overflowed keeps its recovered configuration
+        self.surface_max_height = FrameAtlas.MAX_HEIGHT
+        self.surface_emergency = False
 
     def build(self, scene: BuiltScene, resources: ResourceCache,
               device_size: Tuple[int, int], dpr: float = 1.0,
@@ -225,7 +230,9 @@ class FrameBuilder:
         self.metas = _MetaStore()
         self.passes: List[RenderPass] = []
         self.surface_atlas = FrameAtlas(self.surface_atlas_size[1],
-                                        self.surface_atlas_size[0])
+                                        self.surface_atlas_size[0],
+                                        max_height=self.surface_max_height)
+        self.surface_atlas.emergency = self.surface_emergency
         self._clip_cache: Dict[Tuple, Tuple[int, int, Optional[Tuple]]] = {}
         self._clip_meta: Dict[int, Tuple] = {}
         self._scroll_root_cache: Dict[int, Optional[int]] = {}
@@ -1361,7 +1368,6 @@ class FrameBuilder:
         bw = int(math.ceil(bbox[2])) - bx0
         bh = int(math.ceil(bbox[3])) - by0
         dst = self.surface_atlas.alloc(bw, bh)
-        assert dst is not None, "surface atlas full (backdrop)"
         # src coords: device → target-array coords
         sx = x + int(bx0 - ox)
         sy = y + int(by0 - oy)
@@ -1374,7 +1380,6 @@ class FrameBuilder:
                                       c.spatial_node)
         if fs["channel_lut"] is not None:
             lut_dst = self.surface_atlas.alloc(bw, bh)
-            assert lut_dst is not None, "surface atlas full (backdrop lut)"
             self.passes.append(RenderPass(
                 PASS_CHANNEL_LUT, TARGET_SURFACE,
                 (lut_dst.x, lut_dst.y, bw, bh),
@@ -1707,7 +1712,6 @@ class FrameBuilder:
         rw = int(math.ceil(tw / step))
         rh = int(math.ceil(th / step))
         region = self.surface_atlas.alloc(rw, rh)
-        assert region is not None, "surface atlas full"
         region = AtlasRegion(region.x, region.y, rw, rh)
         # content size (the atlas allocator rounds regions up to its
         # alignment; compositing must hug the content or filters would
@@ -1760,7 +1764,6 @@ class FrameBuilder:
                 pic.common.spatial_node, bbox)
         if channel_lut is not None:
             dst = self.surface_atlas.alloc(region.w, region.h)
-            assert dst is not None, "surface atlas full (lut)"
             self.passes.append(RenderPass(
                 PASS_CHANNEL_LUT, TARGET_SURFACE,
                 (dst.x, dst.y, region.w, region.h),
@@ -1883,7 +1886,6 @@ class FrameBuilder:
             if pool:
                 return pool.pop()
             r = self.surface_atlas.alloc(cw, ch)
-            assert r is not None, "surface atlas full (svgfe)"
             return AtlasRegion(r.x, r.y, cw, ch)
 
         def sub_dev(f):
@@ -2152,7 +2154,6 @@ class FrameBuilder:
         if (tw, th) == (src.w, src.h):
             return src
         padded = self.surface_atlas.alloc(tw, th)
-        assert padded is not None, "surface atlas full (svgfe blur pad)"
         self.passes.append(RenderPass(
             PASS_COPY, TARGET_SURFACE, (padded.x, padded.y, tw, th),
             src_region=(src.x, src.y, min(cw, tw), min(ch, th))))
@@ -2193,7 +2194,6 @@ class FrameBuilder:
                 cw, ch = cur.w, cur.h
                 continue
             half = self.surface_atlas.alloc(nw, nh)
-            assert half is not None, "surface atlas full (downscale)"
             self.passes.append(RenderPass(
                 PASS_DOWNSCALE, TARGET_SURFACE, (half.x, half.y, nw, nh),
                 src_region=(cur.x, cur.y, cw, ch)))
@@ -2210,7 +2210,6 @@ class FrameBuilder:
             return cache[blur_key], scale
         tmp = self.surface_atlas.alloc(cw, ch)
         dst = self.surface_atlas.alloc(cw, ch)
-        assert tmp is not None and dst is not None, "surface atlas full (blur)"
         self.passes.append(RenderPass(
             PASS_BLUR_V, TARGET_SURFACE,
             (tmp.x, tmp.y, cw, ch),

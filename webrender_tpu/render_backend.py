@@ -24,7 +24,8 @@ from .api.transaction import (AddFont, AddFontInstance, AddImage, DeleteFont,
 from .api.units import Point2D, Rect, Transform
 from .frame.frame_builder import Frame, FrameBuilder
 from .renderer.renderer import Renderer
-from .resources.atlas import AtlasFullError
+from .resources.atlas import (AtlasFullError, FrameAtlas,
+                              SurfaceAtlasFullError)
 from .resources.resource_cache import ResourceCache
 from .scene.scene import BuiltScene, Scene
 from .scene.scene_builder import build_scene
@@ -135,21 +136,41 @@ class RenderBackend:
             return None
         self.resources.begin_frame()
         with self.profiler.timer("frame_build_time"):
-            try:
-                frame = self.frame_builder.build(
+            def _build():
+                return self.frame_builder.build(
                     self.built_scene, self.resources, self.device_size,
                     self.dpr, scroll_offsets=self.scroll_offsets,
                     properties=self.properties)
+
+            try:
+                frame = _build()
+            except SurfaceAtlasFullError:
+                # per-frame surface demand can't be reduced by clearing
+                # resource caches — recover by enabling emergency region
+                # aliasing and growing the cap, rebuilding until it fits
+                # or the absolute HBM ceiling is hit (the reference's task
+                # graph allocates targets without a fixed cap,
+                # render_task_graph.rs:800)
+                fb = self.frame_builder
+                while True:
+                    fb.surface_emergency = True
+                    self.profiler.bump("surface_atlas_recoveries")
+                    try:
+                        frame = _build()
+                        break
+                    except SurfaceAtlasFullError:
+                        if fb.surface_max_height >= FrameAtlas.ABS_MAX_HEIGHT:
+                            raise
+                        fb.surface_max_height = min(
+                            fb.surface_max_height * 2,
+                            FrameAtlas.ABS_MAX_HEIGHT)
             except AtlasFullError:
-                # OOM recovery (renderer/mod.rs:1289): clear every cache and
-                # rebuild once; a scene that still exceeds the atlases after
-                # a full clear is a genuine error
+                # texture-cache OOM recovery (renderer/mod.rs:1289): clear
+                # every cache and rebuild once; a scene that still exceeds
+                # the atlases after a full clear is a genuine error
                 self.resources.memory_pressure()
                 self.profiler.bump("atlas_oom_recoveries")
-                frame = self.frame_builder.build(
-                    self.built_scene, self.resources, self.device_size,
-                    self.dpr, scroll_offsets=self.scroll_offsets,
-                    properties=self.properties)
+                frame = _build()
         self.last_frame = frame
         # external images stay locked only across the frame's prepare
         # (renderer/mod.rs unlock_external_images after uploads resolve)

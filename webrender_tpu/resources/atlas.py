@@ -28,6 +28,15 @@ class AtlasFullError(RuntimeError):
     (renderer/mod.rs:1289)."""
 
 
+class SurfaceAtlasFullError(AtlasFullError):
+    """The per-frame surface atlas (render targets) is exhausted.  Unlike
+    texture-cache OOM, clearing resource caches cannot shrink per-frame
+    surface demand — the backend instead grows the atlas cap and enables
+    emergency region aliasing, then rebuilds the frame
+    (render_task_graph.rs target allocation is effectively unbounded;
+    renderer/mod.rs:1289 retries rather than crashing)."""
+
+
 class _Shelf:
     __slots__ = ("y", "h", "cursor", "live", "free_spans")
 
@@ -147,11 +156,19 @@ class FrameAtlas:
     to powers of two)."""
 
     MAX_HEIGHT = 16384
+    # absolute emergency ceiling for the OOM-recovery ladder (4096-wide f32
+    # RGBA → 4 GiB; only reachable via repeated SurfaceAtlasFullError
+    # recovery on pathological content)
+    ABS_MAX_HEIGHT = 65536
 
-    def __init__(self, width: int, height: int, align: int = 8):
+    def __init__(self, width: int, height: int, align: int = 8,
+                 max_height: Optional[int] = None):
         self.width = width
         self.height = height          # soft target (initial array height)
-        self.max_height = self.MAX_HEIGHT
+        self.max_height = max_height or self.MAX_HEIGHT
+        # emergency aliasing: reuse any released region that fits, with no
+        # waste bound (set by the backend's surface-OOM recovery)
+        self.emergency = False
         self.align = align
         self.clear()
 
@@ -178,7 +195,8 @@ class FrameAtlas:
         best = -1
         best_area = None
         for i, (fx, fy, fw, fh) in enumerate(self._free):
-            if fw >= w and fh >= h and fw * fh <= 4 * w * h:
+            if fw >= w and fh >= h and \
+                    (self.emergency or fw * fh <= 4 * w * h):
                 if best_area is None or fw * fh < best_area:
                     best, best_area = i, fw * fh
         if best >= 0:
@@ -190,7 +208,7 @@ class FrameAtlas:
             self.cur_x = 0
             self.row_h = 0
         if self.cur_y + h > self.max_height:
-            raise AtlasFullError(
+            raise SurfaceAtlasFullError(
                 f"surface atlas exhausted ({self.cur_y + h} rows needed, "
                 f"cap {self.max_height})")
         region = AtlasRegion(self.cur_x, self.cur_y, w, h)
