@@ -3236,6 +3236,12 @@ class FrameBuilder:
                                           shadow_rect, shadow_radii, radii,
                                           out)
             return
+        # trivial reject (box_shadow.rs:344-346): zero blur + offset +
+        # spread is completely hidden behind the box's own punch-out —
+        # drawing it would leave mask·(1−mask) residue on the corner AA
+        if prim.offset.x == 0.0 and prim.offset.y == 0.0 and \
+                prim.spread_radius == 0.0:
+            return
         sigma = blur_radius_c * 0.5
         spread = prim.spread_radius
         if prim.clip_mode == BoxShadowClipMode.OUTSET:

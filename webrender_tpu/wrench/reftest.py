@@ -201,7 +201,7 @@ class ReftestResult:
 
 
 class ReftestHarness:
-    def __init__(self, window_size=(1024, 768), engine: str = "device"):
+    def __init__(self, window_size=(1920, 1080), engine: str = "device"):
         self.window_size = window_size
         self.engine = engine
         self.engine_counts: dict = {}
@@ -232,22 +232,12 @@ class ReftestHarness:
         try:
             dppx = case.dppx or (case.zoom if case.zoom else None)
             if case.reference.suffix == ".png":
-                # wrench's default window (main.rs:625); readback is
-                # cropped to the PNG's size for comparison
+                # render at wrench's default window size (main.rs:625 —
+                # 1920×1080; default SC bounds and transform/perspective
+                # origins derive from it), crop readback to the PNG size
                 reference = load_png_reference(case.reference)
-                if reference.shape[0] > self.window_size[1] or \
-                        reference.shape[1] > self.window_size[0]:
-                    self_size = (1920, 1080)
-                else:
-                    self_size = self.window_size
-                saved = self.window_size
-                self.window_size = self_size
-                try:
-                    images = [self.render_yaml(p, case.font_render_mode,
-                                               dppx)
-                              for p in case.tests]
-                finally:
-                    self.window_size = saved
+                images = [self.render_yaml(p, case.font_render_mode, dppx)
+                          for p in case.tests]
             else:
                 images = [self.render_yaml(p, case.font_render_mode, dppx)
                           for p in case.tests]

@@ -594,7 +594,7 @@ class YamlFrameReader:
     """yaml_frame_reader.rs YamlFrameReader. `build()` produces a Transaction
     stream against a RenderBackend."""
 
-    def __init__(self, path: str, window_size=(1024, 768),
+    def __init__(self, path: str, window_size=(1920, 1080),
                  font_render_mode=None):
         self.path = Path(path)
         self.aux_dir = self.path.parent
