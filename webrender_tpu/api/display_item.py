@@ -561,6 +561,27 @@ class ReferenceFrameKind(enum.Enum):
     PERSPECTIVE = 1
 
 
+class Rotation(enum.Enum):
+    """display_item.rs:804 Rotation — quarter-turn applied by a computed
+    reference frame (content rendered sideways, e.g. video in a rotated
+    iframe)."""
+    DEGREE_0 = 0
+    DEGREE_90 = 90
+    DEGREE_180 = 180
+    DEGREE_270 = 270
+
+
+@dataclass(frozen=True)
+class ComputedTransform:
+    """ReferenceTransformBinding::Computed (display_item.rs:846-858): the
+    transform is derived at scene-build time from the content size of the
+    enclosing iframe, so that snapping-induced size changes cannot seam.
+    scale_from=None means no scale component."""
+    scale_from: Optional[Size2D] = None
+    vertical_flip: bool = False
+    rotation: Rotation = Rotation.DEGREE_0
+
+
 @dataclass(frozen=True)
 class PushReferenceFrameItem:
     origin: Point2D
@@ -569,6 +590,7 @@ class PushReferenceFrameItem:
     transform: Transform = field(default_factory=Transform.identity)
     kind: ReferenceFrameKind = ReferenceFrameKind.TRANSFORM
     id: Optional[SpatialId] = None  # assigned by builder
+    computed: Optional[ComputedTransform] = None  # overrides `transform`
 
 
 @dataclass(frozen=True)

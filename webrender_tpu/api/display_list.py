@@ -13,7 +13,8 @@ from .color import ColorF
 from .display_item import (
     AlphaType, BackdropFilterItem, BorderItem, BorderRadius, BoxShadowClipMode,
     BoxShadowItem, ClearRectangleItem, ClipChainId, ClipChainItem, ClipId,
-    ClipMode, ColorDepth, ColorRange, CommonItemProperties, ConicGradient, ExtendMode,
+    ClipMode, ColorDepth, ColorRange, CommonItemProperties, ComputedTransform,
+    ConicGradient, ExtendMode,
     ConicGradientItem, FilterData, FilterOp, Gradient, GradientItem,
     GradientStop, HitTestItem, IframeItem, ImageItem, ImageMaskClipItem,
     ImageRendering, LineItem, LineOrientation, LineStyle, MixBlendMode,
@@ -342,6 +343,20 @@ class DisplayListBuilder:
         self.items.append(PushReferenceFrameItem(origin, parent_spatial_id,
                                                  transform_style, transform,
                                                  kind, sid))
+        return sid
+
+    def push_computed_frame(self, origin: Point2D,
+                            parent_spatial_id: SpatialId,
+                            scale_from, vertical_flip: bool,
+                            rotation) -> SpatialId:
+        """display_list.rs push_computed_frame: a reference frame whose
+        transform is computed at scene-build time from the enclosing
+        iframe's content size (ReferenceTransformBinding::Computed)."""
+        sid = self._alloc_spatial()
+        self.items.append(PushReferenceFrameItem(
+            origin, parent_spatial_id, TransformStyle.FLAT,
+            Transform.identity(), ReferenceFrameKind.TRANSFORM, sid,
+            computed=ComputedTransform(scale_from, vertical_flip, rotation)))
         return sid
 
     def pop_reference_frame(self) -> None:

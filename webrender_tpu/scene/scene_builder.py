@@ -85,6 +85,9 @@ class SceneBuilder:
         # (pipeline_ns_key, local spatial index) -> global node index
         self.spatial_map: Dict[Tuple[Tuple[int, int], int], int] = {}
         self._next_spatial = 2
+        # scene_building.rs:484 iframe_size — content size of each
+        # enclosing iframe, consumed by computed reference frames
+        self.iframe_size: List[Size2D] = []
 
     # ------------------------------------------------------------------
     def build(self) -> BuiltScene:
@@ -197,9 +200,12 @@ class SceneBuilder:
                 origin = Point2D(item.origin.x + top.offset.x,
                                  item.origin.y + top.offset.y)
                 gidx = self._alloc_spatial_index()
-                binding = getattr(item.transform, "binding_key", None)
+                transform = item.transform
+                if item.computed is not None:
+                    transform = self._resolve_computed(item.computed)
+                binding = getattr(transform, "binding_key", None)
                 self.spatial_tree.add_reference_frame(
-                    gidx, parent, origin, item.transform,
+                    gidx, parent, origin, transform,
                     transform_binding=binding,
                     is_perspective=item.kind == ReferenceFrameKind.PERSPECTIVE,
                     preserves_3d=item.transform_style == TransformStyle.PRESERVE_3D)
@@ -360,8 +366,46 @@ class SceneBuilder:
         # info.clip_rect; crash/iframe-dup.yaml draws outside bounds)
         clip = self.clip_store.add_node(ClipNode(
             ClipKind.RECT, parent, clip_rect))
+        self.iframe_size.append(Size2D(bounds.w, bounds.h))
         self._build_pipeline(dl, key, top.picture, Point2D(0, 0),
                              top.extra_clips + (clip,))
+        self.iframe_size.pop()
+
+    # ------------------------------------------------------------------
+    def _resolve_computed(self, computed) -> Transform:
+        """ReferenceTransformBinding::Computed → matrix, from the content
+        size of the enclosing iframe (scene_building.rs:1091-1137)."""
+        from ..api.display_item import Rotation
+        cs = self.iframe_size[-1] if self.iframe_size else \
+            Size2D(*getattr(self.scene, "viewport_size", (1024, 768)))
+        quarter = computed.rotation in (Rotation.DEGREE_90,
+                                        Rotation.DEGREE_270)
+        if computed.scale_from is not None:
+            sf = computed.scale_from
+            if quarter:
+                # 90/270: scale_from and content size live in swapped axes
+                t = Transform.scale(cs.height / sf.width, cs.width / sf.height)
+            else:
+                t = Transform.scale(cs.width / sf.width, cs.height / sf.height)
+        else:
+            t = Transform.identity()
+        if computed.vertical_flip:
+            content_h = cs.width if quarter else cs.height
+            t = Transform.scale(1.0, -1.0).then(t) \
+                .then(Transform.translation(0.0, content_h))
+        # Rotation::to_matrix (display_item.rs:811-837): shift the (possibly
+        # axis-swapped) content box's center to the origin, rotate, shift
+        # back to the box center in the rotated space.
+        deg = computed.rotation.value
+        if deg:
+            if quarter:
+                shift = Transform.translation(-cs.height / 2.0, -cs.width / 2.0)
+            else:
+                shift = Transform.translation(-cs.width / 2.0, -cs.height / 2.0)
+            rot = shift.then(Transform.rotation_z(float(deg))) \
+                .then(Transform.translation(cs.width / 2.0, cs.height / 2.0))
+            t = t.then(rot)
+        return t
 
     # ------------------------------------------------------------------
     def _composite_ops(self, item: PushStackingContextItem,

@@ -818,6 +818,7 @@ class YamlFrameReader:
                 "iframe": self._handle_iframe,
                 "stacking-context": self._handle_stacking_context,
                 "reference-frame": self._handle_reference_frame,
+                "computed-frame": self._handle_computed_frame,
                 "shadow": self._handle_push_shadow,
                 "pop-all-shadows": lambda dl, i, info: dl.pop_all_shadows(),
                 "backdrop-filter": self._handle_backdrop_filter,
@@ -1260,6 +1261,24 @@ class YamlFrameReader:
     def _handle_reference_frame(self, dl, item, info):
         default_bounds = Rect(0, 0, *self.window_size)
         sid = self._push_reference_frame(dl, item, default_bounds)
+        self.spatial_id_stack.append(sid)
+        self._add_items(dl, item.get("items"))
+        self.spatial_id_stack.pop()
+        dl.pop_reference_frame()
+
+    def _handle_computed_frame(self, dl, item, info):
+        """yaml_frame_reader.rs handle_computed_frame (:1952)."""
+        from ..api.display_item import Rotation
+        bounds = as_rect(item.get("bounds")) or Rect(0, 0, *self.window_size)
+        sf = item.get("scale-from")
+        scale_from = Size2D(as_f32(sf[0]), as_f32(sf[1])) \
+            if sf is not None else None
+        rotation = Rotation(int(item.get("rotation", 0)))
+        sid = dl.push_computed_frame(
+            bounds.origin, self._top_space(), scale_from,
+            bool(item.get("vertical-flip", False)), rotation)
+        if item.get("id") is not None:
+            self.user_spatial_id_map[item["id"]] = sid
         self.spatial_id_stack.append(sid)
         self._add_items(dl, item.get("items"))
         self.spatial_id_stack.pop()
