@@ -190,6 +190,30 @@ def main():
     e2e_s = (time.perf_counter() - t0) / (e2e_iters + 1)
     e2e_fps = 1.0 / e2e_s
 
+    # stage breakdown of one end-to-end frame (profiler.rs:346-366 role):
+    # where the e2e milliseconds actually go — host frame build, dense-
+    # record device gather, dispatch enqueue, and device execution.  Each
+    # stage is synchronized so the numbers are attributable (the pipelined
+    # loop above overlaps them; this is the serial-cost decomposition).
+    import jax as _jax
+    stages = {}
+    t0 = time.perf_counter()
+    f3 = backend.build_frame()
+    stages["frame_build_ms"] = (time.perf_counter() - t0) * 1000.0
+    r = backend.renderer
+    t0 = time.perf_counter()
+    import jax.numpy as _jnp
+    dev_bufs = [_jnp.asarray(f3.f32_buf), _jnp.asarray(f3.instances),
+                _jnp.asarray(f3.transforms)]
+    _jax.block_until_ready(dev_bufs)
+    stages["host_to_device_ms"] = (time.perf_counter() - t0) * 1000.0
+    t0 = time.perf_counter()
+    fb = r.render_device(f3)
+    stages["dispatch_ms"] = (time.perf_counter() - t0) * 1000.0
+    t0 = time.perf_counter()
+    _jax.block_until_ready(fb)
+    stages["device_exec_ms"] = (time.perf_counter() - t0) * 1000.0
+
     # incremental: unchanged-frame recomposite with picture caching on
     backend.renderer.picture_caching = True
     device_render_once(backend, frame)
@@ -232,6 +256,8 @@ def main():
             "native_cpu_ms_per_frame": round(native_s * 1000.0, 1),
             "frame_build_ms": round(frame_build_ms, 1),
             "frame_build_cold_ms": round(frame_build_cold_ms, 1),
+            "e2e_stage_breakdown_ms": {k: round(v, 2)
+                                       for k, v in stages.items()},
             "raster_engine_mix": engine_mix,
             "passes": len(frame.passes),
             "instances": int(frame.instances.shape[0]),

@@ -201,10 +201,19 @@ class Renderer:
         # content-space tile grids + hashes, keyed by slice identity
         self._slices: Dict[Tuple, Dict] = {}
         self.slice_debug: List[Dict] = []  # PictureCacheDebugInfo analog
+        # partial-present retention (composite.rs PartialPresentCompositor
+        # :1366 role): an unchanged frame — same content signature, no new
+        # uploads — returns the retained framebuffer with ZERO device work,
+        # the analog of presenting the old buffer with an empty dirty rect
+        self._fb_sig = None
+        self._fb_retained = None
+        self._upload_epoch = 0
 
     # ------------------------------------------------------------------
     def apply_uploads(self, uploads: List[PendingUpload]) -> None:
         """renderer/upload.rs role: push pending texel updates into HBM."""
+        if uploads:
+            self._upload_epoch += 1
         for up in uploads:
             r = up.region
             if up.atlas == ATLAS_COLOR:
@@ -229,6 +238,18 @@ class Renderer:
         compositing stays on device)."""
         if resources is not None:
             self.apply_uploads(resources.take_uploads())
+        sig = None
+        if self.picture_caching:
+            sig = self._frame_signature(frame)
+            if sig == self._fb_sig and self._fb_retained is not None:
+                # unchanged frame: empty dirty rect — present the retained
+                # buffer (no dispatches, no transfers)
+                self.last_dirty_tiles = 0
+                self.slice_debug = [{"key": p.slice_key, "dirty": 0,
+                                     "total": p.cache_nx * p.cache_ny}
+                                    for p in frame.passes
+                                    if p.slice_key is not None]
+                return self._fb_retained
         # grow the surface atlas if the frame's FrameAtlas overflowed the
         # current array (pow2-bucketed; per-frame content, so fresh zeros)
         if frame.surface_rows > self.surface_atlas.shape[1]:
@@ -323,7 +344,32 @@ class Renderer:
         if timing and self.profiler is not None:
             total = sum(ms for _, ms in self.gpu_timers)
             self.profiler.set("gpu_time", total)
+        if sig is not None and framebuffer is not None:
+            self._fb_sig = sig
+            self._fb_retained = framebuffer
         return framebuffer
+
+    def _frame_signature(self, frame: Frame):
+        """Content signature of a frame's device-visible inputs.  Two frames
+        with equal signatures (and no intervening uploads) render identical
+        framebuffers — render_device is a pure function of (frame, atlases).
+        Costs ~1 ms of siphash over the flat arrays; saves the whole
+        dispatch+execute pipeline when content is static."""
+        parts = [frame.f32_buf.tobytes(), frame.instances.tobytes(),
+                 frame.transforms.tobytes(),
+                 np.asarray(frame.fb_size).tobytes()]
+        for p in frame.passes:
+            parts.append(repr((p.kind, p.target, p.region, p.origin, p.clear,
+                               p.src_region, p.src_target, p.sigma,
+                               p.blur_region, p.srgb_to_linear, p.src_region2,
+                               p.kvals, p.arith_linear, p.raster_step,
+                               p.slice_key, p.cache_anchor, p.slice_delta,
+                               p.cache_crop)).encode())
+            if p.tile_insts is not None:
+                parts.append(p.tile_insts.tobytes())
+            if p.lut is not None:
+                parts.append(p.lut.tobytes())
+        return (self._upload_epoch, hash(b"\x00".join(parts)))
 
     def render(self, frame: Frame,
                resources: Optional[ResourceCache] = None) -> np.ndarray:
