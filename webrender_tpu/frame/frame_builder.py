@@ -2565,13 +2565,17 @@ class FrameBuilder:
     def _emit_rect_like(self, prim, c: PrimCommon, axis_aligned: bool,
                         out: List[int], kind: int, payload_tail: List[float],
                         blend: int, pattern_rect: Optional[Rect] = None,
-                        snap: bool = True) -> None:
+                        snap: bool = True, edge_mask: int = 0xF) -> None:
         r = c.local_rect
         res = self._emit_common(c, axis_aligned, pattern_rect or r, r,
                                 snap=snap)
         if res is None:
             return
         prefix, edge_aa, clip_addr, clip_count, bbox = res
+        # EdgeAaSegmentMask role (segment.rs): brush segments AA only
+        # their outer edges; inner segment boundaries use pixel-center
+        # coverage so adjacent segments tile seamlessly
+        edge_aa &= edge_mask
         addr = self.gb.push_f32(prefix + payload_tail)
         idx = self.gb.push_instance(kind, self._row(c.spatial_node),
                                     addr, clip_addr,
@@ -2760,7 +2764,7 @@ class FrameBuilder:
                              stretch_w, stretch_h, spacing_w, spacing_h,
                              rendering, color, img_scale=None,
                              crop_origin=(0.0, 0.0), pattern_rect=None,
-                             snap=True) -> None:
+                             snap=True, edge_mask=0xF) -> None:
         nearest = 1.0 if rendering in (ImageRendering.PIXELATED,
                                        ImageRendering.CROSP_EDGES) else 0.0
         if img_scale is None:
@@ -2770,7 +2774,7 @@ class FrameBuilder:
              img_scale[0], img_scale[1], crop_origin[0], crop_origin[1]]
         self._emit_rect_like(prim, c, axis_aligned, out, KIND_IMAGE, tail,
                              BLEND_NORMAL, pattern_rect=pattern_rect,
-                             snap=snap)
+                             snap=snap, edge_mask=edge_mask)
 
     def _prepare_text(self, prim: TextRunPrim, c: PrimCommon,
                       out: List[int]) -> None:
@@ -3306,79 +3310,126 @@ class FrameBuilder:
 
     def _prepare_border(self, prim: NormalBorderPrim, c: PrimCommon,
                         axis_aligned: bool, out: List[int]) -> None:
-        """Normal borders as one analytic instance (border.rs
-        create_border_segments + cs_border_segment collapsed into
-        pattern_border). Colors per side pre-modulated per border.rs
-        border_color (:247) and get_colors_for_side (cs_border_segment:134)."""
-        from ..api.display_item import BorderStyle
+        """Normal borders, the reference pipeline exactly: the border is
+        carved into corner + edge segments (border.rs
+        create_border_segments:654), each segment rasterized ONCE into a
+        content-keyed cached task with the cs_border_segment.glsl fragment
+        program (frame/border_raster.py), then drawn as image segments
+        with per-edge repeat (brush SEGMENT_REPEAT_X/Y) — so dot/dash
+        placement and corner curve AA match the reference per-texel."""
+        import dataclasses as dc
+
+        from . import border_raster as br
         b = prim.border
         w = prim.widths
         r = prim.border.radius
-        res = self._emit_common(c, axis_aligned, c.local_rect, c.local_rect)
-        if res is None:
+        if w.top <= 0 and w.right <= 0 and w.bottom <= 0 and w.left <= 0:
             return
-        prefix, edge_aa, clip_addr, clip_count, bbox = res
+        rect = self._snap_rect(c.local_rect, c.spatial_node) \
+            if axis_aligned else c.local_rect
+        W, Hh = rect.w, rect.h
+        if W <= 0 or Hh <= 0:
+            return
+        radii = br.ensure_no_corner_overlap(
+            [r.top_left.width, r.top_left.height,
+             r.top_right.width, r.top_right.height,
+             r.bottom_right.width, r.bottom_right.height,
+             r.bottom_left.width, r.bottom_left.height], W, Hh)
+        border_desc = {
+            "top": (b.top.style.value,
+                    (b.top.color.r, b.top.color.g, b.top.color.b,
+                     b.top.color.a)),
+            "right": (b.right.style.value,
+                      (b.right.color.r, b.right.color.g, b.right.color.b,
+                       b.right.color.a)),
+            "bottom": (b.bottom.style.value,
+                       (b.bottom.color.r, b.bottom.color.g,
+                        b.bottom.color.b, b.bottom.color.a)),
+            "left": (b.left.style.value,
+                     (b.left.color.r, b.left.color.g, b.left.color.b,
+                      b.left.color.a)),
+            "radius": radii,
+        }
+        do_aa = getattr(b, "do_aa", True)
+        brush, segs = br.create_border_segments(
+            (W, Hh), border_desc,
+            (w.top, w.right, w.bottom, w.left), do_aa)
+        if not brush:
+            return
+        # raster scale: pow2-clamped world scale factors × dpr, capped so
+        # no task exceeds MAX_BORDER_RESOLUTION (prepare.rs:529-548)
+        H = self._H(c.spatial_node)
+        major = math.hypot(float(H[0, 0]), float(H[1, 0])) / self.dpr
+        det = abs(float(H[0, 0]) * float(H[1, 1])
+                  - float(H[0, 1]) * float(H[1, 0])) / (self.dpr * self.dpr)
+        minor = det / major if major > 0 else 0.0
+        sw_ = self._clamp_to_scale_factor(major or 1.0)
+        sh_ = self._clamp_to_scale_factor(minor or 1.0)
+        scale = max(sw_, sh_) * self.dpr
+        max_dim = 1.0
+        for seg in segs:
+            max_dim = max(max_dim, seg["local_task_size"][0],
+                          seg["local_task_size"][1])
+        scale = min(scale, br.MAX_BORDER_RESOLUTION / max_dim)
 
-        def mod_color(color, lighter):
-            if color.r != 0.0 or color.g != 0.0 or color.b != 0.0:
-                s = 1.0 if lighter else 2.0 / 3.0
-                return ColorF(color.r * s, color.g * s, color.b * s, color.a)
-            v = 0.7 if lighter else 0.3
-            return ColorF(v, v, v, color.a)
+        task_keys = {}
+        for ti, seg in enumerate(segs):
+            lw, lh = seg["local_task_size"]
+            cw = max(1, int(math.floor(lw * scale + 0.5)))
+            ch = max(1, int(math.floor(lh * scale + 0.5)))
+            content_key = ("border_seg", seg["key"], cw, ch,
+                           round(scale * 4096))
 
-        def side_colors(side, flip):
-            st = side.style
-            col = side.color
-            if st in (BorderStyle.INSET, BorderStyle.OUTSET):
-                lighter = flip if st == BorderStyle.INSET else not flip
-                col = mod_color(col, lighter)
-                return col, col
-            if st == BorderStyle.GROOVE:
-                # top/left: dark outer half; right/bottom: light outer half
-                return mod_color(col, flip), mod_color(col, not flip)
-            if st == BorderStyle.RIDGE:
-                return mod_color(col, not flip), mod_color(col, flip)
-            return col, col
-
-        # flips per border.rs build_border_instances (:1253):
-        # left/top = false, right/bottom = true ("is inner border")
-        sides = [(b.top, False), (b.right, True), (b.bottom, True),
-                 (b.left, False)]
-        outer_cols: List[float] = []
-        inner_cols: List[float] = []
-        styles: List[float] = []
-        for side, flip in sides:
-            co, ci = side_colors(side, flip)
-            outer_cols += list(_premult(co))
-            inner_cols += list(_premult(ci))
-            styles.append(float(side.style.value))
-        # border.rs ensure_no_corner_overlap (:168): scale all radii by the
-        # worst edge ratio so adjacent corners never overlap
-        rect = c.local_rect
-        ratio = 1.0
-        if rect.w > 0:
-            for s_ in (r.top_left.width + r.top_right.width,
-                       r.bottom_left.width + r.bottom_right.width):
-                if s_ > rect.w:
-                    ratio = min(ratio, rect.w / s_)
-        if rect.h > 0:
-            for s_ in (r.top_left.height + r.bottom_left.height,
-                       r.top_right.height + r.bottom_right.height):
-                if s_ > rect.h:
-                    ratio = min(ratio, rect.h / s_)
-        payload = prefix + [w.top, w.right, w.bottom, w.left] + [
-            r.top_left.width * ratio, r.top_left.height * ratio,
-            r.top_right.width * ratio, r.top_right.height * ratio,
-            r.bottom_right.width * ratio, r.bottom_right.height * ratio,
-            r.bottom_left.width * ratio, r.bottom_left.height * ratio,
-        ] + outer_cols + inner_cols + styles
-        addr = self.gb.push_f32(payload)
-        idx = self.gb.push_instance(KIND_BORDER,
-                                    self._row(c.spatial_node), addr,
-                                    clip_addr, clip_count, BLEND_NORMAL,
-                                    edge_aa)
-        self.metas.push(bbox)
-        out.append(idx)
+            def render(seg=seg, cw=cw, ch=ch):
+                insts = br.build_border_instances(seg, (cw, ch),
+                                                  border_desc, scale)
+                texels = br.raster_border_segment(insts, cw, ch)
+                return np.clip(np.rint(texels * 255.0), 0,
+                               255).astype(np.uint8)
+            key = self.resources.get_or_render_source(content_key, cw, ch,
+                                                      render)
+            task_keys[ti] = (key, cw, ch)
+        for bs in brush:
+            key, cw, ch = task_keys[bs["task_index"]]
+            req = self.resources.request_image(key)
+            if req is None:
+                continue
+            region, desc = req
+            bx0, by0, bx1, by1 = bs["rect"]
+            dx0, dy0 = rect.x0 + bx0, rect.y0 + by0
+            dx1, dy1 = rect.x0 + bx1, rect.y0 + by1
+            seg = segs[bs["task_index"]]
+            if bs["repeat"] is None:
+                t0x, t0y, t1x, t1y = bs["texel"]
+                ux = region.x + t0x * cw
+                uy = region.y + t0y * ch
+                uw = (t1x - t0x) * cw
+                uh = (t1y - t0y) * ch
+                stretch_w, stretch_h = dx1 - dx0, dy1 - dy0
+            else:
+                ux, uy = float(region.x), float(region.y)
+                uw, uh = float(cw), float(ch)
+                stretch_w, stretch_h = seg["local_task_size"]
+            if uw <= 0 or uh <= 0 or dx1 <= dx0 or dy1 <= dy0:
+                continue
+            c2 = dc.replace(c, local_rect=Rect.from_bounds(dx0, dy0,
+                                                           dx1, dy1))
+            # EdgeAaSegmentMask per segment (border.rs add_corner_segment /
+            # add_edge_segment edge_flags): AA only the border's outer
+            # edges; interior segment boundaries are hard so degenerate
+            # slivers (degenerate-curve.yaml) cover no pixel centers
+            emask = {br.SEG_TL: 3, br.SEG_TR: 6, br.SEG_BR: 12,
+                     br.SEG_BL: 9, br.SEG_LEFT: 1, br.SEG_TOP: 2,
+                     br.SEG_RIGHT: 4, br.SEG_BOTTOM: 8}[seg["segment"]]
+            self._emit_image_instance(
+                prim, c2, axis_aligned, out, ux, uy, uw, uh,
+                stretch_w, stretch_h, 0.0, 0.0, ImageRendering.AUTO,
+                ColorF.WHITE,
+                img_scale=(uw / max(stretch_w, 1e-6),
+                           uh / max(stretch_h, 1e-6)),
+                crop_origin=(0.0, 0.0),
+                pattern_rect=Rect.from_bounds(dx0, dy0, dx1, dy1),
+                snap=False, edge_mask=emask)
 
     def _nine_patch_source(self, b) -> Optional[Tuple[int, float, float]]:
         """Resolve a nine-patch source to (image key, texture w, texture h).

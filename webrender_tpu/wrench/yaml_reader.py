@@ -1120,7 +1120,8 @@ class YamlFrameReader:
             right=BorderSide(cols[1], stys[1]),
             bottom=BorderSide(cols[2], stys[2]),
             left=BorderSide(cols[3], stys[3]),
-            radius=radius)
+            radius=radius,
+            do_aa=bool(item.get("do_aa", True)))
         dl.push_border(info, bounds, so, details_normal=border)
 
     def _handle_nine_patch_border(self, dl, item, info, bounds, widths,
