@@ -1299,6 +1299,25 @@ int wr_raster_pass(
             color[3] = m_avg * p[15];
             break;
           }
+          case 12: {  // in-kernel YUV (patterns.pattern_yuv payload)
+            float ox = lx - p[0], oy = ly - p[1];
+            float yy, uu, vv;
+            sample_plane(c.alpha_atlas, c.aa_h, c.aa_w,
+                         p[8] + ox * p[22], p[9] + oy * p[23],
+                         p[8], p[9], p[10], p[11], false, &yy);
+            sample_plane(c.alpha_atlas, c.aa_h, c.aa_w,
+                         p[12] + ox * p[24], p[13] + oy * p[25],
+                         p[12], p[13], p[14], p[15], false, &uu);
+            sample_plane(c.alpha_atlas, c.aa_h, c.aa_w,
+                         p[16] + ox * p[24], p[17] + oy * p[25],
+                         p[16], p[17], p[18], p[19], false, &vv);
+            float sy = yy - p[36], su = uu - p[37], sv = vv - p[38];
+            color[0] = clampf(p[27] * sy + p[28] * su + p[29] * sv, 0.f, 1.f);
+            color[1] = clampf(p[30] * sy + p[31] * su + p[32] * sv, 0.f, 1.f);
+            color[2] = clampf(p[33] * sy + p[34] * su + p[35] * sv, 0.f, 1.f);
+            color[3] = 1.f;
+            break;
+          }
           default:
             continue;
         }

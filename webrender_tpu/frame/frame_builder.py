@@ -47,7 +47,7 @@ from .gpu import (BLEND_ADD, BLEND_CH_CLEAR, BLEND_CLEAR,
                   GRAD_LUT_SIZE, GpuBufferBuilder, KIND_BORDER,
                   KIND_BOX_SHADOW, KIND_CLEAR, KIND_CONIC_GRAD, KIND_GLYPH,
                   KIND_IMAGE, KIND_LINEAR_GRAD, KIND_LINE_DEC, KIND_PICTURE,
-                  KIND_RADIAL_GRAD, KIND_SOLID, KIND_SUBPX_GLYPH,
+                  KIND_RADIAL_GRAD, KIND_SOLID, KIND_SUBPX_GLYPH, KIND_YUV,
                   gradient_stops_records,
                   identity_color_matrix, pad_pow2, pad_pow2_rows)
 from .tiles import TILE_H, TILE_W, bin_instances
@@ -2749,16 +2749,81 @@ class FrameBuilder:
 
     def _prepare_yuv(self, prim: YuvImagePrim, c: PrimCommon,
                      axis_aligned: bool, out: List[int]) -> None:
-        req = self.resources.request_yuv_image(
-            prim.yuv_keys, prim.format, prim.color_space, prim.color_range,
-            prim.color_depth)
-        if req is None:
+        """YUV images convert IN-KERNEL (yuv.glsl sample_yuv +
+        rgb_from_debiased_ycbcr, res/yuv.glsl:82-150): the raw planes live
+        in the alpha atlas and every frame of a video costs only the plane
+        upload, not a host color conversion.  >8-bit sources fall back to
+        the host-converted RGBA path."""
+        from ..api.display_item import ColorDepth, ColorRange, YuvColorSpace
+        planes = None
+        if prim.color_depth == ColorDepth.COLOR8 and axis_aligned:
+            planes = self.resources.request_yuv_planes(prim.yuv_keys,
+                                                       prim.format)
+        if planes is None:
+            req = self.resources.request_yuv_image(
+                prim.yuv_keys, prim.format, prim.color_space,
+                prim.color_range, prim.color_depth)
+            if req is None:
+                return
+            region, w, h = req
+            self._emit_image_instance(prim, c, axis_aligned, out, region.x,
+                                      region.y, w, h, c.local_rect.w,
+                                      c.local_rect.h, 0.0, 0.0,
+                                      prim.image_rendering, ColorF.WHITE)
             return
-        region, w, h = req
-        self._emit_image_instance(prim, c, axis_aligned, out, region.x,
-                                  region.y, w, h, c.local_rect.w,
-                                  c.local_rect.h, 0.0, 0.0,
-                                  prim.image_rendering, ColorF.WHITE)
+        (ry, yw, yh), (ru, uw_, uh_), (rv, vw_, vh_) = planes
+        # zero/one per range (yuv.glsl yuv_channel_zero_one_*, 8-bit)
+        if prim.color_space == YuvColorSpace.IDENTITY:
+            zero = (0.0, 0.0)
+            one = (1.0, 1.0)
+        elif prim.color_range == ColorRange.LIMITED:
+            zero = (16.0 / 255.0, 128.0 / 255.0)
+            one = (235.0 / 255.0, 240.0 / 255.0)
+        else:
+            zero = (0.0, 128.0 / 255.0)
+            one = (1.0, 1.0)
+        sy_ = 1.0 / (one[0] - zero[0])
+        sc_ = 1.0 / (one[1] - zero[1])
+        # RgbFromYuv_* (yuv.glsl:36-59, column-major there) row-major,
+        # post-multiplied by diag(scale.x, scale.y, scale.y)
+        m = {
+            YuvColorSpace.REC601: [1.0, 0.0, 0.70100,
+                                   1.0, -0.17207, -0.35707,
+                                   1.0, 0.88600, 0.0],
+            YuvColorSpace.REC709: [1.0, 0.0, 0.78740,
+                                   1.0, -0.09366, -0.23406,
+                                   1.0, 0.92780, 0.0],
+            YuvColorSpace.REC2020: [1.0, 0.0, 0.73730,
+                                    1.0, -0.08228, -0.28568,
+                                    1.0, 0.94070, 0.0],
+            YuvColorSpace.IDENTITY: [0.0, 0.0, 1.0,
+                                     1.0, 0.0, 0.0,
+                                     0.0, 1.0, 0.0],
+        }[prim.color_space]
+        mat = [m[0] * sy_, m[1] * sc_, m[2] * sc_,
+               m[3] * sy_, m[4] * sc_, m[5] * sc_,
+               m[6] * sy_, m[7] * sc_, m[8] * sc_]
+        rect = c.local_rect
+        sw = max(rect.w, 1e-6)
+        sh = max(rect.h, 1e-6)
+        res = self._emit_common(c, axis_aligned, rect, rect)
+        if res is None:
+            return
+        prefix, edge_aa, clip_addr, clip_count, bbox = res
+        nearest = 1.0 if prim.image_rendering in (
+            ImageRendering.PIXELATED, ImageRendering.CROSP_EDGES) else 0.0
+        payload = prefix + [
+            float(ry.x), float(ry.y), float(ry.x + yw), float(ry.y + yh),
+            float(ru.x), float(ru.y), float(ru.x + uw_), float(ru.y + uh_),
+            float(rv.x), float(rv.y), float(rv.x + vw_), float(rv.y + vh_),
+            sw, sh, yw / sw, yh / sh, uw_ / sw, uh_ / sh,
+            nearest] + mat + [zero[0], zero[1], zero[1]]
+        addr = self.gb.push_f32(payload)
+        idx = self.gb.push_instance(KIND_YUV, self._row(c.spatial_node),
+                                    addr, clip_addr, clip_count,
+                                    BLEND_NORMAL, edge_aa)
+        self.metas.push(bbox)
+        out.append(idx)
 
     def _emit_image_instance(self, prim, c, axis_aligned, out, ux, uy, uw, uh,
                              stretch_w, stretch_h, spacing_w, spacing_h,

@@ -62,8 +62,9 @@ KIND_BOX_SHADOW = 8
 KIND_BORDER = 9
 KIND_SUBPX_GLYPH = 10   # subpixel-AA glyph: rgb per-channel masks
 KIND_LINE_DEC = 11      # dotted/dashed/wavy line decorations
+KIND_YUV = 12           # 3-plane YCbCr sampled + converted in-kernel
 
-N_KINDS = 12
+N_KINDS = 13
 
 # instance record fields
 INST_KIND = 0

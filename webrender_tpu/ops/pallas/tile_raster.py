@@ -37,7 +37,7 @@ from ...frame.gpu import (KIND_SUBPX_GLYPH,
                           KIND_BOX_SHADOW, KIND_CLEAR, KIND_CONIC_GRAD,
                           KIND_GLYPH, KIND_IMAGE, KIND_LINEAR_GRAD,
                           KIND_LINE_DEC, KIND_PICTURE, KIND_RADIAL_GRAD,
-                          KIND_SOLID)
+                          KIND_SOLID, KIND_YUV)
 from ...frame.tiles import TILE_H, TILE_W
 from .. import blend as blend_mod
 from .. import patterns as pk
@@ -54,11 +54,13 @@ SAMPLED_KINDS = (KIND_GLYPH, KIND_PICTURE, KIND_SUBPX_GLYPH)
 # _sep_sample in the kernel).  KIND_IMAGE always routes here; glyph /
 # picture / subpx instances route here when the translation-1:1 fast
 # path doesn't apply.
-K_SEP_IMAGE = 12
-K_SEP_GLYPH = 13
-K_SEP_PICTURE = 14
-K_SEP_SUBPX = 15
-SEP_KINDS = (K_SEP_IMAGE, K_SEP_GLYPH, K_SEP_PICTURE, K_SEP_SUBPX)
+K_SEP_IMAGE = 13
+K_SEP_GLYPH = 14
+K_SEP_PICTURE = 15
+K_SEP_SUBPX = 16
+K_SEP_YUV = 17
+SEP_KINDS = (K_SEP_IMAGE, K_SEP_GLYPH, K_SEP_PICTURE, K_SEP_SUBPX,
+             K_SEP_YUV)
 
 SAMP_H = TILE_H + 8      # sublane-aligned margin for the +1 bilinear tap
 SAMP_W = TILE_W + 128    # lane-aligned margin
@@ -92,6 +94,9 @@ def _sep_spans(kind: int, t, pp):
     if kind == KIND_IMAGE:
         du = t[0] * pp[22]
         dv = t[4] * pp[23]
+    elif kind == KIND_YUV:
+        du = t[0] * pp[22]
+        dv = t[4] * pp[23]
     elif kind == KIND_PICTURE and pp.shape[0] >= 41 and pp[37] > 0.5:
         du = t[0] * pp[40]
         dv = t[4] * pp[40]
@@ -112,7 +117,8 @@ def _sep_spans(kind: int, t, pp):
 def _sampled_dense_kind(kind: int, t, pp):
     """Dense-record kind for a sampled instance: the translation fast path
     when exact, else the separable pseudo-kind, else None (XLA fallback)."""
-    if kind != KIND_IMAGE and _is_translation(t) and pp.shape[0] >= 41:
+    if kind not in (KIND_IMAGE, KIND_YUV) and _is_translation(t) and \
+            pp.shape[0] >= 41:
         if abs((pp[10] - pp[8]) - (pp[2] - pp[0])) <= 1e-3 and \
                 abs((pp[11] - pp[9]) - (pp[3] - pp[1])) <= 1e-3 and \
                 pp[37] <= 0.5:
@@ -122,7 +128,8 @@ def _sampled_dense_kind(kind: int, t, pp):
             spans[1] > MAX_SEP_SPAN_Y:
         return None
     return {KIND_IMAGE: K_SEP_IMAGE, KIND_GLYPH: K_SEP_GLYPH,
-            KIND_PICTURE: K_SEP_PICTURE, KIND_SUBPX_GLYPH: K_SEP_SUBPX}[kind]
+            KIND_PICTURE: K_SEP_PICTURE, KIND_SUBPX_GLYPH: K_SEP_SUBPX,
+            KIND_YUV: K_SEP_YUV}[kind]
 
 
 def pallas_pass_supported(instances: np.ndarray, tile_insts: np.ndarray,
@@ -141,7 +148,7 @@ def pallas_pass_supported(instances: np.ndarray, tile_insts: np.ndarray,
             if kind in (KIND_LINEAR_GRAD, KIND_RADIAL_GRAD, KIND_CONIC_GRAD):
                 if f32_buf[addr + 14] > MAX_PALLAS_STOPS:
                     return False
-        elif kind in SAMPLED_KINDS or kind == KIND_IMAGE:
+        elif kind in SAMPLED_KINDS or kind in (KIND_IMAGE, KIND_YUV):
             t = transforms[int(rec[INST_SPATIAL])]
             pp = f32_buf[addr:addr + 41]
             if _sampled_dense_kind(kind, t, pp) is None:
@@ -267,7 +274,8 @@ def build_dense_records(f32_buf, instances, transforms, tile_insts):
     dense_flat[:, :64] = f32_buf[offs]
     trows = transforms[recs[:, INST_SPATIAL]]
     kinds = recs[:, INST_KIND].astype(np.int32)
-    sampled = np.isin(kinds, SAMPLED_KINDS) | (kinds == KIND_IMAGE)
+    sampled = np.isin(kinds, SAMPLED_KINDS) | (kinds == KIND_IMAGE) | \
+        (kinds == KIND_YUV)
     if sampled.any():
         pay = dense_flat[:, :41]
         t = trows
@@ -280,12 +288,14 @@ def build_dense_records(f32_buf, instances, transforms, tile_insts):
                   (np.abs((pay[:, 11] - pay[:, 9]) -
                           (pay[:, 3] - pay[:, 1])) <= 1e-3) & \
                   (pay[:, 37] <= 0.5)
-        fast = translation & one2one & (kinds != KIND_IMAGE)
+        fast = translation & one2one & (kinds != KIND_IMAGE) & \
+            (kinds != KIND_YUV)
         sep_map = np.zeros(16, np.int32)
         sep_map[KIND_IMAGE] = K_SEP_IMAGE
         sep_map[KIND_GLYPH] = K_SEP_GLYPH
         sep_map[KIND_PICTURE] = K_SEP_PICTURE
         sep_map[KIND_SUBPX_GLYPH] = K_SEP_SUBPX
+        sep_map[KIND_YUV] = K_SEP_YUV
         kinds = np.where(sampled & ~fast, sep_map[np.clip(kinds, 0, 15)],
                          kinds)
     dense_flat[:, REC_KIND] = kinds
@@ -304,7 +314,8 @@ def classify_dense_kinds(f32_buf, instances, transforms) -> np.ndarray:
     the separable pseudo-kinds when the translation fast path doesn't
     apply) — host-side, vectorized; one pass per frame."""
     kinds = instances[:, INST_KIND].astype(np.int32)
-    sampled = np.isin(kinds, SAMPLED_KINDS) | (kinds == KIND_IMAGE)
+    sampled = np.isin(kinds, SAMPLED_KINDS) | (kinds == KIND_IMAGE) | \
+        (kinds == KIND_YUV)
     if not sampled.any():
         return kinds
     t = transforms[instances[:, INST_SPATIAL]]
@@ -321,12 +332,14 @@ def classify_dense_kinds(f32_buf, instances, transforms) -> np.ndarray:
               (np.abs((pay[:, 7] - pay[:, 5]) -
                       (pay[:, 3] - pay[:, 1])) <= 1e-3) & \
               (pay[:, 8] <= 0.5)
-    fast = translation & one2one & (kinds != KIND_IMAGE)
+    fast = translation & one2one & (kinds != KIND_IMAGE) & \
+        (kinds != KIND_YUV)
     sep_map = np.zeros(16, np.int32)
     sep_map[KIND_IMAGE] = K_SEP_IMAGE
     sep_map[KIND_GLYPH] = K_SEP_GLYPH
     sep_map[KIND_PICTURE] = K_SEP_PICTURE
     sep_map[KIND_SUBPX_GLYPH] = K_SEP_SUBPX
+    sep_map[KIND_YUV] = K_SEP_YUV
     return np.where(sampled & ~fast, sep_map[np.clip(kinds, 0, 15)], kinds)
 
 
@@ -410,11 +423,11 @@ def render_tiles_pallas_dense(dense, tile_counts, tile_origins, clear_color,
     sampled_kinds = [k for k in kinds if k in SAMPLED_KINDS]
     sep_kinds = [k for k in kinds if k in SEP_KINDS]
     branch_kinds = math_kinds + sampled_kinds + sep_kinds
-    lut = np.zeros(16 + blend_mod.N_BLEND_OPS, np.int32)
+    lut = np.zeros(18 + blend_mod.N_BLEND_OPS, np.int32)
     for pos, k in enumerate(branch_kinds):
         lut[k] = pos
     for pos, b in enumerate(blends):
-        lut[16 + b] = pos
+        lut[18 + b] = pos
 
     def _mm(a, b):
         # f32-exact contraction (HIGHEST = 6-pass decomposition on the MXU)
@@ -799,6 +812,32 @@ def render_tiles_pallas_dense(dense, tile_counts, tile_origins, clear_color,
                     m_avg = (m[0] + m[1] + m[2]) * (1.0 / 3.0)
                     return jnp.stack([m[0] * p[12], m[1] * p[13],
                                       m[2] * p[14], m_avg * p[15]], 0)
+                if kind_s == K_SEP_YUV:
+                    # in-kernel YUV (yuv.glsl sample_yuv): three alpha-
+                    # atlas planes sampled separably, then the color-space
+                    # matrix on the VPU (payload layout: patterns.pattern_yuv)
+                    oxl = lx_row - p[0]
+                    oyl = ly_col - p[1]
+                    yy = _sep_sample(p[8] + oxl * p[22], p[9] + oyl * p[23],
+                                     p[8], p[9], p[10], p[11], 0.0,
+                                     aa_hbm, 1)
+                    uu = _sep_sample(p[12] + oxl * p[24],
+                                     p[13] + oyl * p[25],
+                                     p[12], p[13], p[14], p[15], 0.0,
+                                     aa_hbm, 1)
+                    vv = _sep_sample(p[16] + oxl * p[24],
+                                     p[17] + oyl * p[25],
+                                     p[16], p[17], p[18], p[19], 0.0,
+                                     aa_hbm, 1)
+                    sy_ = yy - p[36]
+                    su_ = uu - p[37]
+                    sv_ = vv - p[38]
+                    r_ = p[27] * sy_ + p[28] * su_ + p[29] * sv_
+                    g_ = p[30] * sy_ + p[31] * su_ + p[32] * sv_
+                    b_ = p[33] * sy_ + p[34] * su_ + p[35] * sv_
+                    one = jnp.ones_like(yy)
+                    return jnp.clip(jnp.stack([r_, g_, b_, one], 0),
+                                    0.0, 1.0)
                 # K_SEP_PICTURE: device-space mapping, or raster-root
                 # local mode (p[37] — picture.rs raster roots)
                 w_ = jnp.maximum(p[2] - p[0], 1e-6)
@@ -828,7 +867,7 @@ def render_tiles_pallas_dense(dense, tile_counts, tile_origins, clear_color,
             branches += [functools.partial(sep_branch, k)
                          for k in sep_kinds]
             kind_i = r[REC_KIND].astype(jnp.int32)
-            pos = lut_ref[jnp.clip(kind_i, 0, 15)]
+            pos = lut_ref[jnp.clip(kind_i, 0, 17)]
             if len(branches) == 1:
                 color = branches[0](p, lx, ly, sx, sy, f32_rows_ref, trow)
             else:
@@ -842,7 +881,7 @@ def render_tiles_pallas_dense(dense, tile_counts, tile_origins, clear_color,
                 blended = blend_mod.compose_swgl(jnp, blends[0], color, cov,
                                                  mcov, dst)
             else:
-                bpos = lut_ref[16 + r[REC_BLEND].astype(jnp.int32)]
+                bpos = lut_ref[18 + r[REC_BLEND].astype(jnp.int32)]
                 blended = jax.lax.switch(
                     bpos,
                     [functools.partial(

@@ -397,6 +397,34 @@ def pattern_image(xp, p, lx, ly, color_atlas):
     return texel * mod[:, None, None] * in_tile[None]
 
 
+def pattern_yuv(xp, p, lx, ly, alpha_atlas):
+    """In-kernel YUV (yuv.glsl sample_yuv + rgb_from_debiased_ycbcr,
+    `webrender/res/yuv.glsl:82-150`): the three planes live in the ALPHA
+    atlas (host splits NV12/interleaved into planar at upload — a u8
+    copy, not a conversion), sampled with swgl fixed-point bilinear and
+    converted with the color-space matrix per pixel.  Payload:
+    [8:12] Y uv rect, [12:16] U rect, [16:20] V rect, [20:22] stretch,
+    [22:24] luma texels per local px, [24:26] chroma texels per local px,
+    [26] nearest, [27:36] rgb_from_debiased_ycbcr row-major,
+    [36:39] ycbcr bias."""
+    ox = lx - p[0]
+    oy = ly - p[1]
+    yy = sample_alpha(xp, alpha_atlas, p[8] + ox * p[22],
+                      p[9] + oy * p[23], p[8], p[9], p[10], p[11])
+    uu = sample_alpha(xp, alpha_atlas, p[12] + ox * p[24],
+                      p[13] + oy * p[25], p[12], p[13], p[14], p[15])
+    vv = sample_alpha(xp, alpha_atlas, p[16] + ox * p[24],
+                      p[17] + oy * p[25], p[16], p[17], p[18], p[19])
+    sy_ = yy - p[36]
+    su_ = uu - p[37]
+    sv_ = vv - p[38]
+    r = p[27] * sy_ + p[28] * su_ + p[29] * sv_
+    g = p[30] * sy_ + p[31] * su_ + p[32] * sv_
+    b = p[33] * sy_ + p[34] * su_ + p[35] * sv_
+    one = xp.ones_like(yy)
+    return xp.clip(xp.stack([r, g, b, one], 0), 0.0, 1.0)
+
+
 def pattern_glyph(xp, p, lx, ly, alpha_atlas):
     # rect→uv scaling: glyphs rasterized at device scale have uv rects
     # larger than their local rects (text under scaling transforms)

@@ -27,7 +27,7 @@ from ..frame.gpu import (KIND_SUBPX_GLYPH, CLIP_STRIDE, INST_BLEND, INST_CLIP_AD
                          KIND_BOX_SHADOW, KIND_CLEAR, KIND_CONIC_GRAD,
                          KIND_GLYPH, KIND_IMAGE, KIND_LINEAR_GRAD,
                          KIND_LINE_DEC, KIND_PICTURE, KIND_RADIAL_GRAD,
-                         KIND_SOLID, N_KINDS)
+                         KIND_SOLID, KIND_YUV, N_KINDS)
 from ..frame.tiles import TILE_H, TILE_W
 from . import blend as blend_mod
 from . import patterns as pk
@@ -74,6 +74,9 @@ def _pattern_branch(kind: int):
     if kind == KIND_LINE_DEC:
         return lambda p, lx, ly, px, py, sx, sy, ctx: \
             pk.pattern_line_dec(jnp, p, lx, ly, sx, sy)
+    if kind == KIND_YUV:
+        return lambda p, lx, ly, px, py, sx, sy, ctx: \
+            pk.pattern_yuv(jnp, p, lx, ly, ctx["alpha_atlas"])
     raise ValueError(kind)
 
 

@@ -24,7 +24,7 @@ from ..frame.gpu import (CLIP_STRIDE, INST_BLEND, INST_CLIP_ADDR,
                          KIND_CLEAR, KIND_CONIC_GRAD, KIND_GLYPH, KIND_IMAGE,
                          KIND_LINEAR_GRAD, KIND_LINE_DEC, KIND_PICTURE,
                          KIND_RADIAL_GRAD, KIND_SOLID, KIND_BORDER,
-                         KIND_SUBPX_GLYPH)
+                         KIND_SUBPX_GLYPH, KIND_YUV)
 from ..ops import blend as blend_mod
 from ..ops import patterns as pk
 from ..ops.raster import gaussian_weights
@@ -257,6 +257,8 @@ class SoftwareRenderer:
                 color = pk.pattern_border(np, pl, lx, ly, sx, sy)
             elif kind == KIND_LINE_DEC:
                 color = pk.pattern_line_dec(np, pl, lx, ly, sx, sy)
+            elif kind == KIND_YUV:
+                color = pk.pattern_yuv(np, pl, lx, ly, self.alpha_atlas)
             else:
                 continue
             dst = target[:, y0:y1, x0:x1]

@@ -379,6 +379,9 @@ class ResourceCache:
         self._crop_last_use: Dict[Tuple, int] = {}
         self._yuv_cache: Dict[Tuple, Tuple] = {}
         self._yuv_last_use: Dict[Tuple, int] = {}
+        # raw YUV plane residency (in-kernel conversion path)
+        self._yuvp_cache: Dict[Tuple, Tuple] = {}
+        self._yuvp_last_use: Dict[Tuple, int] = {}
         # monotonically increasing generation shared across add/update so a
         # deleted-then-re-added key never reuses a stale derived-cache entry
         self._generation = 0
@@ -453,6 +456,11 @@ class ResourceCache:
             region = self._yuv_cache.pop(yk)[0]
             self._yuv_last_use.pop(yk, None)
             self.color_alloc.free(region)
+        for yk in [k for k in self._yuvp_cache if key in yk[1]]:
+            planes = self._yuvp_cache.pop(yk)
+            self._yuvp_last_use.pop(yk, None)
+            for region, _, _ in planes:
+                self.alpha_alloc.free(region)
 
     def add_font(self, key: FontKey, data=None, path=None, index=0) -> None:
         self.fonts.add_font(key, data, path, index)
@@ -514,6 +522,14 @@ class ResourceCache:
             self._yuv_last_use.pop(yk, None)
             if entry is not None:
                 self.color_alloc.free(entry[0])
+                freed += 1
+        for yk in [k for k, lu in self._yuvp_last_use.items()
+                   if lu < self.frame_id]:
+            planes = self._yuvp_cache.pop(yk, None)
+            self._yuvp_last_use.pop(yk, None)
+            if planes is not None:
+                for region, _, _ in planes:
+                    self.alpha_alloc.free(region)
                 freed += 1
         return freed
 
@@ -861,6 +877,9 @@ class ResourceCache:
         self._glyph_last_use.clear()
         self._metric_cache.clear()
         self._cache_gen += 1
+        # raw YUV planes share the alpha atlas with glyph masks
+        self._yuvp_cache.clear()
+        self._yuvp_last_use.clear()
         self.alpha_alloc = ShelfAllocator(self.alpha_alloc.width,
                                           self.alpha_alloc.height)
 
@@ -872,6 +891,8 @@ class ResourceCache:
         self._crop_last_use.clear()
         self._yuv_cache.clear()
         self._yuv_last_use.clear()
+        self._yuvp_cache.clear()
+        self._yuvp_last_use.clear()
         self.color_alloc = ShelfAllocator(self.color_alloc.width,
                                           self.color_alloc.height)
         # subpixel glyph masks live in the color atlas too
@@ -892,6 +913,63 @@ class ResourceCache:
 
     def font_instance(self, font_instance_key: int):
         return self.font_instances.get((0, font_instance_key))
+
+    def request_yuv_planes(self, yuv_keys, fmt: str):
+        """Raw plane residency for the in-kernel YUV path (yuv.glsl
+        sample_yuv role): Y/U/V land in the ALPHA atlas as three A8
+        regions; NV12 / interleaved sources are split into planar on the
+        host (a u8 shuffle — the per-pixel color conversion happens in
+        the raster kernel).  Returns ((region,w,h) x3) or None (missing
+        template or >8-bit data → caller falls back to host conversion)."""
+        cache_key = ("yuvp", tuple(yuv_keys),
+                     tuple(self.images[k].generation
+                           for k in yuv_keys if k in self.images))
+        hit = self._yuvp_cache.get(cache_key)
+        if hit is not None:
+            self._yuvp_last_use[cache_key] = self.frame_id
+            return hit
+        raw = []
+        for k in yuv_keys:
+            tpl = self.images.get(k)
+            if tpl is None or tpl.data.pixels is None:
+                return None
+            desc = tpl.descriptor
+            px = tpl.data.pixels
+            if desc.format == ImageFormat.R8:
+                raw.append(px.reshape(desc.height, desc.width)
+                           .astype(np.float32) / 255.0)
+            elif desc.format == ImageFormat.RG8:
+                raw.append(px.reshape(desc.height, desc.width, 2)
+                           .astype(np.float32) / 255.0)
+            elif desc.format in (ImageFormat.RGBA8, ImageFormat.BGRA8):
+                arr = px.reshape(desc.height, desc.width, -1) \
+                    .astype(np.float32) / 255.0
+                if desc.format == ImageFormat.BGRA8 and arr.shape[-1] == 4:
+                    arr = arr[..., [2, 1, 0, 3]]
+                raw.append(arr)
+            else:
+                return None  # R16 / P010: host-convert fallback
+        if fmt == "planar" and len(raw) == 3:
+            planes = [raw[0], raw[1], raw[2]]
+        elif fmt == "nv12" and len(raw) == 2 and raw[1].ndim == 3:
+            planes = [raw[0], raw[1][..., 0], raw[1][..., 1]]
+        elif fmt == "interleaved" and raw[0].ndim == 3:
+            # yuv.glsl:219 — interleaved samples .gbr
+            planes = [raw[0][..., 1], raw[0][..., 2], raw[0][..., 0]]
+        else:
+            return None
+        out = []
+        for pl_ in planes:
+            h, w = pl_.shape
+            region = self._alloc_alpha(w, h, "yuv plane")
+            region = AtlasRegion(region.x, region.y, w, h)
+            self.pending_uploads.append(
+                PendingUpload(ATLAS_ALPHA, region, pl_))
+            out.append((region, w, h))
+        result = tuple(out)
+        self._yuvp_cache[cache_key] = result
+        self._yuvp_last_use[cache_key] = self.frame_id
+        return result
 
     def request_yuv_image(self, yuv_keys, fmt: str, color_space, color_range,
                           color_depth):
