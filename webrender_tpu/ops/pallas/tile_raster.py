@@ -132,16 +132,11 @@ def _sampled_dense_kind(kind: int, t, pp):
             KIND_YUV: K_SEP_YUV}[kind]
 
 
-def pallas_pass_supported(instances: np.ndarray, tile_insts: np.ndarray,
-                          transforms: np.ndarray, f32_buf: np.ndarray) -> bool:
-    """Host check: every instance in the pass must be expressible in the
-    Pallas kernel (math kinds, translation sampling, or the separable
-    axis-aligned sampling path — including image-mask clips)."""
-    ids = np.unique(tile_insts[tile_insts >= 0])
-    if ids.size == 0:
-        return True
-    used = instances[ids]
-    for rec in used:
+def _instance_supported(rec, transforms, f32_buf) -> bool:
+    """One instance expressible in the Pallas kernel? (math kinds,
+    translation sampling, or the separable axis-aligned sampling path —
+    including image-mask / box-shadow clips)."""
+    if True:
         kind = int(rec[INST_KIND])
         addr = int(rec[INST_PRIM_ADDR])
         if kind in MATH_KINDS:
@@ -186,6 +181,34 @@ def pallas_pass_supported(instances: np.ndarray, tile_insts: np.ndarray,
                         abs(crec[19] - crec[17]) + 2.0 > MAX_SEP_SPAN_Y:
                     return False
     return True
+
+
+def pallas_supported_mask(instances: np.ndarray, tile_insts: np.ndarray,
+                          transforms: np.ndarray,
+                          f32_buf: np.ndarray) -> np.ndarray:
+    """Per-TILE Pallas eligibility [nt] — the fallback unit is a tile,
+    not the whole pass (VERDICT r2 #8): one rotated image demotes only
+    the tiles it touches to the XLA engine, everything else stays on the
+    fast path.  Painter order is preserved because tiles are independent."""
+    nt = tile_insts.shape[0]
+    ids = np.unique(tile_insts[tile_insts >= 0])
+    ok = {int(i): _instance_supported(instances[i], transforms, f32_buf)
+          for i in ids}
+    mask = np.ones(nt, bool)
+    for t in range(nt):
+        for i in tile_insts[t]:
+            if i >= 0 and not ok[int(i)]:
+                mask[t] = False
+                break
+    return mask
+
+
+def pallas_pass_supported(instances: np.ndarray, tile_insts: np.ndarray,
+                          transforms: np.ndarray, f32_buf: np.ndarray) -> bool:
+    """Host check: every instance in the pass must be expressible in the
+    Pallas kernel."""
+    return bool(pallas_supported_mask(instances, tile_insts, transforms,
+                                      f32_buf).all())
 
 
 MAX_PALLAS_STOPS = 16  # one 128-float row = 16 stop records

@@ -35,6 +35,11 @@ from ..resources.resource_cache import (ATLAS_ALPHA, ATLAS_COLOR,
                                         PendingUpload, ResourceCache)
 
 
+class _CacheHolder:
+    """Bare attribute holder for per-subset dense-record caches when a
+    pass splits tile-level between the Pallas and XLA engines."""
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _upload_color(atlas, texels, x: int, y: int):
     # texels arrive (h, w, 4); atlas is planar [4, H, W]
@@ -453,13 +458,54 @@ class Renderer:
         fallback.  Returns [nt, 4, TH, TW] tiles; records the engine used in
         `self.last_engine` (device-correctness evidence for artifacts)."""
         use_pallas = False
+        tile_mask = None
         if self.use_pallas and allow_pallas and step == 1.0:
             from ..ops.pallas.tile_raster import (
                 build_dense_records_device, classify_dense_kinds,
-                dense_dispatch_info, pallas_pass_supported,
+                dense_dispatch_info, pallas_supported_mask,
                 render_tiles_pallas_dense)
-            use_pallas = pallas_pass_supported(
-                frame.instances, tile_insts, frame.transforms, frame.f32_buf)
+            cached_split = getattr(dense_cache_holder, "_split_cache",
+                                   None) if dense_cache_holder is not None \
+                else None
+            if cached_split is not None:
+                tile_mask = cached_split[0]
+            else:
+                tile_mask = pallas_supported_mask(
+                    frame.instances, tile_insts, frame.transforms,
+                    frame.f32_buf)
+            use_pallas = bool(tile_mask.all())
+        if not use_pallas and tile_mask is not None and tile_mask.any() \
+                and self.mesh is None:
+            # tile-level engine split (VERDICT r2 #8): only the tiles a
+            # non-expressible instance (e.g. a rotated image) touches fall
+            # back to XLA; every other tile stays on the Pallas kernel.
+            # Tiles are independent so painter order is unaffected.
+            sub_p = np.nonzero(tile_mask)[0]
+            sub_x = np.nonzero(~tile_mask)[0]
+            if dense_cache_holder is not None:
+                if cached_split is None:
+                    cached_split = (tile_mask, _CacheHolder(), _CacheHolder())
+                    dense_cache_holder._split_cache = cached_split
+                hold_p, hold_x = cached_split[1], cached_split[2]
+            else:
+                hold_p = hold_x = None
+            clr_p = clear if clear.ndim == 1 else clear[sub_p]
+            clr_x = clear if clear.ndim == 1 else clear[sub_x]
+            out_p = self._dispatch_raster(
+                frame, f32_buf, instances, transforms, tile_insts[sub_p],
+                origins[sub_p], clr_p, kinds, blends, step,
+                dense_cache_holder=hold_p, allow_pallas=True)
+            out_x = self._dispatch_raster(
+                frame, f32_buf, instances, transforms, tile_insts[sub_x],
+                origins[sub_x], clr_x, kinds, blends, step,
+                dense_cache_holder=hold_x, allow_pallas=False)
+            self.last_engine = "pallas+xla-split"
+            self.engine_counts["pallas+xla-split"] = \
+                self.engine_counts.get("pallas+xla-split", 0) + 1
+            out = jnp.zeros((tile_insts.shape[0],) + tuple(out_p.shape[1:]),
+                            jnp.float32)
+            return out.at[jnp.asarray(sub_p)].set(out_p) \
+                      .at[jnp.asarray(sub_x)].set(out_x)
         if use_pallas:
             cached = getattr(dense_cache_holder, "_dense_cache", None) \
                 if dense_cache_holder is not None else None
