@@ -205,6 +205,33 @@ inline void sample_plane(const float* plane, int64_t H, int64_t W, float u,
   *out = (float)(a + (((b - a) * fx) >> 7)) * (1.0f / 255.0f);
 }
 
+inline void sample_plane8(const float* plane, int64_t H, int64_t W, float u,
+                          float v, float u0, float v0, float u1, float v1,
+                          float* out) {
+  // GPU-style bilinear: 8-bit fractions, rounded result (the cached
+  // box-shadow masks — patterns.sample_alpha8)
+  float lo_u = u0 + 0.5f, hi_u = std::max(u1 - 0.5f, lo_u);
+  float lo_v = v0 + 0.5f, hi_v = std::max(v1 - 0.5f, lo_v);
+  u = clampf(u, lo_u, hi_u);
+  v = clampf(v, lo_v, hi_v);
+  int64_t x0 = (int64_t)std::floor(u - 0.5f);
+  int64_t y0 = (int64_t)std::floor(v - 0.5f);
+  x0 = std::min(std::max(x0, (int64_t)0), std::max(W - 2, (int64_t)0));
+  y0 = std::min(std::max(y0, (int64_t)0), std::max(H - 2, (int64_t)0));
+  int fx = (int)std::floor((u - 0.5f - (float)x0) * 256.0f + 0.5f);
+  int fy = (int)std::floor((v - 0.5f - (float)y0) * 256.0f + 0.5f);
+  int64_t x1 = std::min(x0 + 1, W - 1);
+  int64_t y1 = std::min(y0 + 1, H - 1);
+  int t00 = (int)std::floor(plane[y0 * W + x0] * 255.0f + 0.5f);
+  int t10 = (int)std::floor(plane[y0 * W + x1] * 255.0f + 0.5f);
+  int t01 = (int)std::floor(plane[y1 * W + x0] * 255.0f + 0.5f);
+  int t11 = (int)std::floor(plane[y1 * W + x1] * 255.0f + 0.5f);
+  int64_t a = (int64_t)t00 * (256 - fx) + (int64_t)t10 * fx;
+  int64_t b = (int64_t)t01 * (256 - fx) + (int64_t)t11 * fx;
+  int64_t o = a * (256 - fy) + b * fy;
+  *out = (float)((o + 32768) >> 16) * (1.0f / 255.0f);
+}
+
 inline void sample_rgba(const Ctx& c, const float* atlas, int64_t H,
                         int64_t W, float u, float v, float u0, float v0,
                         float u1, float v1, bool nearest, float out[4]) {

@@ -1480,30 +1480,49 @@ class FrameBuilder:
         use_ctx = False
         ctx_s = 1.0
         lr0 = None
-        if not pic.composite.filters and pic.shadow is None and \
-                self._rctx is None and \
+        ctx_cm = None
+        if pic.shadow is None and self._rctx is None and \
                 not self.resolved[pic.common.spatial_node].is_2d_axis_aligned:
-            lr0 = self._local_content_rect(pic, pic.common.spatial_node)
+            # Non-axis-aligned surfaces establish a raster root
+            # (picture.rs:6775-6807): the content rasterizes in the
+            # surface's OWN local space at device_pixel_scale =
+            # max(world scale factors) — forced to (1,1) when the
+            # transform has perspective (picture.rs:6675) — and the
+            # composite samples it through the projective transform.
+            # Simple filter chains (opacity / color matrix / identity)
+            # fold into the composite; blur / shadows / SVGFE / LUT
+            # chains still raster in device space for now.
+            svgfe_any = any(f.svgfe is not None
+                            for f in pic.composite.filters)
+            fs_pre = self._accumulate_filters(
+                tuple(f for f in pic.composite.filters if f.svgfe is None),
+                pic.composite.filter_datas, pic.common.spatial_node)
+            simple = (not svgfe_any and not fs_pre["drop_shadows"] and
+                      fs_pre["channel_lut"] is None and
+                      fs_pre["blur"][0] == 0.0 and fs_pre["blur"][1] == 0.0)
+            if simple:
+                lr0 = self._local_content_rect(pic, pic.common.spatial_node)
             if lr0 is not None:
                 lr0 = self._clip_local_to_viewport(lr0,
                                                    pic.common.spatial_node)
-            if lr0 is not None:
-                # the reference's clamp triggers on the RASTER-SPACE extent
-                # (picture.rs:7857 max_dimension of the mapped rect) with
-                # the fallback scale from the LOCAL dims (:7871): content
-                # whose raster extent explodes (perspective) rasters in
-                # local space at scale min(1, max/local) and is resampled
-                # through the projective transform at composite — the test
-                # scene and its _ref then take the SAME path
-                # (raster_root_*_8192.yaml vs raster_root_*_ref.yaml)
-                db = device_bounds_of_rect(
-                    self._H(pic.common.spatial_node),
-                    lr0[0], lr0[1], lr0[2], lr0[3])
-                dev_dim = max(db[2] - db[0], db[3] - db[1])
-                if dev_dim > 4096.0:
-                    use_ctx = True
-                    lsize = max(lr0[2] - lr0[0], lr0[3] - lr0[1])
-                    ctx_s = min(1.0, 4096.0 / lsize)
+            if lr0 is not None and lr0[2] > lr0[0] and lr0[3] > lr0[1]:
+                use_ctx = True
+                ctx_cm = fs_pre["color_matrix"]
+                H = self._H(pic.common.spatial_node)
+                # row-vector homography: perspective terms live in the
+                # third column (w = x*H02 + y*H12 + H22)
+                persp = abs(float(H[0, 2])) > 1e-9 or \
+                    abs(float(H[1, 2])) > 1e-9
+                if persp:
+                    s = 1.0
+                else:
+                    s = max(math.hypot(float(H[0, 0]), float(H[0, 1])),
+                            math.hypot(float(H[1, 0]), float(H[1, 1])))
+                    s = max(s, 1e-3)
+                lsize = max(lr0[2] - lr0[0], lr0[3] - lr0[1])
+                # keep the ctx raster rect (content + the ±4 viewport
+                # margin and ceil rounding) within MAX_SURFACE_SIZE
+                ctx_s = min(s, (4096.0 - 16.0) / lsize)
         saved_vp = self.viewport
         if use_ctx:
             self._rctx = (pic.common.spatial_node, ctx_s)
@@ -1735,7 +1754,11 @@ class FrameBuilder:
             payload += [region.x, region.y, region.x + sw, region.y + sh_]
             op = opacity
             payload += [op, op, op, op]
-            payload += list(identity_color_matrix().reshape(-1)) + [0.0]
+            if ctx_cm is None:
+                payload += list(identity_color_matrix().reshape(-1)) + [0.0]
+            else:
+                payload += list(np.asarray(ctx_cm, np.float32)
+                                .reshape(-1)) + [1.0]
             payload += [1.0, float(x0), float(y0), float(ctx_s)]
             addr = self.gb.push_f32(payload)
             blend = BLEND_NORMAL
@@ -3239,9 +3262,17 @@ class FrameBuilder:
             ys = (np.arange(cache_h, dtype=np.float32) + 0.5) / cs
             lx = np.broadcast_to(xs[None, :], (cache_h, cache_w))
             ly = np.broadcast_to(ys[:, None], (cache_h, cache_w))
-            cov = _pk.rounded_rect_sdf_coverage(
-                np, np.asarray(mask_rect, np.float32),
-                np.asarray(sradii, np.float32), lx, ly, np.float32(cs))
+            ur = _pk.uniform_radius(sradii)
+            if ur is not None:
+                # uniform radii take the fast-path Euclidean SDF
+                # (render_target.rs:1215 picks WR_FEATURE_FAST_PATH)
+                cov = _pk.rounded_rect_fast_coverage(
+                    np, np.asarray(mask_rect, np.float32),
+                    np.float32(ur), lx, ly, np.float32(cs))
+            else:
+                cov = _pk.rounded_rect_sdf_coverage(
+                    np, np.asarray(mask_rect, np.float32),
+                    np.asarray(sradii, np.float32), lx, ly, np.float32(cs))
             mask = np.rint(cov * np.float32(255.0)) * np.float32(1 / 255.0)
             plane = mask[None]  # [1, h, w] for the resample helper
             sig = sigma
@@ -3271,8 +3302,8 @@ class FrameBuilder:
                         sl = [slice(None)] * 3
                         sl[axis] = slice(k, k + n)
                         acc += w[k] * x[tuple(sl)]
-                    plane = (np.floor(np.minimum(acc, 65535.0)
-                                      * np.float32(1.0 / 256.0))
+                    plane = (np.floor(acc * np.float32(1.0 / 65536.0)
+                                      + 0.5)
                              * np.float32(1.0 / 255.0)).astype(np.float32)
             m8 = np.clip(np.floor(plane[0] * 255.0 + 0.5), 0,
                          255).astype(np.uint8)

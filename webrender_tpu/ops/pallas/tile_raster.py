@@ -474,7 +474,7 @@ def render_tiles_pallas_dense(dense, tile_counts, tile_origins, clear_color,
             acc[c] = jnp.full((TILE_H, TILE_W), clear_ref[c], jnp.float32)
 
         def _sep_sample(u1d, v1d, u0, v0, u1, v1, nearest, src_hbm,
-                        nplanes, chan0=0):
+                        nplanes, chan0=0, round8=False):
             """Axis-aligned bilinear sampling on the MXU with swgl's
             fixed-point filtering (texture.h textureLinearPlanarRGBA8):
             coordinates quantize to 7-bit fractions and the four taps are
@@ -493,18 +493,29 @@ def render_tiles_pallas_dense(dense, tile_counts, tile_origins, clear_color,
             v = jnp.where(nearest > 0.5, jnp.floor(v) + 0.5, v)
             H = src_hbm.shape[-2]
             W = src_hbm.shape[-1]
-            qu = jnp.floor(u * 128.0 - 63.5)
-            qv = jnp.floor(v * 128.0 - 63.5)
-            ixf = jnp.floor(qu * (1.0 / 128.0))
-            iyf = jnp.floor(qv * (1.0 / 128.0))
-            fx = qu - ixf * 128.0                      # [1, TILE_W]
-            fy = qv - iyf * 128.0                      # [TILE_H, 1]
-            over = ixf > (W - 2)
-            fx = jnp.where(ixf < 0.0, 0.0, fx)
-            fx = jnp.where(over, 128.0, fx)
-            x0f = jnp.clip(ixf, 0.0, W - 2)
-            y0f = jnp.clip(iyf, 0.0, H - 1)
-            row1 = jnp.where((iyf >= 0.0) & (iyf < H - 1), 1.0, 0.0)
+            if round8:
+                # GPU-style bilinear: 8-bit fractions, rounded result
+                # (patterns.sample_alpha8 — cached box-shadow masks)
+                ixf = jnp.clip(jnp.floor(u - 0.5), 0.0, max(W - 2, 0))
+                iyf = jnp.clip(jnp.floor(v - 0.5), 0.0, max(H - 2, 0))
+                fx = jnp.floor((u - 0.5 - ixf) * 256.0 + 0.5)
+                fy = jnp.floor((v - 0.5 - iyf) * 256.0 + 0.5)
+                x0f = ixf
+                y0f = iyf
+                row1 = jnp.where(iyf < H - 1, 1.0, 0.0)
+            else:
+                qu = jnp.floor(u * 128.0 - 63.5)
+                qv = jnp.floor(v * 128.0 - 63.5)
+                ixf = jnp.floor(qu * (1.0 / 128.0))
+                iyf = jnp.floor(qv * (1.0 / 128.0))
+                fx = qu - ixf * 128.0                  # [1, TILE_W]
+                fy = qv - iyf * 128.0                  # [TILE_H, 1]
+                over = ixf > (W - 2)
+                fx = jnp.where(ixf < 0.0, 0.0, fx)
+                fx = jnp.where(over, 128.0, fx)
+                x0f = jnp.clip(ixf, 0.0, W - 2)
+                y0f = jnp.clip(iyf, 0.0, H - 1)
+                row1 = jnp.where((iyf >= 0.0) & (iyf < H - 1), 1.0, 0.0)
             x0w = jnp.floor(jnp.min(x0f)).astype(jnp.int32)
             y0w = jnp.floor(jnp.min(y0f)).astype(jnp.int32)
             x0c = (jnp.clip(x0w, 0, W - SEP_W) // 128) * 128
@@ -544,10 +555,18 @@ def render_tiles_pallas_dense(dense, tile_counts, tile_origins, clear_color,
                 t01 = jnp.floor(_mm(R1, s0) * 255.0 + 0.5)
                 t10 = jnp.floor(_mm(R0, s1) * 255.0 + 0.5)
                 t11 = jnp.floor(_mm(R1, s1) * 255.0 + 0.5)
-                a = t00 + jnp.floor((t01 - t00) * fy * (1.0 / 128.0))
-                b = t10 + jnp.floor((t11 - t10) * fy * (1.0 / 128.0))
-                outs.append((a + jnp.floor((b - a) * fx * (1.0 / 128.0)))
-                            * (1.0 / 255.0))
+                if round8:
+                    a = t00 * (256.0 - fx) + t10 * fx
+                    b = t01 * (256.0 - fx) + t11 * fx
+                    o = a * (256.0 - fy) + b * fy
+                    outs.append(jnp.floor(o * (1.0 / 65536.0) + 0.5)
+                                * (1.0 / 255.0))
+                else:
+                    a = t00 + jnp.floor((t01 - t00) * fy * (1.0 / 128.0))
+                    b = t10 + jnp.floor((t11 - t10) * fy * (1.0 / 128.0))
+                    outs.append((a + jnp.floor((b - a) * fx
+                                               * (1.0 / 128.0)))
+                                * (1.0 / 255.0))
             return jnp.stack(outs, 0) if nplanes > 1 else outs[0]
 
         def body(i, carry):

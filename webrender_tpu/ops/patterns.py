@@ -205,6 +205,34 @@ def rounded_rect_sdf_coverage(xp, rect4, radii8, lx, ly, aa_mul):
     return xp.clip(0.5 - dist * aa_mul, 0.0, 1.0)
 
 
+def rounded_rect_fast_coverage(xp, rect4, radius, lx, ly, aa_mul):
+    """cs_clip_rectangle's WR_FEATURE_FAST_PATH (uniform corner radius):
+    the exact Euclidean rounded-box SDF sd_rounded_box (:160-167), which
+    the reference selects whenever `radius.is_uniform()`
+    (render_target.rs:1215) — its corner AA differs measurably from the
+    Taubin ellipse approximation of the general path."""
+    cx = (rect4[0] + rect4[2]) * 0.5
+    cy = (rect4[1] + rect4[3]) * 0.5
+    hx = (rect4[2] - rect4[0]) * 0.5 - radius
+    hy = (rect4[3] - rect4[1]) * 0.5 - radius
+    dx = xp.abs(lx - cx) - hx
+    dy = xp.abs(ly - cy) - hy
+    outside = xp.sqrt(xp.maximum(dx, 0.0) ** 2 + xp.maximum(dy, 0.0) ** 2)
+    inside = xp.minimum(xp.maximum(dx, dy), 0.0)
+    dist = outside + inside - radius
+    return xp.clip(0.5 - dist * aa_mul, 0.0, 1.0)
+
+
+def uniform_radius(radii8):
+    """BorderRadius::is_uniform(): one scalar radius for all corners
+    (widths == heights), or None."""
+    r = radii8[0]
+    for v in radii8[1:]:
+        if abs(float(v) - float(r)) > 1e-6:
+            return None
+    return float(r)
+
+
 def rounded_rect_coverage_auto(xp, trow, rect4, radii8, lx, ly, px, py):
     """Rounded-rect clip coverage — the cs_clip_rectangle SDF with the
     fwidth-based reciprocal AA range (uniform across axis-aligned and
@@ -297,6 +325,37 @@ def sample_rgba(xp, atlas, u, v, u0, v0, u1, v1, nearest):
     a = _fixed_lerp(xp, t00, t01, fy)
     b = _fixed_lerp(xp, t10, t11, fy)
     return _fixed_lerp(xp, a, b, fx) * (1.0 / 255.0)
+
+
+def sample_alpha8(xp, atlas, u, v, u0, v0, u1, v1):
+    """Single-plane bilinear with GPU-style 8-bit fractions and a rounded
+    result (vs swgl's truncating 7-bit path in sample_alpha): used where
+    the reference samples with real GPU texture filtering (the cached
+    box-shadow masks).  Exact integer arithmetic — all backends agree."""
+    H, W = atlas.shape[0], atlas.shape[1]
+    lo_u = u0 + 0.5
+    hi_u = xp.maximum(u1 - 0.5, lo_u)
+    lo_v = v0 + 0.5
+    hi_v = xp.maximum(v1 - 0.5, lo_v)
+    u = xp.clip(u, lo_u, hi_u)
+    v = xp.clip(v, lo_v, hi_v)
+    x0 = xp.clip(xp.floor(u - 0.5), 0.0, max(W - 2, 0))
+    y0 = xp.clip(xp.floor(v - 0.5), 0.0, max(H - 2, 0))
+    fx = xp.floor((u - 0.5 - x0) * 256.0 + 0.5)
+    fy = xp.floor((v - 0.5 - y0) * 256.0 + 0.5)
+    x0 = x0.astype("int32")
+    y0 = y0.astype("int32")
+    x1 = xp.clip(x0 + 1, 0, W - 1)
+    y1 = xp.clip(y0 + 1, 0, H - 1)
+    flat = atlas.reshape(-1)
+    t00 = xp.floor(flat[y0 * W + x0] * 255.0 + 0.5)
+    t10 = xp.floor(flat[y0 * W + x1] * 255.0 + 0.5)
+    t01 = xp.floor(flat[y1 * W + x0] * 255.0 + 0.5)
+    t11 = xp.floor(flat[y1 * W + x1] * 255.0 + 0.5)
+    a = t00 * (256.0 - fx) + t10 * fx
+    b = t01 * (256.0 - fx) + t11 * fx
+    out = a * (256.0 - fy) + b * fy
+    return xp.floor(out * (1.0 / 65536.0) + 0.5) * (1.0 / 255.0)
 
 
 def sample_alpha(xp, atlas, u, v, u0, v0, u1, v1):

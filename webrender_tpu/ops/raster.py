@@ -234,9 +234,11 @@ def blur_region(src, weights, *, radius: int, axis: int,
         bw = w
     if bh <= 0:
         bh = h
-    # swgl gaussianBlur*: u8 texels × integer weights accumulated in u16
-    # with saturation, truncating `>> 8` (texture.h:1166-1310); exact in
-    # f32 since every intermediate is an integer < 2^24
+    # u8 texels × 16-bit fixed-point weights (gaussian_weights): every
+    # product and the full tap sum stay exact integers below 2^24, so the
+    # XLA and numpy backends agree bit-for-bit, while the result matches
+    # the GPU float blur (cs_blur.glsl) to within 1/10 of a u8 step —
+    # the reference PNG corpus is GPU-rendered (round-to-nearest output)
     content = jnp.floor(src[:, :bh, :bw] * 255.0 + 0.5)
     pad = [(0, 0), (0, 0), (0, 0)]
     pad[1 + axis] = (radius, radius)
@@ -248,22 +250,20 @@ def blur_region(src, weights, *, radius: int, axis: int,
         else:
             sl = x[:, :, k:k + bw]
         out = out + weights[k] * sl
-    out = jnp.floor(jnp.minimum(out, 65535.0) * (1.0 / 256.0)) \
-        * (1.0 / 255.0)
+    out = jnp.floor(out * (1.0 / 65536.0) + 0.5) * (1.0 / 255.0)
     # fragments beyond the blur region sample fully-clamped taps — i.e.
     # replicate the edge output across the task margin
     return jnp.pad(out, ((0, 0), (0, h - bh), (0, w - bw)), mode="edge")
 
 
 def gaussian_weights(sigma: float, radius: int) -> np.ndarray:
-    """swgl's integer blur weights, exactly: the vertex shader's f32
-    incremental-gaussian recurrence for the normalization total
-    (cs_blur.glsl calculate_gauss_coefficients :47-70), then each tap's
-    coefficient quantized `uint16_t(coeff * 256 + 0.5)` with the same f32
-    recurrence (swgl/src/texture.h gaussianBlurHorizontal :1166-1239).
-    Returns the symmetric [2*radius+1] tap array of integer weights (as
-    f32 values; the blur accumulates w*c exactly in f32 and truncates
-    `>> 8` like swgl's u16 pipeline)."""
+    """Blur tap weights matching the GPU float path of cs_blur.glsl
+    (calculate_gauss_coefficients :47-70: f32 incremental-gaussian
+    recurrence, normalized by the paired-tap total), quantized to 16-bit
+    fixed point (x65536).  The quantization keeps every blur product and
+    tap sum an exact integer < 2^24, so all backends agree bit-for-bit
+    while staying within ~0.1 u8 step of the exact GPU result.  Returns
+    the symmetric [2*radius+1] tap array (f32 integer values)."""
     f = np.float32
     s = f(sigma)
     x = f(1.0) / f(np.sqrt(f(2.0) * f(3.14159265)) * s)
@@ -281,7 +281,7 @@ def gaussian_weights(sigma: float, radius: int) -> np.ndarray:
         sub = f(sub + gx)
         total = f(total + f(f(2.0) * sub))
         i += 2
-    coeff = f(f(x / total) * f(256.0))
+    coeff = f(f(x / total) * f(65536.0))
     step = y
     step2 = f(y * y)
     w = np.zeros(2 * radius + 1, np.float32)

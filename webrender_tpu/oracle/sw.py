@@ -292,7 +292,7 @@ class SoftwareRenderer:
                 out += w[k] * x[:, k:k + bh, :]
             else:
                 out += w[k] * x[:, :, k:k + bw]
-        out = np.floor(np.minimum(out, 65535.0) * np.float32(1.0 / 256.0)) \
+        out = np.floor(out * np.float32(1.0 / 65536.0) + 0.5) \
             * np.float32(1.0 / 255.0)
         out = np.pad(out, ((0, 0), (0, sh - bh), (0, sw - bw)), mode="edge")
         self.surface_atlas[:, dy:dy + sh, dx:dx + sw] = \

@@ -185,7 +185,7 @@ def _blur_rows_sharded(src, weights, *, radius: int, axis: int, mesh: Mesh):
                 out = jnp.zeros_like(full)
                 for k in range(2 * radius + 1):
                     out = out + w[k] * fp[:, k:k + full.shape[1], :]
-                out = jnp.floor(jnp.minimum(out, 65535.0) * (1.0 / 256.0)) \
+                out = jnp.floor(out * (1.0 / 65536.0) + 0.5) \
                     * (1.0 / 255.0)
                 i = jax.lax.axis_index(MESH_AXIS)
                 h = x.shape[1]
@@ -210,7 +210,7 @@ def _blur_rows_sharded(src, weights, *, radius: int, axis: int, mesh: Mesh):
             out = jnp.zeros_like(x)
             for k in range(2 * radius + 1):
                 out = out + w[k] * ext[:, k:k + x.shape[1], :]
-            return jnp.floor(jnp.minimum(out, 65535.0) * (1.0 / 256.0)) \
+            return jnp.floor(out * (1.0 / 65536.0) + 0.5) \
                 * (1.0 / 255.0)
         # horizontal: pure local work
         pad = [(0, 0), (0, 0), (radius, radius)]
@@ -218,7 +218,7 @@ def _blur_rows_sharded(src, weights, *, radius: int, axis: int, mesh: Mesh):
         out = jnp.zeros_like(x)
         for k in range(2 * radius + 1):
             out = out + w[k] * ext[:, :, k:k + x.shape[2]]
-        return jnp.floor(jnp.minimum(out, 65535.0) * (1.0 / 256.0)) \
+        return jnp.floor(out * (1.0 / 65536.0) + 0.5) \
             * (1.0 / 255.0)
 
     fn = jax.shard_map(shard_fn, mesh=mesh,
