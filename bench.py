@@ -153,14 +153,30 @@ def main():
         pass
 
     backend = build_4k_scene()
+
+    # the backend retains frames when inputs are epoch-identical
+    # (gpu_cache.rs epochs); `dirty()` perturbs the scroll state so each
+    # "rebuild" below measures the TRUE full dynamic-frame build cost
+    _scroll_tick = [0]
+
+    def dirty():
+        from webrender_tpu.api import Point2D
+        _scroll_tick[0] += 1
+        backend.scroll_offsets[999999] = Point2D(0.0, float(_scroll_tick[0]))
+
     t0 = time.perf_counter()
     frame = backend.build_frame()
     frame_build_cold_ms = (time.perf_counter() - t0) * 1000.0
     # warm build: resources resident, caches primed (the steady-state
     # host cost of a fully dynamic frame)
+    dirty()
     t0 = time.perf_counter()
     frame = backend.build_frame()
     frame_build_ms = (time.perf_counter() - t0) * 1000.0
+    # unchanged inputs: the epoch check returns the retained frame
+    t0 = time.perf_counter()
+    frame = backend.build_frame()
+    frame_build_unchanged_ms = (time.perf_counter() - t0) * 1000.0
 
     # headline: FULL re-render throughput (no dirty-tile skipping — the
     # comparable number to a CPU rasterizer rendering every frame)
@@ -181,11 +197,13 @@ def main():
     # RenderApi pipeline (and any real compositor) does; sync once at the
     # end so remote-tunnel round-trip latency amortizes
     e2e_iters = 8
+    dirty()
     f2 = backend.build_frame()
     t0 = time.perf_counter()
     for _ in range(e2e_iters):
         backend.renderer.render_device(f2)   # async dispatch
-        f2 = backend.build_frame()           # overlaps device execution
+        dirty()                              # defeat frame retention:
+        f2 = backend.build_frame()           # a REAL rebuild each frame
     device_render_once(backend, f2)
     e2e_s = (time.perf_counter() - t0) / (e2e_iters + 1)
     e2e_fps = 1.0 / e2e_s
@@ -197,6 +215,7 @@ def main():
     # loop above overlaps them; this is the serial-cost decomposition).
     import jax as _jax
     stages = {}
+    dirty()
     t0 = time.perf_counter()
     f3 = backend.build_frame()
     stages["frame_build_ms"] = (time.perf_counter() - t0) * 1000.0
@@ -256,6 +275,7 @@ def main():
             "native_cpu_ms_per_frame": round(native_s * 1000.0, 1),
             "frame_build_ms": round(frame_build_ms, 1),
             "frame_build_cold_ms": round(frame_build_cold_ms, 1),
+            "frame_build_unchanged_ms": round(frame_build_unchanged_ms, 3),
             "e2e_stage_breakdown_ms": {k: round(v, 2)
                                        for k, v in stages.items()},
             "raster_engine_mix": engine_mix,

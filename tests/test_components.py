@@ -435,3 +435,38 @@ def test_text_frame_offset_snapping_equivalence():
     a = render((0.5, 0.5), None)
     b_ = render((0.0, 0.0), (0.5, 0.5))
     assert np.array_equal(a, b_)
+
+
+def test_frame_retention_epochs():
+    """gpu_cache.rs:5-25 epoch role: identical inputs reuse the built frame
+    outright; any scene / resource / scroll / property mutation rebuilds."""
+    from webrender_tpu.api.units import Transform
+    backend = RenderBackend((256, 128))
+    build_simple(backend, with_hit_test=False)
+    f1 = backend.build_frame()
+    f2 = backend.build_frame()
+    assert f2 is f1, "unchanged inputs must reuse the retained frame"
+    assert (backend.profiler.get("frame_builds_skipped") or 0) >= 1
+
+    # scroll change → rebuild
+    backend.scroll_offsets[12345] = Point2D(0, 10)
+    f3 = backend.build_frame()
+    assert f3 is not f1
+    # animated property change → rebuild
+    backend.properties[7] = Transform.translation(1, 2)
+    f4 = backend.build_frame()
+    assert f4 is not f3
+    assert backend.build_frame() is f4
+
+    # resource mutation → rebuild
+    from webrender_tpu.api.image import ImageData, ImageDescriptor, ImageFormat
+    backend.resources.add_image_template(
+        99, ImageDescriptor(ImageFormat.RGBA8, 2, 2),
+        ImageData(pixels=np.zeros((2, 2, 4), np.uint8)))
+    f5 = backend.build_frame()
+    assert f5 is not f4
+
+    # new display list (same content) → scene epoch bump → rebuild
+    build_simple(backend, with_hit_test=False)
+    f6 = backend.build_frame()
+    assert f6 is not f5

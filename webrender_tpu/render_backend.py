@@ -32,6 +32,18 @@ from .scene.scene_builder import build_scene
 from .util.profiler import Profiler, TransactionProfile
 
 
+def _flatten_floats(v) -> tuple:
+    """Flatten an arbitrarily nested scroll-offset value (Point2D, tuple,
+    list of sampled offsets, …) to a hashable float tuple."""
+    try:
+        return (float(v),)
+    except (TypeError, ValueError):
+        out = []
+        for item in v:
+            out.extend(_flatten_floats(item))
+        return tuple(out)
+
+
 class RenderBackend:
     """One document (render_backend.rs Document) + its pipeline state."""
 
@@ -51,6 +63,13 @@ class RenderBackend:
         self.properties: Dict[int, Transform] = {}
         self.frame_ready = False
         self.last_frame: Optional[Frame] = None
+        # frame retention (render_backend.rs frame_is_valid +
+        # gpu_cache.rs epochs): the input snapshot that produced
+        # last_frame; identical inputs → the built frame is reused
+        # without touching the frame builder at all
+        self._last_frame_key = None
+        self._frame_used_externals = False
+        self._scene_generation = 0
         self.profiler = Profiler()
         self.last_txn_profile = TransactionProfile()
         self._hit_tester = None
@@ -108,6 +127,7 @@ class RenderBackend:
 
     def install_built_scene(self, built: BuiltScene) -> None:
         self.built_scene = built
+        self._scene_generation += 1
         self._hit_tester = None
 
     def _apply_resource_update(self, update) -> None:
@@ -130,10 +150,36 @@ class RenderBackend:
         elif isinstance(update, DeleteFontInstance):
             self.resources.delete_font_instance(update.key)
 
+    def _frame_inputs_key(self):
+        """Snapshot of every input the frame builder reads.  Scene and
+        resource state are epoch counters (bumped on mutation); scroll
+        offsets and animated properties are compared by value."""
+        return (self._scene_generation,
+                self.resources.content_epoch(),
+                self.device_size, self.dpr,
+                tuple(sorted((k, _flatten_floats(p))
+                             for k, p in self.scroll_offsets.items())),
+                tuple(sorted((k, tuple(t.m))
+                             for k, t in self.properties.items())))
+
     # ------------------------------------------------------------------
     def build_frame(self) -> Optional[Frame]:
         if self.built_scene is None:
             return None
+        # Epoch-gated retention (gpu_cache.rs:5-25 role, redesigned at
+        # whole-frame granularity: the Frame's device arrays ARE the GPU
+        # cache, so identical inputs reuse them with zero serialization;
+        # the reference instead patches a persistent GPU buffer because
+        # its frame build is imperative — ours is a pure function of
+        # these inputs, making the retention check exact).
+        key = self._frame_inputs_key()
+        if self.last_frame is not None and key == self._last_frame_key \
+                and not self._frame_used_externals:
+            # (frames that locked external images always rebuild — their
+            # content is app-managed and invisible to the epochs, and the
+            # lock/unlock protocol must run every frame)
+            self.profiler.bump("frame_builds_skipped")
+            return self.last_frame
         self.resources.begin_frame()
         with self.profiler.timer("frame_build_time"):
             def _build():
@@ -172,6 +218,11 @@ class RenderBackend:
                 self.profiler.bump("atlas_oom_recoveries")
                 frame = _build()
         self.last_frame = frame
+        # re-snapshot AFTER the build: rasterization/eviction during the
+        # build moves the resource epochs, and the frame just built
+        # reflects that post-build state
+        self._last_frame_key = self._frame_inputs_key()
+        self._frame_used_externals = bool(self.resources._locked_external)
         # external images stay locked only across the frame's prepare
         # (renderer/mod.rs unlock_external_images after uploads resolve)
         self.resources.unlock_external_images()

@@ -437,6 +437,7 @@ class ResourceCache:
                                          region=region)
 
     def delete_image_template(self, key: int) -> None:
+        self._generation += 1
         tpl = self.images.pop(key, None)
         if tpl is not None:
             self._release_image_entries(key, tpl)
@@ -463,17 +464,30 @@ class ResourceCache:
                 self.alpha_alloc.free(region)
 
     def add_font(self, key: FontKey, data=None, path=None, index=0) -> None:
+        self._generation += 1
         self.fonts.add_font(key, data, path, index)
 
     def delete_font(self, key: FontKey) -> None:
+        self._generation += 1
         self.fonts.delete_font(key)
 
     def add_font_instance(self, key: FontInstanceKey, font_key: FontKey,
                           size: float, options: FontInstanceOptions) -> None:
+        self._generation += 1
         self.font_instances[(key.namespace, key.key)] = (font_key, size, options)
 
     def delete_font_instance(self, key: FontInstanceKey) -> None:
+        self._generation += 1
         self.font_instances.pop((key.namespace, key.key), None)
+
+    def content_epoch(self) -> Tuple[int, int]:
+        """Epoch pair summarizing everything a built Frame reads from this
+        cache: (_generation — template/font mutations, _cache_gen — atlas
+        address churn from eviction/clears).  A Frame built at epoch E is
+        byte-identical to one rebuilt at the same E, so the backend skips
+        frame building entirely when nothing changed (gpu_cache.rs:5-25
+        epoch design — unchanged content costs zero serialization)."""
+        return (self._generation, self._cache_gen)
 
     # --- prepare-time requests (resource_cache.rs request_image :926) ------
     MAX_DIRECT_DIM = 2048  # larger images upload only their visible sub-rect
@@ -501,6 +515,14 @@ class ResourceCache:
     # embedded in the frame being built stay valid)
     # ------------------------------------------------------------------
     def _evict_stale_images(self) -> int:
+        freed = self._evict_stale_images_inner()
+        if freed:
+            # atlas addresses changed — retained frames referencing them
+            # are invalid (gpu_cache.rs epoch role)
+            self._cache_gen += 1
+        return freed
+
+    def _evict_stale_images_inner(self) -> int:
         freed = 0
         for key, tpl in self.images.items():
             if tpl.region is not None and \
