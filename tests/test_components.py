@@ -61,6 +61,34 @@ def test_profiler_counters():
     assert "frame_build_time" in report
 
 
+def test_profiler_breadth_presets_and_reasons():
+    """profiler.rs:118-289 counter registry, :55-105 UI presets with
+    nested expansion, :244-261 render-reason events."""
+    from webrender_tpu.api.transaction import RenderReasons
+    from webrender_tpu.util.profiler import (COUNTERS, PROFILER_PRESETS,
+                                             Profiler)
+    assert len(COUNTERS) >= 130          # ~141 in profiler.rs
+    assert "Default" in PROFILER_PRESETS and "Render reasons" in \
+        PROFILER_PRESETS
+    backend = RenderBackend((256, 128))
+    build_simple(backend, with_hit_test=False)
+    backend.render_software()
+    prof = backend.profiler
+    # frame-stat counters are fed from the built frame
+    for key in ("color_passes", "visible_primitives", "gpu_buffer_mem",
+                "image_templates", "atlas_textures_mem"):
+        assert prof.stats(key) is not None, key
+    prof.note_render_reasons(int(RenderReasons.SCENE | RenderReasons.APZ))
+    assert prof.get("render_reason_scene") == 1.0
+    assert prof.get("render_reason_apz") == 1.0
+    # nested preset expansion: Default contains Frame times' members
+    items = Profiler.expand_preset(PROFILER_PRESETS["Default"])
+    labels = [name for style, name in items]
+    assert "Frame building" in labels and "GPU" in labels
+    rep = prof.preset_report("Frame stats")
+    assert "Color passes" in rep
+
+
 def test_scroll_and_rerender():
     """Scroll offsets change the frame without rebuilding the scene
     (rawtest-style API flow)."""

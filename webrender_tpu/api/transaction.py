@@ -32,13 +32,29 @@ class DocumentId:
 
 
 class RenderReasons(enum.IntFlag):
-    """webrender_api/src/lib.rs:615 RenderReasons (subset)."""
+    """webrender_api/src/lib.rs:610-645 RenderReasons (full set, same
+    bit positions; profiled per-frame via Profiler.note_render_reasons)."""
     NONE = 0
     SCENE = 1 << 0
     ANIMATED_PROPERTY = 1 << 1
     RESOURCE_UPDATE = 1 << 2
-    TESTING = 1 << 5
-    APZ = 1 << 7
+    ASYNC_IMAGE = 1 << 3
+    CLEAR_RESOURCES = 1 << 4
+    APZ = 1 << 5
+    RESIZE = 1 << 6
+    WIDGET = 1 << 7
+    TEXTURE_CACHE_FLUSH = 1 << 8
+    SNAPSHOT = 1 << 9
+    POST_RESOURCE_UPDATES_HOOK = 1 << 10
+    CONFIG_CHANGE = 1 << 11
+    CONTENT_SYNC = 1 << 12
+    FLUSH = 1 << 13
+    TESTING = 1 << 14
+    OTHER = 1 << 15
+    VSYNC = 1 << 16
+    SKIPPED_COMPOSITE = 1 << 17
+    START_OBSERVING_VSYNC = 1 << 18
+    ASYNC_IMAGE_COMPOSITE_UNTIL = 1 << 19
 
 
 # --- resource updates (render_api.rs ResourceUpdate) ------------------------

@@ -214,6 +214,9 @@ class WebRenderInstance:
                     if built is not None:
                         self.backend.install_built_scene(built)
                     if txn.generate_frame_flag:
+                        # render_backend.rs render_reasons accounting
+                        self.backend.profiler.note_render_reasons(
+                            int(txn.render_reasons))
                         frame = self.backend.build_frame()
                         self.result_rx.put(("publish_document", frame))
                         self.notifier.new_frame_ready()

@@ -226,10 +226,41 @@ class RenderBackend:
         # external images stay locked only across the frame's prepare
         # (renderer/mod.rs unlock_external_images after uploads resolve)
         self.resources.unlock_external_images()
-        self.profiler.set("raster_passes", float(len(frame.passes)))
-        self.profiler.set("instances", float(frame.instances.shape[0]))
-        self.profiler.set("gpu_buffer_floats", float(frame.f32_buf.shape[0]))
+        self._feed_frame_counters(frame)
         return frame
+
+    def _feed_frame_counters(self, frame: Frame) -> None:
+        """Populate the profiler.rs frame-stat counters (:388-420) from the
+        built frame + resource caches."""
+        from .frame.frame_builder import PASS_RASTER, TARGET_ROOT
+        prof = self.profiler
+        prof.set("raster_passes", float(len(frame.passes)))
+        prof.set("instances", float(frame.instances.shape[0]))
+        prof.set("visible_primitives", float(frame.instances.shape[0]))
+        prof.set("gpu_buffer_floats", float(frame.f32_buf.shape[0]))
+        prof.set("gpu_buffer_mem",
+                 frame.f32_buf.nbytes / (1024.0 * 1024.0))
+        color = sum(1 for p in frame.passes
+                    if p.kind == PASS_RASTER and p.target == TARGET_ROOT)
+        prof.set("color_passes", float(color))
+        prof.set("alpha_passes", float(len(frame.passes) - color))
+        prof.set("used_targets", float(
+            len({(p.kind == PASS_RASTER, p.target) for p in frame.passes})))
+        res = self.resources
+        rep = res.memory_report()
+        prof.set("image_templates", float(len(res.images)))
+        prof.set("image_templates_mem",
+                 rep["image_templates"] / (1024.0 * 1024.0))
+        prof.set("font_templates", float(rep["fonts"]))
+        prof.set("atlas_textures_mem",
+                 (rep["color_atlas"] + rep["alpha_atlas"])
+                 / (1024.0 * 1024.0))
+        prof.set("gpu_total_mem",
+                 prof.get("atlas_textures_mem")
+                 + (prof.get("gpu_buffer_mem") or 0.0))
+        # interner analogs: the keyed caches that persist across frames
+        prof.set("interned_text_runs", float(len(res.glyphs)))
+        prof.set("interned_images", float(len(res.images)))
 
     def render(self) -> np.ndarray:
         """Build + execute a frame; returns premultiplied RGBA8 (h, w, 4)."""

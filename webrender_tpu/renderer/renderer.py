@@ -270,7 +270,8 @@ class Renderer:
         # under GPU_TIME_QUERIES each pass blocks on its output and the
         # wall time is attributed to the pass kind — adds sync overhead,
         # debug-flag gated like the reference's timer queries
-        timing = bool(self.debug_flags & 16)  # DebugFlags.GPU_TIME_QUERIES
+        from ..util.options import DebugFlags
+        timing = bool(self.debug_flags & DebugFlags.GPU_TIME_QUERIES)
         if timing:
             import time as _time
             self.gpu_timers = []
@@ -392,7 +393,8 @@ class Renderer:
         v = rgba.astype(np.float64) * 255.0
         out = np.clip(np.floor(np.nan_to_num(v) + 0.5), 0,
                       255).astype(np.uint8)
-        if self.debug_flags & 1:  # DebugFlags.PROFILER_DBG
+        from ..util.options import DebugFlags as _DF
+        if self.debug_flags & _DF.PROFILER_DBG:
             from ..util.debug_overlay import draw_profiler_overlay
             prof = getattr(self, "profiler", None)
             counters = []
