@@ -44,6 +44,21 @@ def build_4k_scene(w=3840, h=2160, n_rects=400, n_grads=100, n_images=80,
     txn = Transaction()
 
     b.push_rect(common, Rect(0, 0, w, h), ColorF(0.95, 0.95, 0.97, 1.0))
+
+    # a real scrollable region (news-feed strip): bench dirty() scrolls
+    # this frame, so the "warm build" numbers measure a frame whose
+    # resolved transforms genuinely changed (not a no-op offset that the
+    # resolved-identity retention in render_backend would elide)
+    feed = b.define_scroll_frame(root, external_id=777,
+                                 content_rect=Rect(3300, 80, 480, 6000),
+                                 frame_rect=Rect(3300, 80, 480, 1900))
+    feed_common = CommonItemProperties(Rect(0, 0, w, 6000), feed)
+    for i in range(40):
+        b.push_rect(feed_common, Rect(3310, 90 + i * 150, 460, 130),
+                    ColorF(0.85, 0.88, 0.93, 1.0))
+        b.push_rect(feed_common, Rect(3320, 100 + i * 150, 200, 24),
+                    ColorF(float(rng.rand()), 0.3, 0.6, 1.0))
+
     for i in range(n_rects):
         x = float(rng.uniform(0, w - 200))
         y = float(rng.uniform(0, h - 120))
@@ -154,15 +169,18 @@ def main():
 
     backend = build_4k_scene()
 
-    # the backend retains frames when inputs are epoch-identical
-    # (gpu_cache.rs epochs); `dirty()` perturbs the scroll state so each
-    # "rebuild" below measures the TRUE full dynamic-frame build cost
+    # the backend retains frames when inputs are epoch-identical AND when
+    # resolved transforms are bit-identical (gpu_cache.rs epochs role);
+    # `dirty()` scrolls the feed strip — a REAL subtree of 80 instances
+    # moves, so each "rebuild" below measures the true full dynamic-frame
+    # build cost, not a retention hit
     _scroll_tick = [0]
 
     def dirty():
         from webrender_tpu.api import Point2D
         _scroll_tick[0] += 1
-        backend.scroll_offsets[999999] = Point2D(0.0, float(_scroll_tick[0]))
+        backend.scroll_offsets[777] = [
+            (Point2D(0.0, 7.0 * _scroll_tick[0]), 0)]
 
     t0 = time.perf_counter()
     frame = backend.build_frame()

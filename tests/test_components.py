@@ -119,6 +119,41 @@ def test_scroll_and_rerender():
     assert tuple(img[110, 64]) == (255, 255, 255, 255)
 
 
+def test_resolved_identity_frame_retention():
+    """Scroll offsets that move no node (unknown external id, or re-set
+    to the same value) reuse the retained frame; a scroll that moves a
+    real subtree rebuilds (gpu_cache.rs epochs role)."""
+    backend = RenderBackend((128, 128))
+    pid = PipelineId(0, 1)
+    b = DisplayListBuilder(pid)
+    b.begin()
+    root = SpatialId.root_scroll_node(pid)
+    sf = b.define_scroll_frame(root, external_id=42,
+                               content_rect=Rect(0, 0, 128, 1000),
+                               frame_rect=Rect(0, 0, 128, 128))
+    common = CommonItemProperties(Rect(0, 0, 1000, 1000), sf)
+    b.push_rect(common, Rect(0, 100, 128, 28), ColorF(1, 0, 0, 1))
+    _, dl = b.end()
+    txn = Transaction()
+    txn.set_root_pipeline(pid)
+    txn.set_display_list(Epoch(0), dl)
+    txn.generate_frame()
+    backend.send_transaction(txn)
+    f0 = backend.build_frame()
+    # an offset for an id that is not in the spatial tree: resolved
+    # transforms are bit-identical → the SAME frame object comes back
+    backend.scroll_offsets[999999] = Point2D(0.0, 123.0)
+    f1 = backend.build_frame()
+    assert f1 is f0
+    assert backend.profiler.get("frame_builds_skipped") >= 1.0
+    # a real scroll moves the subtree → a fresh build
+    backend.scroll_offsets[42] = [(Point2D(0, 50.0), 0)]
+    f2 = backend.build_frame()
+    assert f2 is not f0
+    img = backend.render_software()
+    assert tuple(img[55, 64]) == (255, 0, 0, 255)
+
+
 def test_blob_image():
     """Blob image rasterization via the embedder handler
     (rawtest.rs blob cases / wrench blob.rs)."""

@@ -68,6 +68,7 @@ class RenderBackend:
         # last_frame; identical inputs → the built frame is reused
         # without touching the frame builder at all
         self._last_frame_key = None
+        self._last_resolved_sig = None
         self._frame_used_externals = False
         self._scene_generation = 0
         self.profiler = Profiler()
@@ -162,6 +163,20 @@ class RenderBackend:
                 tuple(sorted((k, tuple(t.m))
                              for k, t in self.properties.items())))
 
+    def _resolved_signature(self):
+        """Canonical value of everything resolve() feeds the frame builder:
+        per-node (world matrix, axis-aligned, invertible, backface)."""
+        try:
+            w, h = self.device_size
+            resolved = self.built_scene.spatial_tree.resolve(
+                scroll_offsets=self.scroll_offsets,
+                transform_properties=self.properties,
+                viewport=Rect(0, 0, w / self.dpr, h / self.dpr))
+        except Exception:
+            return None
+        return tuple((tuple(r.world.m), r.is_2d_axis_aligned,
+                      r.is_invertible, r.backface) for r in resolved)
+
     # ------------------------------------------------------------------
     def build_frame(self) -> Optional[Frame]:
         if self.built_scene is None:
@@ -180,6 +195,23 @@ class RenderBackend:
             # lock/unlock protocol must run every frame)
             self.profiler.bump("frame_builds_skipped")
             return self.last_frame
+        # Resolved-identity retention: scroll offsets are consumed ONLY by
+        # spatial_tree.resolve (frame_builder.build:216), so offsets that
+        # move no node — ids absent from the tree, or offsets clamped back
+        # to the stored value — produce bit-identical resolved transforms
+        # and therefore a bit-identical frame.  The reference reaches the
+        # same end through gpu_cache epochs + unchanged tile dependencies
+        # (gpu_cache.rs:5-25, tile_cache.rs); here the frame is a pure
+        # function of (scene, resources, resolved), making the check exact.
+        if self.last_frame is not None and not self._frame_used_externals \
+                and self._last_frame_key is not None \
+                and key[:4] == self._last_frame_key[:4] \
+                and key[5] == self._last_frame_key[5]:
+            sig = self._resolved_signature()
+            if sig is not None and sig == self._last_resolved_sig:
+                self._last_frame_key = key
+                self.profiler.bump("frame_builds_skipped")
+                return self.last_frame
         self.resources.begin_frame()
         with self.profiler.timer("frame_build_time"):
             def _build():
@@ -222,6 +254,7 @@ class RenderBackend:
         # build moves the resource epochs, and the frame just built
         # reflects that post-build state
         self._last_frame_key = self._frame_inputs_key()
+        self._last_resolved_sig = self._resolved_signature()
         self._frame_used_externals = bool(self.resources._locked_external)
         # external images stay locked only across the frame's prepare
         # (renderer/mod.rs unlock_external_images after uploads resolve)
