@@ -229,6 +229,7 @@ class FrameBuilder:
         self.gb = GpuBufferBuilder()
         self.metas = _MetaStore()
         self.passes: List[RenderPass] = []
+        self.slice_cache_disabled_runs = 0
         self.surface_atlas = FrameAtlas(self.surface_atlas_size[1],
                                         self.surface_atlas_size[0],
                                         max_height=self.surface_max_height)
@@ -1204,6 +1205,12 @@ class FrameBuilder:
         out = []
         for sr, ids in runs:
             if sr is not None and not self._run_cacheable(sr, ids, instances):
+                # observability for the silent-loss case (mix-blend
+                # headers, polygon clips, …): pages that lose scroll
+                # caching show up in the profiler instead of just
+                # getting slower (profiler.rs role for
+                # "Rendered picture tiles" anomalies)
+                self.slice_cache_disabled_runs += 1
                 sr = None
             out.append((sr, ids))
         return out

@@ -294,6 +294,9 @@ class RenderBackend:
         # interner analogs: the keyed caches that persist across frames
         prof.set("interned_text_runs", float(len(res.glyphs)))
         prof.set("interned_images", float(len(res.images)))
+        prof.set("slice_cache_disabled_runs",
+                 float(getattr(self.frame_builder,
+                               "slice_cache_disabled_runs", 0)))
 
     def render(self) -> np.ndarray:
         """Build + execute a frame; returns premultiplied RGBA8 (h, w, 4)."""
