@@ -297,6 +297,55 @@ def test_compositor_trait():
         assert tuple(out[16, 48]) == (0, 255, 0, 255)
 
 
+def test_compositor_partial_present():
+    """composite.rs:1195-1294 tile invalidation protocol +
+    PartialPresentCompositor (:1366): after the first full composite,
+    only invalidated tiles re-composite and the damage region is
+    reported for buffer-age style presentation."""
+    from webrender_tpu.renderer.compositor import DrawCompositor
+    c = DrawCompositor()
+    c.create_surface(1, (32, 32), is_opaque=True)
+    green = np.zeros((32, 32, 4), np.uint8)
+    green[..., 1] = 255
+    green[..., 3] = 255
+    red = np.zeros((32, 32, 4), np.uint8)
+    red[..., 0] = 255
+    red[..., 3] = 255
+    c.set_tile(1, 0, 0, green)
+    c.set_tile(1, 1, 0, green)
+    c.begin_frame()
+    c.add_surface(1, (0, 0))
+    c.start_compositing(None)
+    out1 = c.composite((64, 32))
+    c.end_frame()
+    assert c.buffer_damage_region == [(0, 0, 64, 32)]
+    # frame 2: only tile (1,0) changes
+    c.invalidate_tile(1, 1, 0)
+    c.set_tile(1, 1, 0, red)
+    c.begin_frame()
+    c.add_surface(1, (0, 0))
+    out2 = c.composite((64, 32))
+    c.end_frame()
+    assert tuple(out2[16, 16]) == (0, 255, 0, 255)
+    assert tuple(out2[16, 48]) == (255, 0, 0, 255)
+    # damage is confined to the right tile
+    assert all(x0 >= 32 for (x0, _, _, _) in c.buffer_damage_region)
+    # frame 3: explicit dirty rects via start_compositing
+    c.set_tile(1, 0, 0, red)
+    c.begin_frame()
+    c.add_surface(1, (0, 0))
+    c.start_compositing([(0, 0, 32, 32)])
+    out3 = c.composite((64, 32))
+    assert tuple(out3[16, 16]) == (255, 0, 0, 255)
+    assert c.buffer_damage_region == [(0, 0, 32, 32)]
+    # unchanged frame: empty damage, retained buffer comes back
+    c.begin_frame()
+    c.add_surface(1, (0, 0))
+    out4 = c.composite((64, 32))
+    assert c.buffer_damage_region == []
+    assert np.array_equal(out3, out4)
+
+
 def test_per_pass_gpu_timers():
     """query_gl.rs GpuProfiler analog: under GPU_TIME_QUERIES every pass
     records a (label, device ms) sample and the profiler gpu_time counter
