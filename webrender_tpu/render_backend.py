@@ -44,6 +44,26 @@ def _flatten_floats(v) -> tuple:
         return tuple(out)
 
 
+@dataclass(frozen=True, eq=True)
+class _FrameInputsKey:
+    """Every input the frame builder reads, by name (not position), so the
+    resolved-identity retention's skip-scroll comparison can't silently
+    compare the wrong field when the key grows."""
+    scene: int
+    resources: int
+    device_size: Tuple[int, int]
+    dpr: float
+    scroll: tuple
+    properties: tuple
+
+    def matches_except_scroll(self, other: "_FrameInputsKey") -> bool:
+        return (self.scene == other.scene
+                and self.resources == other.resources
+                and self.device_size == other.device_size
+                and self.dpr == other.dpr
+                and self.properties == other.properties)
+
+
 class RenderBackend:
     """One document (render_backend.rs Document) + its pipeline state."""
 
@@ -88,6 +108,11 @@ class RenderBackend:
             self.rebuild_scene()
         if txn.generate_frame_flag:
             self.frame_ready = True
+            # Render-reason accounting (profiler.rs RenderReasons rows) —
+            # mirrored from the threaded WebRenderInstance path so the
+            # synchronous embedder/test path populates the same counters.
+            self.profiler.note_render_reasons(
+                int(getattr(txn, "render_reasons", 0)))
 
     def apply_scene_ops(self, txn: Transaction) -> bool:
         scene_changed = False
@@ -154,14 +179,17 @@ class RenderBackend:
     def _frame_inputs_key(self):
         """Snapshot of every input the frame builder reads.  Scene and
         resource state are epoch counters (bumped on mutation); scroll
-        offsets and animated properties are compared by value."""
-        return (self._scene_generation,
-                self.resources.content_epoch(),
-                self.device_size, self.dpr,
-                tuple(sorted((k, _flatten_floats(p))
-                             for k, p in self.scroll_offsets.items())),
-                tuple(sorted((k, tuple(t.m))
-                             for k, t in self.properties.items())))
+        offsets and animated properties are compared by value.  Returned
+        as a named structure so the scroll-insensitive comparison in
+        build_frame can't drift when fields are added."""
+        return _FrameInputsKey(
+            scene=self._scene_generation,
+            resources=self.resources.content_epoch(),
+            device_size=self.device_size, dpr=self.dpr,
+            scroll=tuple(sorted((k, _flatten_floats(p))
+                                for k, p in self.scroll_offsets.items())),
+            properties=tuple(sorted((k, tuple(t.m))
+                                    for k, t in self.properties.items())))
 
     def _resolved_signature(self):
         """Canonical value of everything resolve() feeds the frame builder:
@@ -205,8 +233,7 @@ class RenderBackend:
         # function of (scene, resources, resolved), making the check exact.
         if self.last_frame is not None and not self._frame_used_externals \
                 and self._last_frame_key is not None \
-                and key[:4] == self._last_frame_key[:4] \
-                and key[5] == self._last_frame_key[5]:
+                and key.matches_except_scroll(self._last_frame_key):
             sig = self._resolved_signature()
             if sig is not None and sig == self._last_resolved_sig:
                 self._last_frame_key = key

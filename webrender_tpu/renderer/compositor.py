@@ -137,7 +137,10 @@ class DrawCompositor:
 
     def set_tile(self, surface_id, x, y, texels):
         self.surfaces[surface_id].tiles[(x, y)] = texels
-        self._note_tile_damage(surface_id, x, y)
+        # damage must cover the composited extent: composition uses
+        # texels.shape, which may exceed the surface's nominal tile_size
+        self._note_tile_damage(surface_id, x, y,
+                               (0, 0, texels.shape[1], texels.shape[0]))
 
     def add_surface(self, surface_id, offset=(0, 0)):
         self.order.append((surface_id, offset))
@@ -227,7 +230,10 @@ class DrawCompositor:
         self._prev_order = order
         self._damage = []
         self._explicit_dirty = None
-        return out
+        # callers get a snapshot: the retained buffer is mutated in place
+        # by the next partial composite (frame N's result must not change
+        # under a double-buffering/diffing embedder)
+        return out.copy()
 
 
 class SwCompositor(DrawCompositor):
@@ -260,7 +266,7 @@ class SwCompositor(DrawCompositor):
             self._prev_order = order
             self._damage = []
             self._explicit_dirty = None
-            return out
+            return out.copy()
         out = np.zeros((h, w, 4), np.uint8)
         band_h = max(1, -(-h // self.workers))
 
@@ -276,4 +282,4 @@ class SwCompositor(DrawCompositor):
         self._prev_order = order
         self._damage = []
         self._explicit_dirty = None
-        return out
+        return out.copy()

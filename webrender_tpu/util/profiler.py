@@ -181,7 +181,11 @@ COUNTER_LIST: List[CounterDef] = [
     _c("slow_draw_calls_count", "Slow: draw calls", "count"),
     _c("slow_targets_count", "Slow: targets", "count"),
     _c("slow_blob_count", "Slow: blobs", "count"),
-    _c("slow_scroll_after_scene_count", "Slow scroll frames", "count"),
+    # profiler.rs:497 labels SLOW_SCROLL_AFTER_SCENE_COUNT "Slow: after
+    # scene"; "Slow scroll frames" is the preset's graph item (:799) —
+    # registered as its own counter here so every preset label resolves
+    _c("slow_scroll_after_scene_count", "Slow: after scene", "count"),
+    _c("slow_scroll_frames", "Slow scroll frames", "count"),
     # gpu memory rollups (:276-278)
     _c("gpu_cache_mem", "GPU cache mem", "MB"),
     _c("gpu_buffer_mem", "GPU buffer mem", "MB"),
