@@ -425,7 +425,7 @@ def dense_dispatch_info(f32_buf, instances, tile_insts, dense_kinds):
                                     "interpret"))
 def render_tiles_pallas_dense(dense, tile_counts, tile_origins, clear_color,
                               f32_rows, alpha_atlas, surface_atlas,
-                              color_atlas,
+                              color_atlas, init_tiles=None,
                               *, kinds: Tuple[int, ...],
                               blends: Tuple[int, ...],
                               mask_clips: bool = False,
@@ -438,8 +438,14 @@ def render_tiles_pallas_dense(dense, tile_counts, tile_origins, clear_color,
     with lane rolls, or the separable path for axis-aligned scaled
     mappings — per-axis texel coordinates turned into bilinear weight
     matrices (built from iota, no gathers) and contracted against the
-    DMA'd atlas window on the MXU: out = R[y,j] · win[j,k] · C[k,x]."""
+    DMA'd atlas window on the MXU: out = R[y,j] · win[j,k] · C[k,x].
+
+    `init_tiles` ([nt, 4, TILE_H, TILE_W], optional): per-tile starting
+    contents for continuation passes (a render target drawn in several
+    passes, e.g. after a picture-cache slice composite) — the accumulator
+    starts from the tile's current pixels instead of `clear_color`."""
     nt, slots, _ = dense.shape
+    has_init = init_tiles is not None
     kinds = tuple(kinds)
     blends = tuple(blends)
     math_kinds = [k for k in kinds if k in MATH_KINDS]
@@ -460,8 +466,11 @@ def render_tiles_pallas_dense(dense, tile_counts, tile_origins, clear_color,
             preferred_element_type=jnp.float32)
 
     def kernel(cnt_ref, or_ref, clear_ref, lut_ref, dense_ref, f32_rows_ref,
-               aa_hbm, sa_hbm, ca_hbm, out_ref, acc, samp, samp_sem,
-               sep, sep_sem):
+               aa_hbm, sa_hbm, ca_hbm, *rest):
+        if has_init:
+            init_ref = rest[0]
+            rest = rest[1:]
+        out_ref, acc, samp, samp_sem, sep, sep_sem = rest
         col = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W),
                                        1).astype(jnp.float32)
         row = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W),
@@ -471,7 +480,11 @@ def render_tiles_pallas_dense(dense, tile_counts, tile_origins, clear_color,
         px = ox + col + 0.5
         py = oy + row + 0.5
         for c in range(4):
-            acc[c] = jnp.full((TILE_H, TILE_W), clear_ref[c], jnp.float32)
+            if has_init:
+                acc[c] = init_ref[0, c]
+            else:
+                acc[c] = jnp.full((TILE_H, TILE_W), clear_ref[c],
+                                  jnp.float32)
 
         def _sep_sample(u1d, v1d, u0, v0, u1, v1, nearest, src_hbm,
                         nplanes, chan0=0, round8=False):
@@ -705,7 +718,10 @@ def render_tiles_pallas_dense(dense, tile_counts, tile_origins, clear_color,
                     # dst offset absorbs arbitrarily-negative y0i (glyph uv far
                     # above its device rect): rows the DMA leaves stale map to
                     # cov=0 pixels
-                    dsty = ((jnp.maximum(y0c - y0i, 0) // 8) * 8)
+                    # clamp to the scratch slack (scratch has SAMP_H+72
+                    # rows): beyond it the uv rows are negative — outside
+                    # the glyph rect, so every affected pixel has cov=0
+                    dsty = (jnp.clip(y0c - y0i, 0, 72) // 8) * 8
                     dxs = x0i - x0c
                     dys = y0i - y0c + dsty
                     cp = pltpu.make_async_copy(
@@ -753,7 +769,8 @@ def render_tiles_pallas_dense(dense, tile_counts, tile_origins, clear_color,
                 # dst offset absorbs arbitrarily-negative y0i (glyph uv far
                 # above its device rect): rows the DMA leaves stale map to
                 # cov=0 pixels
-                dsty = ((jnp.maximum(y0c - y0i, 0) // 8) * 8)
+                # clamp to the scratch slack (see the glyph path above)
+                dsty = (jnp.clip(y0c - y0i, 0, 72) // 8) * 8
                 dxs = x0i - x0c
                 dys = y0i - y0c + dsty
                 for c in range(4):
@@ -940,23 +957,32 @@ def render_tiles_pallas_dense(dense, tile_counts, tile_origins, clear_color,
         for c in range(4):
             out_ref[0, c] = acc[c]
 
+    in_specs = [
+        pl.BlockSpec((1, 1, 1), lambda t: (t, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, 2), lambda t: (t, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, slots, 128), lambda t: (t, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+    ]
+    args = [tile_counts.reshape(nt, 1, 1), tile_origins.reshape(nt, 1, 2),
+            clear_color, jnp.asarray(lut), dense, f32_rows, alpha_atlas,
+            surface_atlas, color_atlas]
+    if has_init:
+        in_specs.append(pl.BlockSpec((1, 4, TILE_H, TILE_W),
+                                     lambda t: (t, 0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(init_tiles)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(nt,),
-        in_specs=[
-            pl.BlockSpec((1, 1, 1), lambda t: (t, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 2), lambda t: (t, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, slots, 128), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 4, TILE_H, TILE_W),
                                lambda t: (t, 0, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -975,6 +1001,4 @@ def render_tiles_pallas_dense(dense, tile_counts, tile_origins, clear_color,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(tile_counts.reshape(nt, 1, 1), tile_origins.reshape(nt, 1, 2),
-      clear_color, jnp.asarray(lut), dense, f32_rows, alpha_atlas,
-      surface_atlas, color_atlas)
+    )(*args)

@@ -115,6 +115,7 @@ def render_tiles_sharded(mesh: Mesh, f32_buf, instances, transforms,
 def render_tiles_pallas_sharded(mesh: Mesh, dense, tile_counts,
                                 tile_origins, clear_color, f32_rows,
                                 alpha_atlas, surface_atlas, color_atlas,
+                                init_tiles=None,
                                 *, kinds, blends, mask_clips: bool = False,
                                 interpret: bool = False):
     """The PRODUCTION raster path sharded: the dense-record Pallas kernel
@@ -134,6 +135,8 @@ def render_tiles_pallas_sharded(mesh: Mesh, dense, tile_counts,
     org = jnp.asarray(tile_origins)
     clear = jnp.asarray(clear_color, jnp.float32)
     per_tile_clear = clear.ndim > 1
+    has_init = init_tiles is not None
+    ini = jnp.asarray(init_tiles) if has_init else None
     if padded != nt:
         dn = jnp.pad(dn, ((0, padded - nt), (0, 0), (0, 0)))
         cnt = jnp.pad(cnt, (0, padded - nt))
@@ -141,28 +144,33 @@ def render_tiles_pallas_sharded(mesh: Mesh, dense, tile_counts,
         if per_tile_clear:
             clear = jnp.pad(clear, ((0, padded - nt),) +
                             ((0, 0),) * (clear.ndim - 1))
+        if has_init:
+            ini = jnp.pad(ini, ((0, padded - nt), (0, 0), (0, 0), (0, 0)))
     kinds = tuple(kinds)
     blends = tuple(blends)
 
-    def shard_fn(d, c, o, cl, fr, aa, sa, ca):
+    def shard_fn(d, c, o, cl, fr, aa, sa, ca, *rest):
         return render_tiles_pallas_dense(
-            d, c, o, cl, fr, aa, sa, ca, kinds=kinds, blends=blends,
+            d, c, o, cl, fr, aa, sa, ca, *rest, kinds=kinds, blends=blends,
             mask_clips=mask_clips, interpret=interpret)
 
     in_specs = (P(MESH_AXIS), P(MESH_AXIS), P(MESH_AXIS),
                 P(MESH_AXIS) if per_tile_clear else P(),
-                P(), P(), P(), P())
+                P(), P(), P(), P()) + ((P(MESH_AXIS),) if has_init else ())
     fn = jax.shard_map(shard_fn, mesh=mesh, in_specs=in_specs,
                        out_specs=P(MESH_AXIS), check_vma=False)
     tile_sh = NamedSharding(mesh, P(MESH_AXIS))
     repl = NamedSharding(mesh, P())
-    out = fn(jax.device_put(dn, tile_sh), jax.device_put(cnt, tile_sh),
-             jax.device_put(org, tile_sh),
-             jax.device_put(clear, tile_sh if per_tile_clear else repl),
-             jax.device_put(jnp.asarray(f32_rows), repl),
-             jax.device_put(alpha_atlas, repl),
-             jax.device_put(surface_atlas, repl),
-             jax.device_put(color_atlas, repl))
+    args = [jax.device_put(dn, tile_sh), jax.device_put(cnt, tile_sh),
+            jax.device_put(org, tile_sh),
+            jax.device_put(clear, tile_sh if per_tile_clear else repl),
+            jax.device_put(jnp.asarray(f32_rows), repl),
+            jax.device_put(alpha_atlas, repl),
+            jax.device_put(surface_atlas, repl),
+            jax.device_put(color_atlas, repl)]
+    if has_init:
+        args.append(jax.device_put(ini, tile_sh))
+    out = fn(*args)
     return out[:nt]
 
 

@@ -508,6 +508,15 @@ class Renderer:
                             jnp.float32)
             return out.at[jnp.asarray(sub_p)].set(out_p) \
                       .at[jnp.asarray(sub_x)].set(out_x)
+        # continuation passes carry per-tile initial contents ([nt,4,TH,TW])
+        # instead of a scalar clear — the Pallas kernel takes them as
+        # init_tiles so these passes stay on the production engine (the
+        # XLA fallback for text-heavy continuation passes was both ~100x
+        # slower and crashed the remote worker on 4K scenes)
+        init = None
+        if hasattr(clear, "ndim") and clear.ndim != 1:
+            init = jnp.asarray(clear)
+        clr1 = jnp.zeros(4, jnp.float32) if init is not None else clear
         if use_pallas:
             cached = getattr(dense_cache_holder, "_dense_cache", None) \
                 if dense_cache_holder is not None else None
@@ -537,8 +546,8 @@ class Renderer:
                     self.engine_counts.get("pallas-sharded", 0) + 1
                 return render_tiles_pallas_sharded(
                     self.mesh, cached[0], cached[1], jnp.asarray(origins),
-                    clear, f32_buf.reshape(-1, 128), self.alpha_atlas,
-                    self.surface_atlas, self.color_atlas,
+                    clr1, f32_buf.reshape(-1, 128), self.alpha_atlas,
+                    self.surface_atlas, self.color_atlas, init,
                     kinds=cached[2], blends=cached[3],
                     mask_clips=cached[4],
                     interpret=self.pallas_interpret)
@@ -546,9 +555,9 @@ class Renderer:
             self.engine_counts["pallas"] = \
                 self.engine_counts.get("pallas", 0) + 1
             return render_tiles_pallas_dense(
-                cached[0], cached[1], jnp.asarray(origins), clear,
+                cached[0], cached[1], jnp.asarray(origins), clr1,
                 f32_buf.reshape(-1, 128), self.alpha_atlas,
-                self.surface_atlas, self.color_atlas,
+                self.surface_atlas, self.color_atlas, init,
                 kinds=cached[2], blends=cached[3], mask_clips=cached[4],
                 interpret=self.pallas_interpret)
         if self.mesh is not None and \
@@ -563,10 +572,40 @@ class Renderer:
                 self.surface_atlas, kinds=kinds, blends=blends, step=step)
         self.last_engine = "xla"
         self.engine_counts["xla"] = self.engine_counts.get("xla", 0) + 1
-        return render_tiles(
-            f32_buf, instances, transforms, jnp.asarray(tile_insts),
-            jnp.asarray(origins), clear, self.color_atlas, self.alpha_atlas,
-            self.surface_atlas, kinds=kinds, blends=blends, step=step)
+        # bound a single XLA dispatch: the fallback engine's gather-based
+        # sampling can run seconds per 128 tiles on text/image-heavy
+        # passes, and one multi-minute device program trips the remote
+        # worker's watchdog (observed as "TPU worker crashed" on 1020-tile
+        # 4K dispatches).  Chunks reuse one compiled program via padding.
+        MAX_XLA_TILES = 128
+        nt_ = tile_insts.shape[0]
+        if nt_ <= MAX_XLA_TILES:
+            return render_tiles(
+                f32_buf, instances, transforms, jnp.asarray(tile_insts),
+                jnp.asarray(origins), clear, self.color_atlas,
+                self.alpha_atlas, self.surface_atlas, kinds=kinds,
+                blends=blends, step=step)
+        outs = []
+        for s in range(0, nt_, MAX_XLA_TILES):
+            e = min(s + MAX_XLA_TILES, nt_)
+            ti = tile_insts[s:e]
+            og = origins[s:e]
+            cl = clear if clear.ndim == 1 else clear[s:e]
+            pad = MAX_XLA_TILES - (e - s)
+            if pad:
+                ti = np.concatenate(
+                    [ti, np.full((pad, ti.shape[1]), -1, ti.dtype)], 0)
+                og = np.concatenate([og, np.zeros((pad, 2), np.float32)], 0)
+                if cl.ndim != 1:
+                    cl = jnp.concatenate(
+                        [cl, jnp.zeros((pad,) + tuple(cl.shape[1:]),
+                                       jnp.float32)], 0)
+            out = render_tiles(
+                f32_buf, instances, transforms, jnp.asarray(ti),
+                jnp.asarray(og), cl, self.color_atlas, self.alpha_atlas,
+                self.surface_atlas, kinds=kinds, blends=blends, step=step)
+            outs.append(out[:e - s] if pad else out)
+        return jnp.concatenate(outs, 0)
 
     def _run_raster(self, p: RenderPass, frame: Frame, f32_buf, instances,
                     transforms, framebuffer):
@@ -612,7 +651,7 @@ class Renderer:
         tiles = self._dispatch_raster(
             frame, f32_buf, instances, transforms, p.tile_insts,
             self._tile_origins(p), clear, kinds, blends, step=p.raster_step,
-            dense_cache_holder=p, allow_pallas=p.clear is not None)
+            dense_cache_holder=p)
         x, y, rw, rh = p.region
         if p.target == TARGET_ROOT:
             return _write_region(
