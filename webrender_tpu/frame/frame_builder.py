@@ -62,6 +62,7 @@ PASS_CHANNEL_LUT = 4   # per-channel 256-entry LUT on straight-alpha values
 PASS_DOWNSCALE = 5     # 2x2 box downscale src_region → region (half size)
 PASS_SRGB = 6          # float srgb<->linear on straight rgb (SVGFE linear)
 PASS_ARITH = 7         # feComposite arithmetic: k1·a·b + k2·a + k3·b + k4
+PASS_COLOR_MATRIX = 8  # straight-alpha 4x5 color matrix → quantized surface
 
 TARGET_ROOT = -1
 TARGET_SURFACE = 2  # matches resources.ATLAS_SURFACE
@@ -96,6 +97,12 @@ class RenderPass:
     # means the full src_region
     blur_region: Optional[Tuple[int, int]] = None
     lut: Optional[np.ndarray] = None      # [4, 256] channel LUT
+    # PASS_COLOR_MATRIX: flattened 4x5 straight-alpha matrix (blend.glsl
+    # CalculateFilter default case), applied src_region → region with u8
+    # quantization at the target write (brush_blend renders the filtered
+    # backdrop into the wrapping picture's RGBA8 surface — the quantize
+    # point matters for bit-exactness, e.g. 127·0.5 → 63.5 → 64)
+    color_matrix: Optional[np.ndarray] = None
     srgb_to_linear: bool = True           # PASS_SRGB direction
     src_region2: Tuple[int, int, int, int] = (0, 0, 0, 0)  # PASS_ARITH b
     kvals: Tuple[float, float, float, float] = (0, 0, 0, 0)
@@ -1392,6 +1399,21 @@ class FrameBuilder:
                 (lut_dst.x, lut_dst.y, bw, bh),
                 src_region=(dst.x, dst.y, bw, bh), lut=fs["channel_lut"]))
             dst = AtlasRegion(lut_dst.x, lut_dst.y, bw, bh)
+        if fs["color_matrix"] is not None:
+            # the filtered backdrop is drawn into the wrapping picture's
+            # RGBA8 surface (brush_blend → render target), so the matrix
+            # result quantizes to u8 BEFORE the wrapping stacking context's
+            # opacity composite — structural (+1 color target) and
+            # bit-exactness parity (invert(128)·0.5: 127·0.5 → 63.5 → 64,
+            # not 63.4999 → 63 through a folded f32 chain)
+            m_dst = self.surface_atlas.alloc(bw, bh)
+            self.passes.append(RenderPass(
+                PASS_COLOR_MATRIX, TARGET_SURFACE,
+                (m_dst.x, m_dst.y, bw, bh),
+                src_region=(dst.x, dst.y, bw, bh),
+                color_matrix=np.asarray(fs["color_matrix"],
+                                        np.float32).reshape(-1)))
+            dst = AtlasRegion(m_dst.x, m_dst.y, bw, bh)
         scale = 1
         blur_sx, blur_sy = fs["blur"]
         if blur_sx > 0 or blur_sy > 0:
@@ -1402,11 +1424,7 @@ class FrameBuilder:
         payload += [dst.x, dst.y, dst.x + bw / scale, dst.y + bh / scale]
         op = fs["opacity"]
         payload += [op, op, op, op]
-        cm = fs["color_matrix"]
-        if cm is None:
-            payload += list(identity_color_matrix().reshape(-1)) + [0.0]
-        else:
-            payload += list(np.asarray(cm, np.float32).reshape(-1)) + [1.0]
+        payload += list(identity_color_matrix().reshape(-1)) + [0.0]
         addr = self.gb.push_f32(payload)
         idx = self.gb.push_instance(KIND_PICTURE, self.device_spatial, addr,
                                     clip_addr, clip_count, BLEND_NORMAL,
@@ -1644,11 +1662,18 @@ class FrameBuilder:
             #   C = clipped = (B re-inflated / shadow-required) ∩ A
             ax0, ay0 = bbox[0] - infl_x, bbox[1] - infl_y
             ax1, ay1 = bbox[2] + infl_x, bbox[3] + infl_y
-            for sdx, sdy, odx, ody in shadow_params:
-                ax0 = min(ax0, bbox[0] + odx - 3.0 * sdx)
-                ay0 = min(ay0, bbox[1] + ody - 3.0 * sdy)
-                ax1 = max(ax1, bbox[2] + odx + 3.0 * sdx)
-                ay1 = max(ay1, bbox[3] + ody + 3.0 * sdy)
+            if shadow_params:
+                # get_rect (picture.rs:4254, DropShadows): the prim rect
+                # inflated by 3·maxσ on ALL sides, NOT translated by the
+                # shadow offset — the picture task must cover the blur
+                # spill above/left of the content (the composite places
+                # the whole blurred task at +offset)
+                msx = max(s[0] for s in shadow_params) * 3.0
+                msy = max(s[1] for s in shadow_params) * 3.0
+                ax0 = min(ax0, bbox[0] - msx)
+                ay0 = min(ay0, bbox[1] - msy)
+                ax1 = max(ax1, bbox[2] + msx)
+                ay1 = max(ay1, bbox[3] + msy)
             kx0, ky0 = self.viewport.x0, self.viewport.y0
             kx1, ky1 = self.viewport.x1, self.viewport.y1
             if clip_bbox is not None:

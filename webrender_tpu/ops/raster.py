@@ -256,6 +256,168 @@ def blur_region(src, weights, *, radius: int, axis: int,
     return jnp.pad(out, ((0, 0), (0, h - bh), (0, w - bw)), mode="edge")
 
 
+def gauss_pair_taps(sigma: float, support: int):
+    """cs_blur.glsl fragment-shader tap schedule (:141-170): the f32
+    incremental-gaussian recurrence evaluated exactly as the shader does,
+    two adjacent texels per iteration folded into ONE bilinear fetch at
+    offset i + ratio with combined weight `subtotal`.  Returns
+    (w0, [(offset, subtotal), ...]) — all f32 scalars."""
+    f = np.float32
+    s = f(sigma)
+    x = f(f(1.0) / f(np.sqrt(f(2.0) * f(3.14159265)) * s))
+    y = f(np.exp(f(-0.5) / (s * s)))
+    z = f(y * y)
+    gx, gy = x, y
+    total = gx
+    i = 1
+    while i <= support:
+        gx = f(gx * gy)
+        gy = f(gy * z)
+        sub = gx
+        gx = f(gx * gy)
+        gy = f(gy * z)
+        sub = f(sub + gx)
+        total = f(total + f(f(2.0) * sub))
+        i += 2
+    w0 = f(x / total)
+    gx, gy = w0, y
+    taps = []
+    i = 1
+    while i <= support:
+        gx = f(gx * gy)
+        gy = f(gy * z)
+        sub = gx
+        gx = f(gx * gy)
+        gy = f(gy * z)
+        sub = f(sub + gx)
+        ratio = f(gx / sub)
+        taps.append((f(f(i) + ratio), sub))
+        i += 2
+    return w0, taps
+
+
+def blur_gpu_1d(xp, src, sigma: float, axis: int, blur_len: int):
+    """One direction of the GPU float blur (cs_blur.glsl fragment path):
+    paired taps sampled bilinearly at fractional offsets, accumulated in
+    f32 in shader order; sampling clamps into [0.5, blur_len - 0.5]
+    (vUvRect).  `src` is [4, h, w] of u8-quantized values; the caller
+    packs the result to u8 (render-target write).  Bit-deterministic
+    across numpy and XLA (sequential f32 ops only)."""
+    support = int(np.ceil(1.5 * sigma)) * 2
+    if support <= 0:
+        return src
+    w0, taps = gauss_pair_taps(sigma, support)
+    n = src.shape[1 + axis]
+    L = min(blur_len, n)
+    uv = xp.arange(n).astype("float32") + np.float32(0.5)
+    lo = np.float32(0.5)
+    hi = np.float32(max(L - 0.5, 0.5))
+    avg = src * w0
+    for off, sub in taps:
+        for sign in (np.float32(-1.0), np.float32(1.0)):
+            p = xp.clip(uv + sign * off, lo, hi)
+            t = p - np.float32(0.5)
+            i0 = xp.floor(t)
+            fr = (t - i0).astype("float32")
+            i0 = i0.astype("int32")
+            a = xp.take(src, xp.clip(i0, 0, n - 1), axis=1 + axis)
+            b = xp.take(src, xp.clip(i0 + 1, 0, n - 1), axis=1 + axis)
+            shape = [1, 1, 1]
+            shape[1 + axis] = n
+            frb = fr.reshape(shape)
+            texel = a + (b - a) * frb
+            avg = avg + texel * sub
+    return avg
+
+
+def blur_region_gpu(xp, src, sigma: float, axis: int, bw: int, bh: int):
+    """GPU float blur of a planar [4, h, w] region with render-target
+    quantization (the role of blur_region, float path): taps clamp into
+    the blur region; fragments beyond it replicate the clamped edge."""
+    h, w = src.shape[1], src.shape[2]
+    if bw <= 0:
+        bw = w
+    if bh <= 0:
+        bh = h
+    content = xp.floor(src[:, :bh, :bw] * np.float32(255.0) + np.float32(0.5))
+    L = bh if axis == 0 else bw
+    out = blur_gpu_1d(xp, content, sigma, axis, L)
+    # pack_pixels round-half-even at the RGBA8 target write
+    out = xp.clip(xp.rint(out), 0.0, 255.0) * np.float32(1.0 / 255.0)
+    if hasattr(xp, "pad"):
+        return xp.pad(out, ((0, 0), (0, h - bh), (0, w - bw)), mode="edge")
+    return out
+
+
+def swgl_blur_weights(sigma: float, radius: int) -> np.ndarray:
+    """swgl gaussianBlurHorizontal/Vertical weights (swgl/src/texture.h):
+    the f32 incremental-gaussian recurrence of cs_blur.glsl, pre-scaled by
+    8 bits of fractional precision and truncated per offset with
+    `uint16_t(coeff + 0.5f)`.  Returns [radius+1] integer-valued f32
+    (center first)."""
+    f = np.float32
+    s = f(sigma)
+    x = f(f(1.0) / f(np.sqrt(f(2.0) * f(3.14159265)) * s))
+    y = f(np.exp(f(-0.5) / (s * s)))
+    z = f(y * y)
+    # vertex-shader normalization (calculate_gauss_coefficients)
+    gx, gy = x, y
+    total = gx
+    i = 1
+    while i <= radius:
+        gx = f(gx * gy)
+        gy = f(gy * z)
+        sub = gx
+        gx = f(gx * gy)
+        gy = f(gy * z)
+        sub = f(sub + gx)
+        total = f(total + f(f(2.0) * sub))
+        i += 2
+    coeff = f(f(x / total) * f(256.0))
+    step = y
+    step2 = z
+    w = np.zeros(radius + 1, np.float32)
+    w[0] = np.trunc(f(coeff + f(0.5)))
+    for k in range(1, radius + 1):
+        coeff = f(coeff * step)
+        step = f(step * step2)
+        w[k] = np.trunc(f(coeff + f(0.5)))
+    return w
+
+
+def blur_region_swgl(xp, src, sigma: float, axis: int, bw: int, bh: int):
+    """swgl's exact integer separable blur (texture.h gaussianBlur*):
+    u8 texels × u16 8-bit-fraction weights, u16 MODULAR per-tap product,
+    u16 SATURATING accumulate, truncating >>8.  Tap indices clamp into
+    the blur region [0, bw/bh); every task pixel is evaluated (pixels
+    beyond the region blur the clamped-edge content).  `src` is a planar
+    [4, h, w] array of u8-quantized values in [0, 1]; returns the same.
+    Exact in f32: every intermediate is an integer below 2^24."""
+    h, w = src.shape[1], src.shape[2]
+    if bw <= 0:
+        bw = w
+    if bh <= 0:
+        bh = h
+    radius = max(1, int(np.ceil(1.5 * sigma)) * 2)
+    wts = swgl_blur_weights(sigma, radius)
+    texels = xp.floor(src * np.float32(255.0) + np.float32(0.5))
+    n = texels.shape[1 + axis]
+    L = min(bh if axis == 0 else bw, n)
+    idx = xp.arange(n)
+    acc = texels * wts[0]
+    for k in range(1, radius + 1):
+        il = xp.clip(idx - k, 0, L - 1)
+        ir = xp.clip(idx + k, 0, L - 1)
+        lr = xp.take(texels, il, axis=1 + axis) + \
+            xp.take(texels, ir, axis=1 + axis)
+        # u16 modular product, then u16 saturating add (swgl addsat)
+        prod = lr * wts[k]
+        prod = prod - xp.floor(prod * np.float32(1.0 / 65536.0)) \
+            * np.float32(65536.0)
+        acc = xp.minimum(acc + prod, np.float32(65535.0))
+    return xp.floor(acc * np.float32(1.0 / 256.0)) * np.float32(1.0 / 255.0)
+
+
 def gaussian_weights(sigma: float, radius: int) -> np.ndarray:
     """Blur tap weights matching the GPU float path of cs_blur.glsl
     (calculate_gauss_coefficients :47-70: f32 incremental-gaussian

@@ -15,7 +15,8 @@ from typing import Optional
 import numpy as np
 
 from ..frame.frame_builder import (Frame, PASS_BLUR_H, PASS_BLUR_V,
-                                   PASS_CHANNEL_LUT, PASS_COPY,
+                                   PASS_CHANNEL_LUT, PASS_COLOR_MATRIX,
+                                   PASS_COPY,
                                    PASS_ARITH, PASS_DOWNSCALE, PASS_RASTER,
                                    PASS_SRGB, TARGET_ROOT)
 from ..frame.gpu import (CLIP_STRIDE, INST_BLEND, INST_CLIP_ADDR,
@@ -116,6 +117,17 @@ class SoftwareRenderer:
                 out = np.stack([p.lut[c][idx[c]] for c in range(4)], 0)
                 na = out[3]
                 out = np.stack([out[0] * na, out[1] * na, out[2] * na, na], 0)
+                self.surface_atlas[:, dy:dy + sh, dx:dx + sw] = \
+                    _quantize_unorm8(out.astype(np.float32))
+            elif p.kind == PASS_COLOR_MATRIX:
+                sx, sy, sw, sh = p.src_region
+                dx, dy, _, _ = p.region
+                src = self.surface_atlas[:, sy:sy + sh, sx:sx + sw]
+                from ..ops import patterns as pk
+                out = pk.apply_color_matrix(
+                    np, src.astype(np.float32),
+                    np.asarray(p.color_matrix, np.float32),
+                    np.float32(1.0))
                 self.surface_atlas[:, dy:dy + sh, dx:dx + sw] = \
                     _quantize_unorm8(out.astype(np.float32))
             elif p.kind == PASS_ARITH:

@@ -17,7 +17,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..frame.frame_builder import (Frame, RenderPass, PASS_BLUR_H,
-                                   PASS_BLUR_V, PASS_CHANNEL_LUT, PASS_COPY,
+                                   PASS_BLUR_V, PASS_CHANNEL_LUT,
+                                   PASS_COLOR_MATRIX, PASS_COPY,
                                    PASS_ARITH, PASS_DOWNSCALE, PASS_RASTER,
                                    PASS_SRGB, TARGET_ROOT)
 from ..ops import blend as blend_mod
@@ -26,7 +27,8 @@ from ..ops import blend as blend_mod
 PASS_NAMES = {PASS_RASTER: "raster", PASS_BLUR_H: "blur_h",
               PASS_BLUR_V: "blur_v", PASS_COPY: "copy",
               PASS_CHANNEL_LUT: "channel_lut", PASS_SRGB: "srgb",
-              PASS_ARITH: "arith", PASS_DOWNSCALE: "downscale"}
+              PASS_ARITH: "arith", PASS_DOWNSCALE: "downscale",
+              PASS_COLOR_MATRIX: "color_matrix"}
 from ..frame.gpu import INST_BLEND, INST_KIND
 from ..frame.tiles import TILE_H, TILE_W
 from ..ops.raster import (assemble_tiles, blur_region, disassemble_tiles,
@@ -94,6 +96,15 @@ def _apply_arith(a, b, k, linear: bool):
     if linear:
         out = blend_mod.premult_linear_to_srgb(jnp, out)
     return out
+
+
+@functools.partial(jax.jit)
+def _apply_color_matrix_pass(src, m20):
+    """blend.glsl CalculateFilter default case (color-matrix filters) on a
+    premultiplied source region; the caller's _copy_region quantizes the
+    result at the RGBA8 target write like brush_blend's output."""
+    from ..ops import patterns as pk
+    return pk.apply_color_matrix(jnp, src, m20, jnp.float32(1.0))
 
 
 @functools.partial(jax.jit)
@@ -313,6 +324,15 @@ class Renderer:
                 out = _apply_channel_lut(src, jnp.asarray(p.lut))
                 self.surface_atlas = _copy_region(self.surface_atlas, out,
                                                   dx, dy)
+            elif p.kind == PASS_COLOR_MATRIX:
+                sx, sy, sw, sh = p.src_region
+                dx, dy, _, _ = p.region
+                src = jax.lax.dynamic_slice(self.surface_atlas, (0, sy, sx),
+                                            (4, sh, sw))
+                out = _apply_color_matrix_pass(
+                    src, jnp.asarray(p.color_matrix, jnp.float32))
+                self.surface_atlas = _copy_region(self.surface_atlas, out,
+                                                  dx, dy)
             elif p.kind == PASS_SRGB:
                 sx, sy, sw, sh = p.src_region
                 dx, dy, _, _ = p.region
@@ -375,6 +395,8 @@ class Renderer:
                 parts.append(p.tile_insts.tobytes())
             if p.lut is not None:
                 parts.append(p.lut.tobytes())
+            if p.color_matrix is not None:
+                parts.append(p.color_matrix.tobytes())
         return (self._upload_epoch, hash(b"\x00".join(parts)))
 
     def render(self, frame: Frame,
