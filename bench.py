@@ -157,6 +157,13 @@ def device_render_loop(backend, frame, iters):
     return float(fb[0, 0, 0])
 
 
+def _progress(msg):
+    """Stage marker on stderr (stdout stays the single JSON line): if the
+    bench stalls, the last marker names the stage that hung."""
+    print(f"[bench] {time.strftime('%H:%M:%S')} {msg}", file=sys.stderr,
+          flush=True)
+
+
 def main():
     import os
     import jax
@@ -167,7 +174,9 @@ def main():
     except Exception:
         pass
 
+    _progress("building 4K scene")
     backend = build_4k_scene()
+    _progress("scene built")
 
     # the backend retains frames when inputs are epoch-identical AND when
     # resolved transforms are bit-identical (gpu_cache.rs epochs role);
@@ -182,6 +191,7 @@ def main():
         backend.scroll_offsets[777] = [
             (Point2D(0.0, 7.0 * _scroll_tick[0]), 0)]
 
+    _progress("cold frame build")
     t0 = time.perf_counter()
     frame = backend.build_frame()
     frame_build_cold_ms = (time.perf_counter() - t0) * 1000.0
@@ -198,11 +208,13 @@ def main():
 
     # headline: FULL re-render throughput (no dirty-tile skipping — the
     # comparable number to a CPU rasterizer rendering every frame)
+    _progress("first full device render (compiles)")
     backend.renderer.picture_caching = False
     device_render_once(backend, frame)
     backend.renderer.engine_counts = {}
     device_render_once(backend, frame)
     engine_mix = dict(backend.renderer.engine_counts)
+    _progress("20-iter full re-render loop")
     iters = 20
     t0 = time.perf_counter()
     device_render_loop(backend, frame, iters)
@@ -214,6 +226,7 @@ def main():
     # build overlaps the device's async dispatch queue, like the threaded
     # RenderApi pipeline (and any real compositor) does; sync once at the
     # end so remote-tunnel round-trip latency amortizes
+    _progress("end-to-end loop")
     e2e_iters = 8
     dirty()
     f2 = backend.build_frame()
@@ -231,6 +244,7 @@ def main():
     # record device gather, dispatch enqueue, and device execution.  Each
     # stage is synchronized so the numbers are attributable (the pipelined
     # loop above overlaps them; this is the serial-cost decomposition).
+    _progress("stage breakdown")
     import jax as _jax
     stages = {}
     dirty()
@@ -252,6 +266,7 @@ def main():
     stages["device_exec_ms"] = (time.perf_counter() - t0) * 1000.0
 
     # incremental: unchanged-frame recomposite with picture caching on
+    _progress("cached recomposite path")
     backend.renderer.picture_caching = True
     device_render_once(backend, frame)
     device_render_once(backend, frame)
@@ -261,6 +276,7 @@ def main():
 
     # CPU baseline: the native C++ span rasterizer (the swgl-class path),
     # single frame; also the numpy oracle for reference
+    _progress("native CPU baseline")
     from webrender_tpu.oracle.sw import SoftwareRenderer
     backend.renderer.apply_uploads(backend.resources.take_uploads())
     native_s = None

@@ -64,9 +64,35 @@ def test_continuation_pass_runs_on_pallas_bit_equal():
     # the bench-shaped frame: at least one continuation pass (clear=None)
     assert sum(1 for p in frame.passes if p.clear is None) >= 1, \
         [p.clear is None for p in frame.passes]
+    # with picture caching off, the pre/slice/post split of the root target
+    # merges into ONE pass (painter order preserved per tile) — one kernel
+    # launch instead of three full-grid launches
+    merged = backend.renderer._merged_root_passes(frame)
+    assert len(merged) < len(frame.passes), \
+        (len(merged), len(frame.passes))
     dev = backend.render()
     counts = backend.renderer.engine_counts
     assert counts.get("xla", 0) == 0, counts  # nothing fell off the kernel
+    assert counts.get("pallas", 0) >= 1, counts
+    sw = backend.render_software()
+    assert np.array_equal(dev, sw)
+
+
+def test_continuation_pass_unmerged_on_pallas_bit_equal():
+    """The continuation (init_tiles) kernel path itself — exercised when a
+    slice pass can't merge (picture caching ON but hashes missing) — must
+    stay on Pallas and match the oracle bit-for-bit."""
+    backend = RenderBackend((512, 256))
+    backend.renderer.use_pallas = True
+    backend.renderer.pallas_interpret = True
+    backend.renderer.picture_caching = False
+    _scene_with_scroll_slice(backend)
+    frame = backend.build_frame()
+    assert sum(1 for p in frame.passes if p.clear is None) >= 1
+    frame._merged_passes = list(frame.passes)  # force the unmerged shape
+    dev = backend.render()
+    counts = backend.renderer.engine_counts
+    assert counts.get("xla", 0) == 0, counts
     assert counts.get("pallas", 0) >= 2, counts
     sw = backend.render_software()
     assert np.array_equal(dev, sw)

@@ -272,9 +272,14 @@ class Renderer:
             self.surface_atlas = jnp.zeros(
                 (4, frame.surface_rows, self.surface_atlas.shape[2]),
                 jnp.float32)
-        f32_buf = jnp.asarray(frame.f32_buf)
-        instances = jnp.asarray(frame.instances)
-        transforms = jnp.asarray(frame.transforms)
+        # device copies of the frame's flat arrays are cached on the frame:
+        # re-rendering the same frame must not re-upload ~2.5 MB per call
+        dev = getattr(frame, "_dev_arrays", None)
+        if dev is None:
+            dev = (jnp.asarray(frame.f32_buf), jnp.asarray(frame.instances),
+                   jnp.asarray(frame.transforms))
+            frame._dev_arrays = dev
+        f32_buf, instances, transforms = dev
         framebuffer = None
         self.slice_debug = []
         # per-pass device timing (device/query_gl.rs GpuProfiler role):
@@ -297,7 +302,9 @@ class Renderer:
             _t_last = now
         if any(q.slice_key is not None for q in frame.passes):
             self.last_dirty_tiles = -1
-        for p in frame.passes:
+        passes = frame.passes if self.picture_caching \
+            else self._merged_root_passes(frame)
+        for p in passes:
             if p.kind == PASS_RASTER:
                 framebuffer = self._run_raster(
                     p, frame, f32_buf, instances, transforms, framebuffer)
@@ -374,6 +381,43 @@ class Renderer:
             self._fb_sig = sig
             self._fb_retained = framebuffer
         return framebuffer
+
+    def _merged_root_passes(self, frame: Frame) -> List[RenderPass]:
+        """With picture caching off, the slice pre/slice/post split of the
+        root target is pure overhead: merge consecutive root raster passes
+        (same region/origin/step, later ones continuations) into ONE pass
+        whose per-tile instance lists concatenate in painter order — one
+        kernel launch instead of three full-grid launches."""
+        cached = getattr(frame, "_merged_passes", None)
+        if cached is not None:
+            return cached
+        import dataclasses as _dc
+        out: List[RenderPass] = []
+        for p in frame.passes:
+            prev = out[-1] if out else None
+            if (prev is not None and p.kind == PASS_RASTER
+                    and prev.kind == PASS_RASTER
+                    and p.target == TARGET_ROOT
+                    and prev.target == TARGET_ROOT
+                    and p.region == prev.region and p.origin == prev.origin
+                    and p.raster_step == prev.raster_step
+                    and p.clear is None and p.tile_insts is not None
+                    and prev.tile_insts is not None):
+                cat = np.concatenate([prev.tile_insts, p.tile_insts], axis=1)
+                # left-compact (the kernel loops the first `cnt` slots)
+                order = np.argsort(cat < 0, axis=1, kind="stable")
+                packed = np.take_along_axis(cat, order, axis=1)
+                maxc = int((packed >= 0).sum(1).max()) if packed.size else 1
+                slots = 1 << max(3, int(np.ceil(np.log2(max(maxc, 1)))))
+                if packed.shape[1] > slots:
+                    packed = packed[:, :slots]
+                out[-1] = _dc.replace(prev, tile_insts=packed,
+                                      tile_hashes=None, slice_key=None,
+                                      cache_insts=None, cache_hashes=None)
+                continue
+            out.append(p)
+        frame._merged_passes = out
+        return out
 
     def _frame_signature(self, frame: Frame):
         """Content signature of a frame's device-visible inputs.  Two frames
@@ -457,13 +501,19 @@ class Renderer:
 
     # ------------------------------------------------------------------
     def _pass_dispatch_sets(self, p: RenderPass, frame: Frame):
+        cached = getattr(p, "_dispatch_sets", None)
+        if cached is not None:
+            return cached
         ids = p.tile_insts[p.tile_insts >= 0]
         if ids.size == 0:
-            return (0,), (0,)
-        used = frame.instances[np.unique(ids)]
-        kinds = tuple(sorted(set(int(k) for k in used[:, INST_KIND])))
-        blends = tuple(sorted(set(int(b) for b in used[:, INST_BLEND])))
-        return kinds, blends
+            sets = ((0,), (0,))
+        else:
+            used = frame.instances[np.unique(ids)]
+            kinds = tuple(sorted(set(int(k) for k in used[:, INST_KIND])))
+            blends = tuple(sorted(set(int(b) for b in used[:, INST_BLEND])))
+            sets = (kinds, blends)
+        p._dispatch_sets = sets
+        return sets
 
     def _tile_origins(self, p: RenderPass) -> np.ndarray:
         ox, oy = p.origin
