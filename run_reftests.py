@@ -13,7 +13,7 @@ import sys
 import time
 from pathlib import Path
 
-from webrender_tpu.wrench.reftest import (ReftestHarness,
+from webrender_tpu.wrench.reftest import (PLATFORM_SETS, ReftestHarness,
                                           parse_reftest_manifest, summarize)
 
 SUITES = ["aa", "backface", "blend", "border", "boxshadow", "clip",
@@ -26,6 +26,14 @@ BASE = Path("/root/reference/wrench/reftests")
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--engine", default="oracle")
+    ap.add_argument("--platform", default="union",
+                    choices=sorted(PLATFORM_SETS),
+                    help="which reference CI configuration to replicate: "
+                         "'swgl' = the software-run semantics (GL-only "
+                         "platform(linux,mac) lines skip, swgl budgets "
+                         "apply) - the north-star metric; 'linux' = the "
+                         "GL-run semantics; 'union' (default) = every "
+                         "line either configuration runs")
     ap.add_argument("--suite", nargs="*", default=SUITES)
     ap.add_argument("-v", "--verbose", action="store_true")
     ap.add_argument("--json", default=None)
@@ -39,7 +47,8 @@ def main():
             continue
         t0 = time.time()
         results = [harness.run_case(c)
-                   for c in parse_reftest_manifest(manifest)]
+                   for c in parse_reftest_manifest(
+                       manifest, PLATFORM_SETS[args.platform])]
         p, f, s = summarize(results)
         grand[0] += p
         grand[1] += f
@@ -66,6 +75,7 @@ def main():
     if args.json:
         with open(args.json, "w") as fjs:
             json.dump({"engine": args.engine,
+                       "platform": args.platform,
                        "total": {"pass": grand[0], "fail": grand[1],
                                  "skip": grand[2]},
                        "engine_mix": harness.engine_counts,

@@ -20,9 +20,24 @@ import numpy as np
 from ..render_backend import RenderBackend
 from .yaml_reader import YamlFrameReader, parse_function
 
-# Tokens that are TRUE for this engine: FreeType text rasterization (the
-# `linux` platform's font stack) and SWGL-class software-exact pixel math.
-PLATFORM_TOKENS = {"linux", "swgl", "tpu"}
+# Platform-token sets (reftest.rs:593 `fn platform`): on a software run the
+# platform IS "swgl" — the OS token does not hold, so `platform(linux,mac)`
+# lines are skipped by the reference's software CI and
+# `fuzzy-if(platform(swgl))` budgets apply.  This engine is the swgl
+# analog (integer blend math, software-exact), so:
+#   swgl  — the reference CI's software-run semantics (the north-star
+#           comparison: what `--software reftest` asserts);
+#   linux — the GL-run semantics (GL-only PNG lines asserted, no swgl
+#           budgets) — aspirational for an integer-math renderer;
+#   union — both (default): runs every line the two CI configurations run,
+#           with the laxer budget of the two.  Strictly more coverage than
+#           either reference configuration.
+PLATFORM_SETS = {
+    "swgl": frozenset({"swgl"}),
+    "linux": frozenset({"linux"}),
+    "union": frozenset({"linux", "swgl"}),
+}
+PLATFORM_TOKENS = PLATFORM_SETS["union"]
 # Tokens that are FALSE: other OSes / GL drivers / mobile targets.
 FALSE_TOKENS = {"win", "win10", "win7", "mac", "android", "device", "gl",
                 "angle", "debug", "emulator", "x86", "mobile", "optimized"}
@@ -49,18 +64,20 @@ class ReftestCase:
     dppx: Optional[float] = None
 
 
-def eval_condition(tok: str) -> bool:
+def eval_condition(tok: str, tokens=None) -> bool:
     """reftest.rs condition parser: platform(...) / env(...) / not(...)
-    — evaluated against this engine's tokens."""
+    — evaluated against the active platform-token set."""
+    if tokens is None:
+        tokens = PLATFORM_TOKENS
     func, args, _ = parse_function(tok)
     if func == "not":
-        return not eval_condition(args[0]) if args else False
+        return not eval_condition(args[0], tokens) if args else False
     if func == "platform":
-        return any(a in PLATFORM_TOKENS for a in args)
+        return any(a in tokens for a in args)
     if func == "env":
         return False  # android/device emulator environments
     # bare token
-    return func in PLATFORM_TOKENS
+    return func in tokens
 
 
 def _yaml_has_text(path: Path) -> bool:
@@ -73,9 +90,12 @@ def _yaml_has_text(path: Path) -> bool:
     return bool(re.search(r"(?m)^\s*-?\s*text:", body))
 
 
-def parse_reftest_manifest(path: Path) -> List[ReftestCase]:
+def parse_reftest_manifest(path: Path,
+                           platform_tokens=None) -> List[ReftestCase]:
     """reftest.rs parse (:337-679): token stream per line; `include` lines
-    recurse into sub-manifests."""
+    recurse into sub-manifests.  `platform_tokens` selects the CI
+    configuration being replicated (PLATFORM_SETS)."""
+    ptokens = PLATFORM_TOKENS if platform_tokens is None else platform_tokens
     cases: List[ReftestCase] = []
     base = path.parent
     for raw in path.read_text().splitlines():
@@ -84,7 +104,7 @@ def parse_reftest_manifest(path: Path) -> List[ReftestCase]:
             continue
         tokens = line.split()
         if tokens[0] == "include":
-            cases.extend(parse_reftest_manifest(base / tokens[1]))
+            cases.extend(parse_reftest_manifest(base / tokens[1], ptokens))
             continue
         case = ReftestCase(op="==", line=line)
         paths: List[Path] = []
@@ -112,14 +132,16 @@ def parse_reftest_manifest(path: Path) -> List[ReftestCase]:
                 # engine (reftest.rs:418 parse_condition)
                 cond = args[0] if args else ""
                 nums = [a for a in args if re.fullmatch(r"\d+", a)]
-                if len(nums) >= 2 and eval_condition(cond):
+                if len(nums) >= 2 and eval_condition(cond, ptokens):
                     case.fuzziness.append(Fuzzy(int(nums[0]), int(nums[1])))
             elif func == "platform":
-                if not any(a in PLATFORM_TOKENS for a in args):
+                if not any(a in ptokens for a in args):
                     case.skipped = True
                     case.skip_reason = f"platform({','.join(args)})"
             elif func == "skip_on":
-                if any(a in PLATFORM_TOKENS for a in args) or "all" in args:
+                # reftest.rs:652 — skip only when ALL args hold
+                if (args and all(a in ptokens for a in args)) \
+                        or "all" in args:
                     case.skipped = True
                     case.skip_reason = tok
             elif func == "env":
@@ -165,13 +187,11 @@ class CompareResult:
 
 
 def compare_images(a: np.ndarray, b: np.ndarray) -> CompareResult:
-    """ReftestImage::compare (reftest.rs:267); images are cropped to the
-    common top-left region when sizes differ (PNG references are usually
-    smaller than the window)."""
-    h = min(a.shape[0], b.shape[0])
-    w = min(a.shape[1], b.shape[1])
-    a = a[:h, :w]
-    b = b[:h, :w]
+    """ReftestImage::compare (reftest.rs:267-268): sizes must match — the
+    harness renders PNG cases at exactly the reference's dimensions, so a
+    mismatch is a harness bug and fails loudly (no silent cropping)."""
+    if a.shape != b.shape:
+        return CompareResult(False, 255, int(np.prod(a.shape[:2])))
     diff = np.abs(a.astype(np.int32) - b.astype(np.int32)).max(axis=-1)
     count = int((diff > 0).sum())
     return CompareResult(count == 0, int(diff.max()), count)
@@ -207,8 +227,10 @@ class ReftestHarness:
         self.engine_counts: dict = {}
 
     def render_yaml(self, path: Path, font_render_mode=None,
-                    dppx: Optional[float] = None) -> Tuple[np.ndarray, dict]:
-        backend = RenderBackend(self.window_size, dpr=dppx or 1.0)
+                    dppx: Optional[float] = None,
+                    size: Optional[Tuple[int, int]] = None
+                    ) -> Tuple[np.ndarray, dict]:
+        backend = RenderBackend(size or self.window_size, dpr=dppx or 1.0)
         reader = YamlFrameReader(path, self.window_size,
                                  font_render_mode=font_render_mode)
         reader.build(backend)
@@ -232,11 +254,15 @@ class ReftestHarness:
         try:
             dppx = case.dppx or (case.zoom if case.zoom else None)
             if case.reference.suffix == ".png":
-                # render at wrench's default window size (main.rs:625 —
-                # 1920×1080; default SC bounds and transform/perspective
-                # origins derive from it), crop readback to the PNG size
+                # reftest.rs:756 — `test_size` IS the reference PNG's size:
+                # the YAML renders into a framebuffer of exactly the PNG
+                # dimensions (default SC bounds, perspective origins and
+                # picture-cache tiling all derive from it), and the
+                # comparison is full-image, no cropping
                 reference = load_png_reference(case.reference)
-                images = [self.render_yaml(p, case.font_render_mode, dppx)
+                png_size = (reference.shape[1], reference.shape[0])
+                images = [self.render_yaml(p, case.font_render_mode, dppx,
+                                           size=png_size)
                           for p in case.tests]
             else:
                 images = [self.render_yaml(p, case.font_render_mode, dppx)
