@@ -153,24 +153,71 @@ inline float rect_coverage_auto(const float* tr, float x0, float y0,
   return rect_coverage(x0, y0, x1, y1, lx, ly, tr[9], tr[10], edge_aa);
 }
 
+// cs_clip_rectangle's general fragment math (ellipse.glsl
+// distance_to_rounded_rect): diagonal half-space corner selection, Taubin
+// first-order ellipse distance, max() with the rect SDF, one AA clamp —
+// mirrors patterns.rounded_rect_sdf_coverage exactly.
+inline float rounded_rect_sdf_coverage(const float* r, const float* radii,
+                                       float lx, float ly, float aa_mul) {
+  float x0 = r[0], y0 = r[1], x1 = r[2], y1 = r[3];
+  float cpx = 1e-6f, cpy = 1e-6f, civx = 1.f, civy = 1.f;
+  struct Corner { float rx, ry, nx, ny, ppx, ppy; int which; };
+  const Corner corners[4] = {
+      {radii[0], radii[1], -radii[1], -radii[0], x0, y0 + radii[1], 0},
+      {radii[2], radii[3], radii[3], -radii[2], x1 - radii[2], y0, 1},
+      {radii[4], radii[5], radii[5], radii[4], x1, y1 - radii[5], 2},
+      {radii[6], radii[7], -radii[7], radii[6], x0 + radii[6], y1, 3},
+  };
+  for (const Corner& c : corners) {
+    float off = c.nx * c.ppx + c.ny * c.ppy;
+    if (c.nx * lx + c.ny * ly > off) {
+      switch (c.which) {
+        case 0: cpx = (x0 + c.rx) - lx; cpy = (y0 + c.ry) - ly; break;
+        case 1: cpx = -((x1 - c.rx) - lx); cpy = (y0 + c.ry) - ly; break;
+        case 2: cpx = lx - (x1 - c.rx); cpy = ly - (y1 - c.ry); break;
+        case 3: cpx = (x0 + c.rx) - lx; cpy = -((y1 - c.ry) - ly); break;
+      }
+      civx = 1.f / std::max(c.rx * c.rx, 1e-6f);
+      civy = 1.f / std::max(c.ry * c.ry, 1e-6f);
+    }
+  }
+  float prx = cpx * civx, pry = cpy * civy;
+  float g = cpx * prx + cpy * pry - 1.f;
+  float dgx = 2.f * prx, dgy = 2.f * pry;
+  float norm = std::sqrt(dgx * dgx + dgy * dgy);
+  float ell = g / std::max(norm, 1e-12f);
+  float rect = std::max(std::max(x0 - lx, lx - x1),
+                        std::max(y0 - ly, ly - y1));
+  float dist = std::max(ell, rect);
+  return clampf(0.5f - dist * aa_mul, 0.f, 1.f);
+}
+
+// WR_FEATURE_FAST_PATH: exact Euclidean rounded-box SDF (uniform radii;
+// render_target.rs:1215) — mirrors patterns.rounded_rect_fast_coverage.
+inline float rounded_rect_fast_coverage(const float* r, float radius,
+                                        float lx, float ly, float aa_mul) {
+  float cx = (r[0] + r[2]) * 0.5f, cy = (r[1] + r[3]) * 0.5f;
+  float hx = (r[2] - r[0]) * 0.5f - radius;
+  float hy = (r[3] - r[1]) * 0.5f - radius;
+  float dx = std::fabs(lx - cx) - hx;
+  float dy = std::fabs(ly - cy) - hy;
+  float ox = std::max(dx, 0.f), oy = std::max(dy, 0.f);
+  float outside = std::sqrt(ox * ox + oy * oy);
+  float inside = std::min(std::max(dx, dy), 0.f);
+  float dist = outside + inside - radius;
+  return clampf(0.5f - dist * aa_mul, 0.f, 1.f);
+}
+
 inline float rounded_rect_coverage_auto(const float* tr, const float* r,
-                                        const float* radii, float lx,
-                                        float ly, float px, float py) {
-  if (!is_transformed(tr))
-    return rounded_rect_coverage(r, radii, lx, ly, tr[9], tr[10]);
+                                        const float* radii, float fast_flag,
+                                        float lx, float ly, float px,
+                                        float py) {
   float fw = local_fwidth(tr, lx, ly, px, py);
   if (fw < 1e-9f) fw = 1e-9f;
-  float inv = 1.0f / fw;
-  float cov = rect_coverage_tx(r[0], r[1], r[2], r[3], lx, ly, fw);
-  cov *= corner_coverage(lx, ly, r[0] + radii[0], r[1] + radii[1], radii[0],
-                         radii[1], 1.f, 1.f, inv);
-  cov *= corner_coverage(lx, ly, r[2] - radii[2], r[1] + radii[3], radii[2],
-                         radii[3], -1.f, 1.f, inv);
-  cov *= corner_coverage(lx, ly, r[2] - radii[4], r[3] - radii[5], radii[4],
-                         radii[5], -1.f, -1.f, inv);
-  cov *= corner_coverage(lx, ly, r[0] + radii[6], r[3] - radii[7], radii[6],
-                         radii[7], 1.f, -1.f, inv);
-  return cov;
+  float aa_mul = 1.0f / fw;
+  if (fast_flag > 0.5f)
+    return rounded_rect_fast_coverage(r, radii[0], lx, ly, aa_mul);
+  return rounded_rect_sdf_coverage(r, radii, lx, ly, aa_mul);
 }
 
 // swgl fixed-point bilinear (swgl/src/texture.h textureLinearPlanarRGBA8 /
@@ -848,7 +895,7 @@ int wr_raster_pass(
             ccov = rect_coverage_auto(ct, cr[0], cr[1], cr[2], cr[3], clx,
                                       cly, px, py, 0xF);
           } else if (cr[14] < 1.5f) {
-            ccov = rounded_rect_coverage_auto(ct, cr, cr + 4, clx, cly,
+            ccov = rounded_rect_coverage_auto(ct, cr, cr + 4, cr[15], clx, cly,
                                               px, py);
           } else if (cr[14] < 2.5f) {  // image mask: premult red plane
             float rc = rect_coverage_auto(ct, cr[0], cr[1], cr[2], cr[3],

@@ -2390,6 +2390,12 @@ class FrameBuilder:
             if ratio < 1.0:
                 radii = [v * ratio for v in radii]
             rec[4:12] = radii
+            if node.kind == ClipKind.ROUNDED_RECT and \
+                    all(v == radii[0] for v in radii[1:]):
+                # BorderRadius::is_uniform (exact equality, post overlap
+                # clamp like clip.rs:1655) → cs_clip_rectangle
+                # WR_FEATURE_FAST_PATH (render_target.rs:1215)
+                rec[15] = 1.0
             rec[12] = 1.0 if node.mode == ClipMode.CLIP_OUT else 0.0
             rec[13] = float(self._row(node.spatial_node))
             if node.kind == ClipKind.RECT:

@@ -219,16 +219,33 @@ def pad_pow2_rows(a: np.ndarray, min_rows: int = 8) -> np.ndarray:
     return out
 
 
+def _snap_gradient_offset(offset: float) -> float:
+    """The reference evaluates every gradient through a 128-entry LUT
+    (prim_store/gradient/mod.rs GradientGpuBlockBuilder::get_index:
+    round(clamp(o,0,1)·128 + 1) picks the entry a stop lands on, and
+    fill_colors ramps linearly between entry boundaries).  The LUT is
+    therefore EXACTLY the piecewise-linear interpolation of the stops
+    with offsets snapped to idx/128 — stops quantize to the table's
+    resolution (the color-wheel ramps stretch ~1.6% vs unsnapped stops).
+    Evaluating the original lerp on snapped offsets reproduces the LUT
+    without a per-pixel 130-entry gather."""
+    o = min(max(offset, 0.0), 1.0)
+    idx = np.float32(np.floor(np.float32(o) * np.float32(128.0)
+                              + np.float32(1.5)))  # round half-up like Rust
+    return float((idx - np.float32(1.0)) * np.float32(1.0 / 128.0))
+
+
 def gradient_stops_records(stops) -> np.ndarray:
     """Serialize normalized gradient stops as 8-float records
     [offset, r·a, g·a, b·a, a, 0, 0, 0] — PREMULTIPLIED, because the
     reference interpolates gradients in premultiplied space
     (prim_store/gradient/mod.rs GradientGpuBlockBuilder uses
-    PremultipliedColorF; gradient/premultiplied-*.yaml)."""
+    PremultipliedColorF; gradient/premultiplied-*.yaml).  Offsets snap to
+    the 128-entry LUT grid (see _snap_gradient_offset)."""
     n = len(stops)
     out = np.zeros((max(n, 2), 8), np.float32)
     for i, s in enumerate(stops):
-        out[i, 0] = min(max(s.offset, 0.0), 1.0)
+        out[i, 0] = _snap_gradient_offset(s.offset)
         a = s.color.a
         out[i, 1:5] = [s.color.r * a, s.color.g * a, s.color.b * a, a]
     if n == 0:

@@ -700,8 +700,11 @@ def render_tiles_pallas_dense(dense, tile_counts, tile_origins, clear_color,
                 rect_cov = pk.rect_coverage_auto(jnp, ct, crec[0], crec[1],
                                                  crec[2], crec[3], clx, cly,
                                                  px, py, 0xF)
+                # crec[15] = uniform-radius fast-path flag (kind 1 only;
+                # `rounded` is only selected for that kind)
                 rounded = pk.rounded_rect_coverage_auto(
-                    jnp, ct, crec[0:4], crec[4:12], clx, cly, px, py)
+                    jnp, ct, crec[0:4], crec[4:12], clx, cly, px, py,
+                    fast_flag=crec[15])
                 poly = pk.polygon_coverage(jnp, crec, px, py)
                 if mask_clips:
                     # image-mask clip (kind 2): the mask value is the color

@@ -233,13 +233,23 @@ def uniform_radius(radii8):
     return float(r)
 
 
-def rounded_rect_coverage_auto(xp, trow, rect4, radii8, lx, ly, px, py):
-    """Rounded-rect clip coverage — the cs_clip_rectangle SDF with the
+def rounded_rect_coverage_auto(xp, trow, rect4, radii8, lx, ly, px, py,
+                               fast_flag=None):
+    """Rounded-rect clip coverage — cs_clip_rectangle with the
     fwidth-based reciprocal AA range (uniform across axis-aligned and
-    transformed prims, like the shader)."""
+    transformed prims, like the shader).  `fast_flag` (clip record [15])
+    selects WR_FEATURE_FAST_PATH: when the radii are uniform the
+    reference uses the exact Euclidean rounded-box SDF instead of the
+    Taubin ellipse approximation (render_target.rs:1215
+    radius.is_uniform) — the two differ by 1-2 u8 steps on shallow-angle
+    arc pixels (e.g. gradient/conic-color-wheel's circle clip)."""
     fw = local_fwidth(xp, trow, lx, ly, px, py)
     aa_mul = 1.0 / xp.where(fw > 1e-9, fw, 1e-9)
-    return rounded_rect_sdf_coverage(xp, rect4, radii8, lx, ly, aa_mul)
+    sdf = rounded_rect_sdf_coverage(xp, rect4, radii8, lx, ly, aa_mul)
+    if fast_flag is None:
+        return sdf
+    fast = rounded_rect_fast_coverage(xp, rect4, radii8[0], lx, ly, aa_mul)
+    return xp.where(fast_flag > 0.5, fast, sdf)
 
 
 def rounded_rect_coverage(xp, rect4, radii8, lx, ly, sx, sy):
@@ -1049,8 +1059,11 @@ def clip_coverage(xp, rec, transforms, px, py, mask_plane, gather_row):
     kind = rec[14]
     rect_cov = rect_coverage_auto(xp, trow, rec[0], rec[1], rec[2], rec[3],
                                   lx, ly, px, py, 0xF)
+    # rec[15] is the fast-path flag only for kind 1 (rounded); the
+    # `rounded` branch is only selected for that kind, so passing it
+    # unconditionally is safe
     rounded = rounded_rect_coverage_auto(xp, trow, rec[0:4], rec[4:12],
-                                         lx, ly, px, py)
+                                         lx, ly, px, py, fast_flag=rec[15])
     rw = xp.maximum(rec[2] - rec[0], 1e-6)
     rh = xp.maximum(rec[3] - rec[1], 1e-6)
     mask_u = rec[16] + (lx - rec[0]) / rw * (rec[18] - rec[16])
