@@ -147,9 +147,18 @@ inline bool is_transformed(const float* tr) {
 inline float rect_coverage_auto(const float* tr, float x0, float y0,
                                 float x1, float y1, float lx, float ly,
                                 float px, float py, int edge_aa) {
-  if (is_transformed(tr))
+  if (is_transformed(tr)) {
+    // edge_aa == 0 on a transformed prim draws HARD edges (pixel-center
+    // inside test) — the ps_split_composite role (3D plane seams are
+    // aliased in the reference); mirrors patterns.rect_coverage_auto.
+    if ((edge_aa & 0xF) == 0) {
+      float dx = std::max(x0 - lx, lx - x1);
+      float dy = std::max(y0 - ly, ly - y1);
+      return std::max(dx, dy) < 0.f ? 1.f : 0.f;
+    }
     return rect_coverage_tx(x0, y0, x1, y1, lx, ly,
                             local_fwidth(tr, lx, ly, px, py));
+  }
   return rect_coverage(x0, y0, x1, y1, lx, ly, tr[9], tr[10], edge_aa);
 }
 

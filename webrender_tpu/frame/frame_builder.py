@@ -445,7 +445,19 @@ class FrameBuilder:
                 prev = self._poly_clip
                 if poly is not None:
                     self._poly_clip = poly
-                self._emit_child(child, out)
+                # Non-axis-aligned 3D planes raster into a local-space
+                # surface and split-composite samples it (picture.rs:
+                # Picture3DContext planes always get a surface;
+                # ps_split_composite) — matches the reference's
+                # double-sample output for rotated/perspective planes
+                # (perspective-surface-scale.yaml).
+                if isinstance(child, PicturePrim) and self._rctx is None \
+                        and child.shadow is None \
+                        and not self.resolved[
+                            child.common.spatial_node].is_2d_axis_aligned:
+                    self._build_surface(child, out, plane=True)
+                else:
+                    self._emit_child(child, out)
                 self._poly_clip = prev
             return
         batch: List = []
@@ -1435,8 +1447,11 @@ class FrameBuilder:
     def _accumulate_filters(self, filters, filter_datas, spatial: int):
         """Fold a CSS filter chain into blur sigmas (device px), a color
         matrix, a channel LUT, opacity, and drop shadows
-        (picture.rs PictureCompositeMode::Filter handling)."""
-        pal = self.palette[spatial]
+        (picture.rs PictureCompositeMode::Filter handling).  Scale factors
+        come from the ACTIVE raster space (_pal): inside a raster-root
+        context σ is in ctx units — the reference computes blur std dev
+        against the surface's raster spatial node (picture.rs:5890)."""
+        pal = self._pal(spatial)
         dev_sx, dev_sy = float(pal[9]), float(pal[10])
         blur_sx = blur_sy = 0.0
         color_matrix: Optional[np.ndarray] = None
@@ -1486,9 +1501,13 @@ class FrameBuilder:
                 "opacity": opacity, "drop_shadows": drop_shadows,
                 "channel_lut": channel_lut, "dev_scale": (dev_sx, dev_sy)}
 
-    def _build_surface(self, pic: PicturePrim, out: List[int]) -> None:
+    def _build_surface(self, pic: PicturePrim, out: List[int],
+                       plane: bool = False) -> None:
         """Render `pic` into a surface-atlas region, then emit composite
-        instance(s) into the parent (`picture.rs` PictureCompositeMode)."""
+        instance(s) into the parent (`picture.rs` PictureCompositeMode).
+        `plane`: the surface is a preserve-3d plane — its composite is the
+        ps_split_composite role, drawn WITHOUT edge AA (the reference's 3D
+        plane edges are aliased; AA would bleed content past the seam)."""
         if self._sc_backface_culled(pic.common.backface_cull_spatial):
             return
         # a preserve-3d BSP fragment clip applies to the COMPOSITE instance
@@ -1522,9 +1541,13 @@ class FrameBuilder:
             fs_pre = self._accumulate_filters(
                 tuple(f for f in pic.composite.filters if f.svgfe is None),
                 pic.composite.filter_datas, pic.common.spatial_node)
-            simple = (not svgfe_any and not fs_pre["drop_shadows"] and
-                      fs_pre["channel_lut"] is None and
-                      fs_pre["blur"][0] == 0.0 and fs_pre["blur"][1] == 0.0)
+            # Every non-axis-aligned filtered surface rasters in its own
+            # local raster space (picture.rs:3754 post_update raster-root
+            # selection): blur/drop-shadow σ then applies PRE-projection
+            # (screen-space-blur.yaml shows the anisotropic smear), and
+            # only the composite goes through the projective transform.
+            # SVGFE graphs still raster in device space for now.
+            simple = not svgfe_any
             if simple:
                 lr0 = self._local_content_rect(pic, pic.common.spatial_node)
             if lr0 is not None:
@@ -1545,15 +1568,34 @@ class FrameBuilder:
                             math.hypot(float(H[1, 0]), float(H[1, 1])))
                     s = max(s, 1e-3)
                 lsize = max(lr0[2] - lr0[0], lr0[3] - lr0[1])
-                # keep the ctx raster rect (content + the ±4 viewport
-                # margin and ceil rounding) within MAX_SURFACE_SIZE
-                ctx_s = min(s, (4096.0 - 16.0) / lsize)
+                # keep the ctx raster rect (content + blur margins + the
+                # viewport margin and ceil rounding) within MAX_SURFACE_SIZE
+                sigma_l = 0.0
+                for f in pic.composite.filters:
+                    if f.kind == FilterOpKind.BLUR:
+                        sigma_l += max(f.value, f.value2)
+                    elif f.kind == FilterOpKind.DROP_SHADOW and f.shadow:
+                        sigma_l += f.shadow.blur_radius + max(
+                            abs(f.shadow.offset.x), abs(f.shadow.offset.y))
+                ctx_s = min(s, (4096.0 - 24.0) / (lsize + 6.0 * sigma_l))
         saved_vp = self.viewport
         if use_ctx:
             self._rctx = (pic.common.spatial_node, ctx_s)
+            # blur/drop-shadow filters read content beyond the composite
+            # clip: widen the ctx raster window by the blur margin in ctx
+            # units (picture.rs get_coverage inflation, local space)
+            ctx_margin = 4.0
+            for f in pic.composite.filters:
+                if f.kind == FilterOpKind.BLUR:
+                    ctx_margin += math.ceil(
+                        min(max(f.value, f.value2) * ctx_s, 100.0)) * 3.0
+                elif f.kind == FilterOpKind.DROP_SHADOW and f.shadow:
+                    ctx_margin += 3.0 * min(
+                        f.shadow.blur_radius * ctx_s, 100.0) + max(
+                        abs(f.shadow.offset.x), abs(f.shadow.offset.y)) * ctx_s
             self.viewport = Rect.from_bounds(
-                lr0[0] * ctx_s - 4, lr0[1] * ctx_s - 4,
-                lr0[2] * ctx_s + 4, lr0[3] * ctx_s + 4)
+                lr0[0] * ctx_s - ctx_margin, lr0[1] * ctx_s - ctx_margin,
+                lr0[2] * ctx_s + ctx_margin, lr0[3] * ctx_s + ctx_margin)
 
         child_insts: List[int] = []
         self._surface_depth += 1
@@ -1757,7 +1799,7 @@ class FrameBuilder:
         # samples an even multiple (render_task.rs adjusted_blur_source_size
         # — picture.rs:5890 Filter::Blur task sizing)
         tw, th = sw, sh_
-        if blur_task and (blur_sx > 0 or blur_sy > 0):
+        if (blur_task or use_ctx) and (blur_sx > 0 or blur_sy > 0):
             tw, th = self.adjusted_blur_source_size(sw, sh_,
                                                     blur_sx, blur_sy)
         rw = int(math.ceil(tw / step))
@@ -1779,36 +1821,57 @@ class FrameBuilder:
             self.surface_atlas.free(r)
 
         if use_ctx:
-            # composite the local-space surface through the projective
-            # transform: pattern_picture raster-root mode (p[37..40])
+            # the full CSS filter chain runs in the surface's LOCAL raster
+            # space (σ already in ctx units via _accumulate_filters), then
+            # ONE projective composite per output (picture.rs raster roots)
+            ctx_region = region
+            ctx_scale = 1
+            if channel_lut is not None:
+                dst = self.surface_atlas.alloc(region.w, region.h)
+                self.passes.append(RenderPass(
+                    PASS_CHANNEL_LUT, TARGET_SURFACE,
+                    (dst.x, dst.y, region.w, region.h),
+                    src_region=(region.x, region.y, region.w, region.h),
+                    lut=channel_lut))
+                ctx_region = AtlasRegion(dst.x, dst.y, region.w, region.h)
+            base_region = ctx_region
+            if blur_sx > 0 or blur_sy > 0:
+                ctx_region, ctx_scale = self._push_blur(
+                    ctx_region, blur_sx, blur_sy, blur_w=sw, blur_h=sh_)
             lrect = [lr0[0], lr0[1], lr0[2], lr0[3]]
-            payload = lrect + lrect
-            payload += [region.x, region.y, region.x + sw, region.y + sh_]
-            op = opacity
-            payload += [op, op, op, op]
-            if ctx_cm is None:
-                payload += list(identity_color_matrix().reshape(-1)) + [0.0]
-            else:
-                payload += list(np.asarray(ctx_cm, np.float32)
-                                .reshape(-1)) + [1.0]
-            payload += [1.0, float(x0), float(y0), float(ctx_s)]
-            addr = self.gb.push_f32(payload)
-            blend = BLEND_NORMAL
-            if pic.composite.mix_blend_mode != MixBlendMode.NORMAL:
-                blend = BLEND_MIX_BASE + pic.composite.mix_blend_mode.value
-            idx = self.gb.push_instance(
-                KIND_PICTURE, pic.common.spatial_node, addr, clip_addr,
-                clip_count, blend, edge_aa=0xF)
-            self._region_scopes[-1].append(region)
-            db = device_bounds_of_rect(self.H_dev[pic.common.spatial_node],
-                                       lr0[0], lr0[1], lr0[2], lr0[3])
-            dbb = (max(db[0], self.viewport.x0), max(db[1], self.viewport.y0),
-                   min(db[2], self.viewport.x1), min(db[3], self.viewport.y1))
-            if clip_bbox is not None:
-                dbb = (max(dbb[0], clip_bbox[0]), max(dbb[1], clip_bbox[1]),
-                       min(dbb[2], clip_bbox[2]), min(dbb[3], clip_bbox[3]))
-            self.metas.push(dbb)
-            out.append(idx)
+            blur_cache_ctx: Dict = {}
+            ctx_regions = [region, base_region]
+            for (sh, (sdx, sdy, odx, ody)) in zip(drop_shadows,
+                                                  shadow_params):
+                if sdx > 0 or sdy > 0:
+                    sh_region, sh_scale = self._push_blur(
+                        base_region, sdx, sdy, blur_w=sw, blur_h=sh_,
+                        cache=blur_cache_ctx)
+                    ctx_regions.append(sh_region)
+                else:
+                    sh_region, sh_scale = base_region, 1
+                m = np.zeros((4, 5), np.float32)
+                m[0, 4], m[1, 4], m[2, 4] = (sh.color.r, sh.color.g,
+                                             sh.color.b)
+                m[3, 3] = sh.color.a
+                lrect_sh = [lrect[0] + sh.offset.x, lrect[1] + sh.offset.y,
+                            lrect[2] + sh.offset.x, lrect[3] + sh.offset.y]
+                self._emit_ctx_composite(
+                    sh_region, sw, sh_, x0 + odx, y0 + ody, ctx_s, sh_scale,
+                    lrect_sh, pic, 1.0, m, clip_addr, clip_count, clip_bbox,
+                    out, edge_aa=0 if plane else 0xF)
+            self._emit_ctx_composite(
+                ctx_region, sw, sh_, x0, y0, ctx_s, ctx_scale, lrect, pic,
+                opacity, color_matrix, clip_addr, clip_count, clip_bbox,
+                out, edge_aa=0 if plane else 0xF)
+            # release every ctx-chain region exactly once for aliasing
+            ctx_regions.append(ctx_region)
+            seen = set()
+            for r in ctx_regions:
+                key = (r.x, r.y, r.w, r.h)
+                if key not in seen:
+                    seen.add(key)
+                    self._region_scopes[-1].append(r)
             return
 
         content_region = region
@@ -2282,6 +2345,45 @@ class FrameBuilder:
         if cache is not None:
             cache[blur_key] = out
         return out, scale
+
+    def _emit_ctx_composite(self, region: AtlasRegion, sw: int, sh_: int,
+                            ox: float, oy: float, ctx_s: float, scale: int,
+                            lrect, pic: PicturePrim, opacity: float,
+                            color_matrix: Optional[np.ndarray],
+                            clip_addr: int, clip_count: int, clip_bbox,
+                            out: List[int], edge_aa: int = 0xF) -> None:
+        """Composite a raster-root (local-space) surface through the
+        projective transform: pattern_picture raster-root mode (p[37..40]).
+        `scale` is the blur downscale factor of `region` (the region holds
+        the ctx content at 1/scale resolution); `ox, oy` the ctx-space
+        coords of the region's (0,0) texel at full ctx resolution."""
+        payload = list(lrect) + list(lrect)
+        payload += [region.x, region.y,
+                    region.x + sw / scale, region.y + sh_ / scale]
+        payload += [opacity, opacity, opacity, opacity]
+        if color_matrix is None:
+            payload += list(identity_color_matrix().reshape(-1)) + [0.0]
+        else:
+            payload += list(np.asarray(color_matrix, np.float32)
+                            .reshape(-1)) + [1.0]
+        payload += [1.0, float(ox) / scale, float(oy) / scale,
+                    float(ctx_s) / scale]
+        addr = self.gb.push_f32(payload)
+        blend = BLEND_NORMAL
+        if pic.composite.mix_blend_mode != MixBlendMode.NORMAL:
+            blend = BLEND_MIX_BASE + pic.composite.mix_blend_mode.value
+        idx = self.gb.push_instance(
+            KIND_PICTURE, pic.common.spatial_node, addr, clip_addr,
+            clip_count, blend, edge_aa=edge_aa)
+        db = device_bounds_of_rect(self.H_dev[pic.common.spatial_node],
+                                   lrect[0], lrect[1], lrect[2], lrect[3])
+        dbb = (max(db[0], self.viewport.x0), max(db[1], self.viewport.y0),
+               min(db[2], self.viewport.x1), min(db[3], self.viewport.y1))
+        if clip_bbox is not None:
+            dbb = (max(dbb[0], clip_bbox[0]), max(dbb[1], clip_bbox[1]),
+                   min(dbb[2], clip_bbox[2]), min(dbb[3], clip_bbox[3]))
+        self.metas.push(dbb)
+        out.append(idx)
 
     def _emit_composite(self, region: AtlasRegion, origin: Tuple[float, float],
                         size: Tuple[int, int], pic: PicturePrim,

@@ -121,11 +121,19 @@ def rect_coverage_tx(xp, x0, y0, x1, y1, lx, ly, fw):
 def rect_coverage_auto(xp, trow, x0, y0, x1, y1, lx, ly, px, py, edge_aa):
     """Coverage of a local rect: axis-aligned prims use the per-edge
     box-filter ramp, transformed prims (palette flag bit 2) the
-    fwidth-based transform path."""
+    fwidth-based transform path.  edge_aa == 0 on a transformed prim
+    draws HARD edges (pixel-center inside test) — the ps_split_composite
+    role: 3D plane seams are aliased in the reference."""
     sx, sy = trow[9], trow[10]
     aligned = rect_coverage(xp, x0, y0, x1, y1, lx, ly, sx, sy, edge_aa)
     fw = local_fwidth(xp, trow, lx, ly, px, py)
     tx = rect_coverage_tx(xp, x0, y0, x1, y1, lx, ly, fw)
+    dx = xp.maximum(x0 - lx, lx - x1)
+    dy = xp.maximum(y0 - ly, ly - y1)
+    hard = xp.where(xp.maximum(dx, dy) < 0.0, 1.0, 0.0)
+    aa_any = (edge_aa & 0xF) > 0 if isinstance(edge_aa, int) \
+        else (edge_aa > 0)
+    tx = xp.where(aa_any, tx, hard)
     is_tx = xp.floor(trow[11] * 0.25) % 2.0 >= 1.0
     return xp.where(is_tx, tx, aligned)
 
