@@ -1022,6 +1022,14 @@ int wr_raster_pass(
               t = (tr_ - p[16]) * scale;
             }
             eval_stops(c, (int)p[12], (int)p[14], t, p[13], color);
+            if (p[15] > 0.5f) {
+              // GL-flavor cached-gradient-task u8 quantization (mirrors
+              // patterns._grad_task_quant; round-half-even target write)
+              for (int ch = 0; ch < 4; ch++) {
+                float v = color[ch] * 255.f;
+                color[ch] = clampf(nearbyintf(v), 0.f, 255.f) / 255.f;
+              }
+            }
             if (!in_tile)
               for (int ch = 0; ch < 4; ch++) color[ch] = 0.f;
             break;

@@ -205,6 +205,10 @@ class FrameBuilder:
         # that once overflowed keeps its recovered configuration
         self.surface_max_height = FrameAtlas.MAX_HEIGHT
         self.surface_emergency = False
+        # replicate the GL CI's pixel pipeline where it differs from the
+        # swgl CI (cached gradient tasks, …); reftest lines gated to
+        # platform(linux/mac) PNGs are compared under this flavor
+        self.gl_flavor = False
 
     def build(self, scene: BuiltScene, resources: ResourceCache,
               device_size: Tuple[int, int], dpr: float = 1.0,
@@ -831,23 +835,24 @@ class FrameBuilder:
             g = p_.gradient
             ext = float(g.extend_mode.value)
             row = pay[i]
+            glq = self._gradient_gl_quant(p_, tw, th)
             if isinstance(p_, LinearGradientPrim):
                 kinds[i] = KIND_LINEAR_GRAD
                 row[8:12] = (g.start_point.x, g.start_point.y,
                              g.end_point.x, g.end_point.y)
-                row[12:16] = (float(addr), ext, float(n), 0.0)
+                row[12:16] = (float(addr), ext, float(n), glq)
                 row[16:20] = (tw, th, sp.width, sp.height)
             elif isinstance(p_, RadialGradientPrim):
                 kinds[i] = KIND_RADIAL_GRAD
                 row[8:12] = (g.center.x, g.center.y,
                              g.radius.width, g.radius.height)
-                row[12:16] = (float(addr), ext, float(n), 0.0)
+                row[12:16] = (float(addr), ext, float(n), glq)
                 row[16:18] = (g.start_offset, g.end_offset)
                 row[18:22] = (tw, th, sp.width, sp.height)
             else:
                 kinds[i] = KIND_CONIC_GRAD
                 row[8:12] = (g.center.x, g.center.y, g.angle, 0.0)
-                row[12:16] = (float(addr), ext, float(n), 0.0)
+                row[12:16] = (float(addr), ext, float(n), glq)
                 row[16:18] = (g.start_offset, g.end_offset)
                 row[18:22] = (tw, th, sp.width, sp.height)
             i += 1
@@ -2763,6 +2768,20 @@ class FrameBuilder:
             self._lut_cache[key] = hit
         return hit
 
+    def _gradient_gl_quant(self, prim, tw: float, th: float) -> float:
+        """1.0 when the GL CI would render this gradient through a cached
+        u8 render task (scene_building.rs:3395: cached unless hard stops
+        at > LINEAR_MAX_CACHED_SIZE would artifact); the swgl CI draws
+        non-tiled gradients direct.  Only meaningful under gl_flavor."""
+        if not self.gl_flavor:
+            return 0.0
+        stops = prim.stops
+        has_hard = any(abs(stops[i + 1].offset - stops[i].offset) < 1e-9
+                       for i in range(len(stops) - 1))
+        if has_hard and (tw > 1024.0 or th > 1024.0):
+            return 0.0
+        return 1.0
+
     def _prepare_gradient(self, prim, c: PrimCommon, axis_aligned: bool,
                           out: List[int]) -> None:
         """Payload layouts (see frame/gpu.py):
@@ -2785,18 +2804,19 @@ class FrameBuilder:
         tile = [tw, th, sp.width, sp.height]
         ext = float(prim.gradient.extend_mode.value)
         g = prim.gradient
+        glq = self._gradient_gl_quant(prim, tw, th)
         if isinstance(prim, LinearGradientPrim):
             tail = [g.start_point.x, g.start_point.y, g.end_point.x,
-                    g.end_point.y, float(addr), ext, float(n), 0.0] + tile
+                    g.end_point.y, float(addr), ext, float(n), glq] + tile
             kind = KIND_LINEAR_GRAD
         elif isinstance(prim, RadialGradientPrim):
             tail = [g.center.x, g.center.y, g.radius.width, g.radius.height,
-                    float(addr), ext, float(n), 0.0,
+                    float(addr), ext, float(n), glq,
                     g.start_offset, g.end_offset] + tile
             kind = KIND_RADIAL_GRAD
         else:
             tail = [g.center.x, g.center.y, g.angle, 0.0,
-                    float(addr), ext, float(n), 0.0,
+                    float(addr), ext, float(n), glq,
                     g.start_offset, g.end_offset] + tile
             kind = KIND_CONIC_GRAD
         self._emit_rect_like(prim, c, axis_aligned, out, kind, tail,

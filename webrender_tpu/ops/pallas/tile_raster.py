@@ -332,7 +332,12 @@ def _grad_pallas(p, t, in_tile, f32_rows_ref):
     addr = p[12].astype(jnp.int32)
     n = p[14].astype(jnp.int32)
     row = f32_rows_ref[addr // 128]
-    return _eval_stops_row(row, n, t, p[13]) * in_tile[None]
+    c = _eval_stops_row(row, n, t, p[13])
+    # GL-flavor cached-gradient-task u8 quantization (p[15] — see
+    # patterns._grad_task_quant)
+    q = jnp.clip(jnp.rint(c * 255.0), 0.0, 255.0) * (1.0 / 255.0)
+    c = jnp.where(p[15] > 0.5, q, c)
+    return c * in_tile[None]
 
 
 def _pattern_math(kind_branch, p, lx, ly, sx, sy, f32_rows_ref, trow=None):

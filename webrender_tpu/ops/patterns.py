@@ -544,7 +544,19 @@ def gradient_t_linear(xp, p, lx, ly):
 def pattern_linear_gradient(xp, fori, p, lx, ly, f32_buf):
     """brush_linear_gradient.glsl / cs_linear_gradient.glsl."""
     t, in_tile = gradient_t_linear(xp, p, lx, ly)
-    return _grad(xp, fori, p, f32_buf, t) * in_tile[None]
+    return _grad_task_quant(xp, p, _grad(xp, fori, p, f32_buf, t)) \
+        * in_tile[None]
+
+
+def _grad_task_quant(xp, p, c):
+    """GL-CI gradients render through a CACHED u8 render task
+    (cs_*_gradient → texture cache; prim_store/gradient/linear.rs:3395
+    `cached`), so the ramp quantizes to the u8 grid (llvmpipe round-half-
+    even target write) before compositing.  The swgl CI draws non-tiled
+    gradients direct (is_software disables caching) — p[15] carries the
+    per-frame flavor decision from the frame builder."""
+    q = xp.clip(xp.rint(c * 255.0), 0.0, 255.0) * (1.0 / 255.0)
+    return xp.where(p[15] > 0.5, q, c)
 
 
 def _grad(xp, fori, p, f32_buf, t):
@@ -576,7 +588,8 @@ def pattern_radial_gradient(xp, fori, p, lx, ly, f32_buf):
     """cs_radial_gradient.glsl: elliptical distance scaled by radius.x,
     then (d - start_offset) / (end_offset - start_offset)."""
     t, in_tile = gradient_t_radial(xp, p, lx, ly)
-    return _grad(xp, fori, p, f32_buf, t) * in_tile[None]
+    return _grad_task_quant(xp, p, _grad(xp, fori, p, f32_buf, t)) \
+        * in_tile[None]
 
 
 def gradient_t_conic(xp, p, lx, ly):
@@ -599,7 +612,8 @@ def pattern_conic_gradient(xp, fori, p, lx, ly, f32_buf):
     """cs_conic_gradient.glsl: angle = atan(dy, dx) + (pi/2 - aAngle);
     offset = fract(angle / 2pi) / d - start/d."""
     t, in_tile = gradient_t_conic(xp, p, lx, ly)
-    return _grad(xp, fori, p, f32_buf, t) * in_tile[None]
+    return _grad_task_quant(xp, p, _grad(xp, fori, p, f32_buf, t)) \
+        * in_tile[None]
 
 
 def _blurred_rect_coverage(xp, x0, y0, x1, y1, sigma, lx, ly):

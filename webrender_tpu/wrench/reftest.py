@@ -62,6 +62,10 @@ class ReftestCase:
     font_render_mode: Optional[str] = None
     zoom: Optional[float] = None
     dppx: Optional[float] = None
+    # the line only runs on the GL CI (platform(linux/mac) gate without
+    # swgl): its PNG encodes the GL pixel pipeline — render under the
+    # gl_flavor pipeline (cached gradient tasks, …)
+    gl_only: bool = False
 
 
 def eval_condition(tok: str, tokens=None) -> bool:
@@ -138,6 +142,8 @@ def parse_reftest_manifest(path: Path,
                 if not any(a in ptokens for a in args):
                     case.skipped = True
                     case.skip_reason = f"platform({','.join(args)})"
+                elif "swgl" not in args:
+                    case.gl_only = True
             elif func == "skip_on":
                 # reftest.rs:652 — skip only when ALL args hold
                 if (args and all(a in ptokens for a in args)) \
@@ -228,9 +234,10 @@ class ReftestHarness:
 
     def render_yaml(self, path: Path, font_render_mode=None,
                     dppx: Optional[float] = None,
-                    size: Optional[Tuple[int, int]] = None
-                    ) -> Tuple[np.ndarray, dict]:
+                    size: Optional[Tuple[int, int]] = None,
+                    gl_flavor: bool = False) -> Tuple[np.ndarray, dict]:
         backend = RenderBackend(size or self.window_size, dpr=dppx or 1.0)
+        backend.frame_builder.gl_flavor = gl_flavor
         reader = YamlFrameReader(path, self.window_size,
                                  font_render_mode=font_render_mode)
         reader.build(backend)
@@ -262,13 +269,16 @@ class ReftestHarness:
                 reference = load_png_reference(case.reference)
                 png_size = (reference.shape[1], reference.shape[0])
                 images = [self.render_yaml(p, case.font_render_mode, dppx,
-                                           size=png_size)
+                                           size=png_size,
+                                           gl_flavor=case.gl_only)
                           for p in case.tests]
             else:
-                images = [self.render_yaml(p, case.font_render_mode, dppx)
+                images = [self.render_yaml(p, case.font_render_mode, dppx,
+                                           gl_flavor=case.gl_only)
                           for p in case.tests]
                 reference, _ = self.render_yaml(
-                    case.reference, case.font_render_mode, dppx)
+                    case.reference, case.font_render_mode, dppx,
+                    gl_flavor=case.gl_only)
         except Exception as e:  # noqa: BLE001 — report, don't crash the run
             return ReftestResult(case, False, detail=f"error: {e!r}")
         test, test_stats = images[-1]
