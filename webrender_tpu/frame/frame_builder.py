@@ -892,17 +892,23 @@ class FrameBuilder:
         for surfaces that would otherwise exceed the atlas."""
         return False
 
-    def _clip_local_to_viewport(self, lr, spatial: int):
+    def _clip_local_to_viewport(self, lr, spatial: int,
+                                margin: float = 0.0):
         """Intersect a local rect with the device viewport mapped into
-        local space (the visible part bounds the raster-root scale)."""
+        local space (the visible part bounds the raster-root scale).
+        `margin` (LOCAL units) widens the window for content that the
+        surface's filters pull into view — drop-shadow offsets and blur
+        taps read source pixels that are themselves off-screen
+        (filter-drop-shadow-clip-3.yaml: the inflation must happen in the
+        surface's local space, not device space)."""
         try:
             Hinv = np.linalg.inv(self._H(spatial))
         except np.linalg.LinAlgError:
             return lr
         vb = device_bounds_of_rect(Hinv, self.viewport.x0, self.viewport.y0,
                                    self.viewport.x1, self.viewport.y1)
-        out = (max(lr[0], vb[0]), max(lr[1], vb[1]),
-               min(lr[2], vb[2]), min(lr[3], vb[3]))
+        out = (max(lr[0], vb[0] - margin), max(lr[1], vb[1] - margin),
+               min(lr[2], vb[2] + margin), min(lr[3], vb[3] + margin))
         if out[2] <= out[0] or out[3] <= out[1]:
             return None
         return out
@@ -1377,8 +1383,18 @@ class FrameBuilder:
         """Copy the backdrop region out of the target, filter it, and return
         a PICTURE instance that composites the result back."""
         c = prim.common
+        # the filtered region is bounded by the prim's rect in the prim's
+        # OWN space: under a transformed stacking context the visible
+        # filtered area is the projected rect (a rotated diamond), not its
+        # device AABB (backdrop-filter-transformed-filter.yaml) — append a
+        # rect clip record in the prim's spatial space
+        rec = [0.0] * CLIP_STRIDE
+        rec[96:108] = [float(v) for v in self._pal(c.spatial_node)]
+        rr = self._snap_rect(c.clip_rect, c.spatial_node)
+        rec[0:4] = [rr.x0, rr.y0, rr.x1, rr.y1]
+        rec[13] = float(self._row(c.spatial_node))
         clip_addr, clip_count, clip_bbox = self._serialize_clips(
-            c.clip_chain, c.spatial_node)
+            c.clip_chain, c.spatial_node, extra_records=[rec])
         db = device_bounds_of_rect(self._H(c.spatial_node),
                                    c.clip_rect.x0, c.clip_rect.y0,
                                    c.clip_rect.x1, c.clip_rect.y1)
@@ -1463,17 +1479,35 @@ class FrameBuilder:
         opacity = 1.0
         drop_shadows: List = []
         channel_lut: Optional[np.ndarray] = None
+        # the ordered per-filter stages (the reference gives EACH chain
+        # filter its own surface pass — scene_building.rs PictureChain —
+        # so intermediates clamp AND quantize to u8 between stages;
+        # filter-long-chain.yaml: brightness(2) must saturate before
+        # contrast() sees it, which a folded matrix cannot reproduce)
+        stages: List = []
+        n_color = 0
+        saw_blur = False
+        shadow_after_blur = False
         fd_iter = iter(filter_datas)
         for f in filters:
             k = f.kind
             if k == FilterOpKind.OPACITY:
                 opacity *= f.value
+                if f.value < 1.0:
+                    m = np.zeros((4, 5), np.float32)
+                    m[0, 0] = m[1, 1] = m[2, 2] = 1.0
+                    m[3, 3] = f.value
+                    stages.append(("cm", m))
+                    opacity_staged = True
             elif k == FilterOpKind.BLUR:
                 # picture.rs MAX_BLUR_RADIUS (=100) clamps scaled blur radii
                 blur_sx = min(blur_sx + f.value * dev_sx, 100.0)
                 blur_sy = min(blur_sy + f.value2 * dev_sy, 100.0)
+                saw_blur = True
             elif k == FilterOpKind.DROP_SHADOW:
                 drop_shadows.append(f.shadow)
+                if saw_blur:
+                    shadow_after_blur = True
             elif k == FilterOpKind.IDENTITY:
                 pass
             elif k == FilterOpKind.COMPONENT_TRANSFER:
@@ -1482,14 +1516,20 @@ class FrameBuilder:
                     lut = _component_transfer_lut(fd)
                     channel_lut = lut if channel_lut is None else \
                         _compose_channel_lut(lut, channel_lut)
+                    stages.append(("lut", lut))
+                    n_color += 1
             elif k == FilterOpKind.SRGB_TO_LINEAR:
                 lut = _srgb_lut(to_linear=True)
                 channel_lut = lut if channel_lut is None else \
                     _compose_channel_lut(lut, channel_lut)
+                stages.append(("lut", lut))
+                n_color += 1
             elif k == FilterOpKind.LINEAR_TO_SRGB:
                 lut = _srgb_lut(to_linear=False)
                 channel_lut = lut if channel_lut is None else \
                     _compose_channel_lut(lut, channel_lut)
+                stages.append(("lut", lut))
+                n_color += 1
             elif k == FilterOpKind.FLOOD:
                 c = f.shadow.color if f.shadow else ColorF.BLACK
                 color_matrix = np.zeros((4, 5), np.float32)
@@ -1497,14 +1537,34 @@ class FrameBuilder:
                 color_matrix[1, 4] = c.g
                 color_matrix[2, 4] = c.b
                 color_matrix[3, 4] = c.a
+                stages.append(("cm", color_matrix))
+                n_color += 1
             else:
                 m = _filter_color_matrix(k, f)
                 if m is not None:
                     color_matrix = m if color_matrix is None \
                         else _compose_color_matrix(m, color_matrix)
-        return {"blur": (blur_sx, blur_sy), "color_matrix": color_matrix,
+                    stages.append(("cm", m))
+                    n_color += 1
+        # stage per-filter only where folding is observably different:
+        # >=2 color stages (intermediate clamp/quantize), or color stages
+        # feeding a drop shadow (the shadow tints the POST-filter content)
+        staged = n_color >= 2 or (n_color >= 1 and drop_shadows)
+        if staged:
+            # opacity stages run in-chain; keep only the ones folded for
+            # the non-staged path out of the composite opacity
+            stages = [(k_, v_) if k_ != "op" else ("cm", v_)
+                      for k_, v_ in stages]
+            opacity = 1.0
+        else:
+            stages = None
+        return {"blur": (blur_sx, blur_sy),
+                "color_matrix": None if staged else color_matrix,
                 "opacity": opacity, "drop_shadows": drop_shadows,
-                "channel_lut": channel_lut, "dev_scale": (dev_sx, dev_sy)}
+                "channel_lut": None if staged else channel_lut,
+                "dev_scale": (dev_sx, dev_sy),
+                "pre_stages": stages,
+                "shadow_after_blur": shadow_after_blur}
 
     def _build_surface(self, pic: PicturePrim, out: List[int],
                        plane: bool = False) -> None:
@@ -1556,8 +1616,21 @@ class FrameBuilder:
             if simple:
                 lr0 = self._local_content_rect(pic, pic.common.spatial_node)
             if lr0 is not None:
+                # widen the visible window by the filters' LOCAL reach so
+                # off-screen source content still rasters (blur taps,
+                # drop-shadow back-translation)
+                marg_l = 0.0
+                for f in pic.composite.filters:
+                    if f.kind == FilterOpKind.BLUR:
+                        marg_l += math.ceil(
+                            min(max(f.value, f.value2), 100.0)) * 3.0
+                    elif f.kind == FilterOpKind.DROP_SHADOW and f.shadow:
+                        marg_l += 3.0 * min(f.shadow.blur_radius, 100.0) \
+                            + max(abs(f.shadow.offset.x),
+                                  abs(f.shadow.offset.y))
                 lr0 = self._clip_local_to_viewport(lr0,
-                                                   pic.common.spatial_node)
+                                                   pic.common.spatial_node,
+                                                   margin=marg_l)
             if lr0 is not None and lr0[2] > lr0[0] and lr0[3] > lr0[1]:
                 use_ctx = True
                 ctx_cm = fs_pre["color_matrix"]
@@ -1602,14 +1675,48 @@ class FrameBuilder:
                 lr0[0] * ctx_s - ctx_margin, lr0[1] * ctx_s - ctx_margin,
                 lr0[2] * ctx_s + ctx_margin, lr0[3] * ctx_s + ctx_margin)
 
+        if not use_ctx:
+            # the surface's filters read content beyond the visible
+            # viewport (a drop shadow pulls content from -offset, blurs
+            # from ±3σ): inflate the cull window for the children so
+            # off-screen source pixels still rasterize
+            # (picture.rs get_coverage — filter-drop-shadow-clip-3.yaml
+            # checks the inflation happens in the right space)
+            margin = 0.0
+            fs_m = self._accumulate_filters(
+                tuple(f for f in pic.composite.filters if f.svgfe is None),
+                pic.composite.filter_datas, pic.common.spatial_node)
+            mb = max(fs_m["blur"])
+            if pic.shadow is not None:
+                mb += pic.shadow.blur_radius * 0.5 * max(fs_m["dev_scale"])
+                odx, ody = self._dev_vec(pic.common.spatial_node,
+                                         pic.shadow.offset.x,
+                                         pic.shadow.offset.y)
+                margin += max(abs(odx), abs(ody))
+            margin += math.ceil(min(mb, 100.0)) * 3.0
+            for sh in fs_m["drop_shadows"]:
+                odx, ody = self._dev_vec(pic.common.spatial_node,
+                                         sh.offset.x, sh.offset.y)
+                margin += 3.0 * min(sh.blur_radius
+                                    * max(fs_m["dev_scale"]), 100.0) \
+                    + max(abs(odx), abs(ody))
+            for f in pic.composite.filters:
+                if f.svgfe is not None:
+                    node = f.svgfe
+                    margin += math.ceil(
+                        3.0 * min(max(node["std_x"], node["std_y"])
+                                  * max(fs_m["dev_scale"]), 100.0)
+                        + max(abs(node["dx"]), abs(node["dy"]))
+                        * max(fs_m["dev_scale"]))
+            if margin > 0.0:
+                self.viewport = saved_vp.inflate(margin, margin)
         child_insts: List[int] = []
         self._surface_depth += 1
         self._region_scopes.append([])
         self._process_picture(pic, child_insts)
         self._surface_depth -= 1
         self._poly_clip = frag_poly
-        if use_ctx:
-            self.viewport = saved_vp
+        self.viewport = saved_vp
         if not child_insts:
             self._rctx = None if use_ctx else self._rctx
             for r in self._region_scopes.pop():
@@ -1831,7 +1938,10 @@ class FrameBuilder:
             # ONE projective composite per output (picture.rs raster roots)
             ctx_region = region
             ctx_scale = 1
-            if channel_lut is not None:
+            if fs["pre_stages"]:
+                ctx_region = self._run_filter_stages(fs["pre_stages"],
+                                                     ctx_region, sw, sh_)
+            elif channel_lut is not None:
                 dst = self.surface_atlas.alloc(region.w, region.h)
                 self.passes.append(RenderPass(
                     PASS_CHANNEL_LUT, TARGET_SURFACE,
@@ -1843,6 +1953,11 @@ class FrameBuilder:
             if blur_sx > 0 or blur_sy > 0:
                 ctx_region, ctx_scale = self._push_blur(
                     ctx_region, blur_sx, blur_sy, blur_w=sw, blur_h=sh_)
+            base_scale = 1
+            if fs["shadow_after_blur"]:
+                # the chain lists drop-shadow AFTER blur: the shadow's
+                # input is the blurred output (filter-long-chain.yaml)
+                base_region, base_scale = ctx_region, ctx_scale
             lrect = [lr0[0], lr0[1], lr0[2], lr0[3]]
             blur_cache_ctx: Dict = {}
             ctx_regions = [region, base_region]
@@ -1850,11 +1965,13 @@ class FrameBuilder:
                                                   shadow_params):
                 if sdx > 0 or sdy > 0:
                     sh_region, sh_scale = self._push_blur(
-                        base_region, sdx, sdy, blur_w=sw, blur_h=sh_,
+                        base_region, sdx / base_scale, sdy / base_scale,
+                        blur_w=sw // base_scale, blur_h=sh_ // base_scale,
                         cache=blur_cache_ctx)
+                    sh_scale *= base_scale
                     ctx_regions.append(sh_region)
                 else:
-                    sh_region, sh_scale = base_region, 1
+                    sh_region, sh_scale = base_region, base_scale
                 m = np.zeros((4, 5), np.float32)
                 m[0, 4], m[1, 4], m[2, 4] = (sh.color.r, sh.color.g,
                                              sh.color.b)
@@ -1885,7 +2002,10 @@ class FrameBuilder:
             content_region = self._run_svgfe_graph(
                 svgfe_ops, region, (x0, y0), (cw, ch),
                 pic.common.spatial_node, bbox)
-        if channel_lut is not None:
+        if fs["pre_stages"]:
+            content_region = self._run_filter_stages(
+                fs["pre_stages"], content_region, region.w, region.h)
+        elif channel_lut is not None:
             dst = self.surface_atlas.alloc(region.w, region.h)
             self.passes.append(RenderPass(
                 PASS_CHANNEL_LUT, TARGET_SURFACE,
@@ -1893,7 +2013,11 @@ class FrameBuilder:
                 src_region=(region.x, region.y, region.w, region.h),
                 lut=channel_lut))
             content_region = AtlasRegion(dst.x, dst.y, region.w, region.h)
+        shadow_base = content_region
+        shadow_base_scale = 1
         if blur_sx > 0 or blur_sy > 0:
+            if not fs["shadow_after_blur"]:
+                shadow_base = content_region
             content_region, content_scale = self._push_blur(
                 content_region, blur_sx, blur_sy,
                 blur_w=cw if blur_task else None,
@@ -1903,13 +2027,22 @@ class FrameBuilder:
         # σ chains share tasks (render_task.rs BlurTaskCache at
         # picture.rs:5966)
         blur_cache: Dict = {}
+        if fs["shadow_after_blur"]:
+            shadow_base, shadow_base_scale = content_region, content_scale
+        elif fs["pre_stages"]:
+            shadow_base, shadow_base_scale = shadow_base, 1
+        else:
+            shadow_base, shadow_base_scale = region, 1
         for (sh, (sdx, sdy, odx, ody)) in zip(drop_shadows, shadow_params):
             if sdx > 0 or sdy > 0:
                 shadow_region, shadow_scale = self._push_blur(
-                    region, sdx, sdy, blur_w=cw, blur_h=ch,
-                    cache=blur_cache)
+                    shadow_base, sdx / shadow_base_scale,
+                    sdy / shadow_base_scale,
+                    blur_w=cw // shadow_base_scale,
+                    blur_h=ch // shadow_base_scale, cache=blur_cache)
+                shadow_scale *= shadow_base_scale
             else:
-                shadow_region, shadow_scale = region, 1
+                shadow_region, shadow_scale = shadow_base, shadow_base_scale
             m = np.zeros((4, 5), np.float32)
             m[0, 4], m[1, 4], m[2, 4] = sh.color.r, sh.color.g, sh.color.b
             m[3, 3] = sh.color.a
@@ -2350,6 +2483,30 @@ class FrameBuilder:
         if cache is not None:
             cache[blur_key] = out
         return out, scale
+
+    def _run_filter_stages(self, stages, region: AtlasRegion,
+                           w: int, h: int) -> AtlasRegion:
+        """Run an ordered CSS filter chain as one surface pass per stage
+        (scene_building.rs PictureChain: each Filter gets its own surface,
+        so intermediates CLAMP and quantize to u8 between stages)."""
+        cur = region
+        for kind_, val in stages:
+            dst = self.surface_atlas.alloc(cur.w, cur.h)
+            if kind_ == "lut":
+                self.passes.append(RenderPass(
+                    PASS_CHANNEL_LUT, TARGET_SURFACE,
+                    (dst.x, dst.y, cur.w, cur.h),
+                    src_region=(cur.x, cur.y, cur.w, cur.h), lut=val))
+            else:
+                self.passes.append(RenderPass(
+                    PASS_COLOR_MATRIX, TARGET_SURFACE,
+                    (dst.x, dst.y, cur.w, cur.h),
+                    src_region=(cur.x, cur.y, cur.w, cur.h),
+                    color_matrix=np.asarray(val, np.float32).reshape(-1)))
+            if cur is not region:
+                self.surface_atlas.free(cur)
+            cur = AtlasRegion(dst.x, dst.y, cur.w, cur.h)
+        return cur
 
     def _emit_ctx_composite(self, region: AtlasRegion, sw: int, sh_: int,
                             ox: float, oy: float, ctx_s: float, scale: int,

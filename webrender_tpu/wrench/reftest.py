@@ -91,7 +91,7 @@ def _yaml_has_text(path: Path) -> bool:
         body = path.read_text()
     except OSError:
         return False
-    return bool(re.search(r"(?m)^\s*-?\s*text:", body))
+    return bool(re.search(r"(?m)^\s*-?\s*(text|glyphs):", body))
 
 
 def parse_reftest_manifest(path: Path,
