@@ -217,6 +217,25 @@ class GlContext:
         g.glUseProgram(prog)
         g.glUniform1i(loc, v)
 
+    def uniform1f(self, prog, name, v):
+        g = self.gl
+        loc = g.glGetUniformLocation(prog, name.encode())
+        g.glUseProgram(prog)
+        g.glUniform1f(loc, ctypes.c_float(v))
+
+    def uniform2f(self, prog, name, a, b):
+        g = self.gl
+        loc = g.glGetUniformLocation(prog, name.encode())
+        g.glUseProgram(prog)
+        g.glUniform2f(loc, ctypes.c_float(a), ctypes.c_float(b))
+
+    def uniform4f(self, prog, name, a, b, c, d):
+        g = self.gl
+        loc = g.glGetUniformLocation(prog, name.encode())
+        g.glUseProgram(prog)
+        g.glUniform4f(loc, ctypes.c_float(a), ctypes.c_float(b),
+                      ctypes.c_float(c), ctypes.c_float(d))
+
 
 VS_FULL = """#version 330 core
 layout(location=0) in vec2 aPos;

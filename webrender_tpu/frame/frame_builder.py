@@ -144,6 +144,9 @@ class Frame:
     # rows of surface atlas this frame needs; the renderer grows its HBM
     # surface array to cover it (FrameAtlas soft height)
     surface_rows: int = 2048
+    # frame built under the llvmpipe-calibrated GL pipeline (reftest lines
+    # gated to platform(linux,mac) — see blend.GL_FLAVOR_FLAG)
+    gl_flavor: bool = False
 
 
 class _MetaStore:
@@ -289,7 +292,7 @@ class FrameBuilder:
             rows *= 2
         return Frame(f32_buf, instances, self.palette, self.passes,
                      (w, h), bg.premultiplied(), bboxes,
-                     surface_rows=rows)
+                     surface_rows=rows, gl_flavor=self.gl_flavor)
 
     _FNV_OFFSET = np.uint64(0xcbf29ce484222325)
     _FNV_PRIME = np.uint64(0x9e3779b97f4a7c15)
@@ -3568,11 +3571,16 @@ class FrameBuilder:
         """Host raster of the cached blurred mask (the render_task the
         reference caches in the texture cache): rounded-rect AA coverage
         (cs_clip_rectangle math = patterns.rounded_rect_coverage), R8
-        quantized, then the exact swgl blur chain (downscale while σ>4,
-        V then H, integer weights)."""
+        quantized, then the blur chain (downscale while σ>4, V then H).
+        Under gl_flavor the blur/downscale run the GPU float math of
+        cs_blur.glsl / cs_scale.glsl (the PNG refs are GL CI renders);
+        otherwise the 16-bit fixed-point chain keeps all backends
+        bit-equal."""
         from ..ops import patterns as _pk
-        from ..ops.raster import gaussian_weights as _gw
-        from ..ops.raster import resample_bilinear as _rs
+        from ..ops.raster import (blur_plane_gpu, gaussian_weights as _gw,
+                                  resample_bilinear as _rs,
+                                  resample_bilinear_gpu as _rs_gpu)
+        gl = self.gl_flavor
 
         def render():
             xs = (np.arange(cache_w, dtype=np.float32) + 0.5) / cs
@@ -3603,9 +3611,13 @@ class FrameBuilder:
                 scale *= 2
                 nw = max(1, cache_w // scale)
                 nh = max(1, cache_h // scale)
-                plane = _rs(np, plane, nw, nh).astype(np.float32)
+                rs = _rs_gpu if gl else _rs
+                plane = rs(np, plane, nw, nh).astype(np.float32)
                 tw_, th_ = nw, nh
-            if sig > 0:
+            if sig > 0 and gl:
+                plane = blur_plane_gpu(np, plane[0],
+                                       sig)[None].astype(np.float32)
+            elif sig > 0:
                 radius = max(1, int(np.ceil(1.5 * sig)) * 2)
                 w = _gw(sig, radius)
                 for axis in (1, 2):  # V then H

@@ -312,6 +312,53 @@ def _set_lum_sat255(xp, base, sref, lref, alpha):
     return _set_lum255(xp, scaled, lref, alpha)
 
 
+# gl_flavor: reftest lines gated to platform(linux/mac) compare against
+# PNGs rendered by the linux CI's llvmpipe (Mesa software GL).  The flag
+# is baked into the record blend-op at frame-build time so every backend
+# (numpy oracle / XLA / Pallas) single-sources the flavor decision.
+GL_FLAVOR_FLAG = 0x1000
+
+
+def gl_mask_combine(xp, c8, m8):
+    """llvmpipe clip-mask accumulation: each mask renders into the shared
+    R8 clip task with multiply blending — dst*src in 8-bit fixed point,
+    round-to-nearest (Mesa lp_build_mul_norm; calibrated by glprobe)."""
+    return xp.rint(c8 * m8 * (1.0 / 255.0))
+
+
+def compose_gl(xp, op: int, color, cov, mcov, dst):
+    """llvmpipe fixed-function compose (the linux CI renderer behind
+    platform(linux,mac) PNG refs — calibrated by tools/glprobe.py):
+    the fragment shader's premultiplied float color (AA coverage and the
+    sampled u8 clip mask multiply in shader float) converts to u8 with
+    ROUND-HALF-EVEN at the blend input; blend factors compute in 8-bit
+    fixed point (`dst*(255-a8)` rounded /255); saturating add at the
+    unorm8 target write."""
+    src = color * (cov * mcov)[None]
+    if op == BLEND_NORMAL:
+        s = xp.clip(xp.rint(src * 255.0), 0.0, 255.0)
+        d = xp.floor(dst * 255.0 + 0.5)
+        out = s + xp.rint(d * (255.0 - _alphas(xp, s)) * (1.0 / 255.0))
+    elif op == BLEND_ADD:
+        s = xp.clip(xp.rint(src * 255.0), 0.0, 255.0)
+        d = xp.floor(dst * 255.0 + 0.5)
+        out = s + d
+    elif op == BLEND_CLEAR:
+        s = xp.clip(xp.rint(src * 255.0), 0.0, 255.0)
+        d = xp.floor(dst * 255.0 + 0.5)
+        out = xp.rint(d * (255.0 - _alphas(xp, s)) * (1.0 / 255.0))
+    elif op == BLEND_CH_CLEAR:
+        s = xp.clip(xp.rint(src * 255.0), 0.0, 255.0)
+        d = xp.floor(dst * 255.0 + 0.5)
+        out = xp.rint(d * (255.0 - s) * (1.0 / 255.0))
+    else:
+        # mix-blend / PD / linear ops run through shader float math in GL
+        # too — keep the existing float path, quantized half-even
+        return compose_swgl(xp, op, color, cov, mcov, dst)
+    out = xp.clip(out, 0.0, 255.0) * (1.0 / 255.0)
+    return xp.where(xp.broadcast_to(cov[None] > 0.0, out.shape), out, dst)
+
+
 def compose_swgl(xp, op: int, color, cov, mcov, dst):
     """The full swgl per-fragment compose (rasterize.h + blend.h):
     pack the shader's premultiplied f32 color to u8 (round_pixel:
@@ -321,6 +368,8 @@ def compose_swgl(xp, op: int, color, cov, mcov, dst):
     `mcov` the clip-mask chain value (both [H, W] f32 in [0,1]);
     `dst` is premultiplied f32 on the u8 grid.  Exact in f32: every
     intermediate is an integer below 2^24."""
+    if op & GL_FLAVOR_FLAG:
+        return compose_gl(xp, op & ~GL_FLAVOR_FLAG, color, cov, mcov, dst)
     if op >= BLEND_LINEAR_BASE or op in (BLEND_PD_IN, BLEND_PD_OUT,
                                          BLEND_PD_ATOP, BLEND_PD_XOR,
                                          BLEND_PD_LIGHTER) or \

@@ -376,6 +376,39 @@ def sample_alpha8(xp, atlas, u, v, u0, v0, u1, v1):
     return xp.floor(out * (1.0 / 65536.0) + 0.5) * (1.0 / 255.0)
 
 
+def sample_alpha_llvm(xp, atlas, u, v, u0, v0, u1, v1):
+    """Single-plane bilinear with llvmpipe's exact filtering (the linux CI
+    renderer — calibrated by tools/glprobe.py): 8-bit ROUNDED weights
+    w = round(frac·256), per-axis integer lerp `(a·(256−w)+b·w+128)>>8`,
+    X lerp first then Y.  Exact integer arithmetic — all backends agree;
+    the result lies on the u8 grid (llvmpipe returns the quantized lerp
+    to the shader)."""
+    H, W = atlas.shape[0], atlas.shape[1]
+    lo_u = u0 + 0.5
+    hi_u = xp.maximum(u1 - 0.5, lo_u)
+    lo_v = v0 + 0.5
+    hi_v = xp.maximum(v1 - 0.5, lo_v)
+    u = xp.clip(u, lo_u, hi_u)
+    v = xp.clip(v, lo_v, hi_v)
+    x0 = xp.clip(xp.floor(u - 0.5), 0.0, max(W - 2, 0))
+    y0 = xp.clip(xp.floor(v - 0.5), 0.0, max(H - 2, 0))
+    fx = xp.floor((u - 0.5 - x0) * 256.0 + 0.5)
+    fy = xp.floor((v - 0.5 - y0) * 256.0 + 0.5)
+    x0 = x0.astype("int32")
+    y0 = y0.astype("int32")
+    x1 = xp.clip(x0 + 1, 0, W - 1)
+    y1 = xp.clip(y0 + 1, 0, H - 1)
+    flat = atlas.reshape(-1)
+    t00 = xp.floor(flat[y0 * W + x0] * 255.0 + 0.5)
+    t10 = xp.floor(flat[y0 * W + x1] * 255.0 + 0.5)
+    t01 = xp.floor(flat[y1 * W + x0] * 255.0 + 0.5)
+    t11 = xp.floor(flat[y1 * W + x1] * 255.0 + 0.5)
+    a = xp.floor((t00 * (256.0 - fx) + t10 * fx + 128.0) * (1.0 / 256.0))
+    b = xp.floor((t01 * (256.0 - fx) + t11 * fx + 128.0) * (1.0 / 256.0))
+    out = xp.floor((a * (256.0 - fy) + b * fy + 128.0) * (1.0 / 256.0))
+    return out * (1.0 / 255.0)
+
+
 def sample_alpha(xp, atlas, u, v, u0, v0, u1, v1):
     """Bilinear sample of an alpha [H, W] atlas with uv-rect clamping;
     swgl's fixed-point filtering (textureLinearUnpackedR8)."""
@@ -1067,7 +1100,8 @@ def pattern_picture(xp, p, lx, ly, px, py, surface_atlas):
 # ---------------------------------------------------------------------------
 # clips
 
-def clip_coverage(xp, rec, transforms, px, py, mask_plane, gather_row):
+def clip_coverage(xp, rec, transforms, px, py, mask_plane, gather_row,
+                  gl: bool = False):
     """Coverage multiplier of one clip record (frame/gpu.py layout).
     `gather_row(transforms, idx)` fetches a palette row (backend-specific);
     `mask_plane` is the color atlas's RED plane [H, W]: image masks render
@@ -1090,11 +1124,12 @@ def clip_coverage(xp, rec, transforms, px, py, mask_plane, gather_row):
     rh = xp.maximum(rec[3] - rec[1], 1e-6)
     mask_u = rec[16] + (lx - rec[0]) / rw * (rec[18] - rec[16])
     mask_v = rec[17] + (ly - rec[1]) / rh * (rec[19] - rec[17])
-    masked = sample_alpha(xp, mask_plane, mask_u, mask_v,
-                          rec[16], rec[17], rec[18], rec[19]) * rect_cov
+    samp = sample_alpha_llvm if gl else sample_alpha
+    masked = samp(xp, mask_plane, mask_u, mask_v,
+                  rec[16], rec[17], rec[18], rec[19]) * rect_cov
     poly = polygon_coverage(xp, rec, px, py)
     bshadow = box_shadow_ninepatch_coverage(xp, rec, lx, ly, sx, sy,
-                                            mask_plane)
+                                            mask_plane, gl=gl)
     cov = xp.where(kind < 0.5, rect_cov,
                    xp.where(kind < 1.5, rounded,
                             xp.where(kind < 2.5, masked,
@@ -1102,7 +1137,8 @@ def clip_coverage(xp, rec, transforms, px, py, mask_plane, gather_row):
     return xp.where(rec[12] > 0.5, 1.0 - cov, cov)
 
 
-def box_shadow_ninepatch_coverage(xp, rec, lx, ly, sx, sy, mask_plane):
+def box_shadow_ninepatch_coverage(xp, rec, lx, ly, sx, sy, mask_plane,
+                                  gl: bool = False):
     """Kind-4 clip: box-shadow nine-patch (cs_clip_box_shadow.glsl).
     rec layout: [0:4] dest rect, [4:6] original alloc size (local units),
     [6:8] stretch modes (1 = Stretch / 0 = Simple), [15] clip mode
@@ -1123,8 +1159,9 @@ def box_shadow_ninepatch_coverage(xp, rec, lx, ly, sx, sy, mask_plane):
     vv = xp.clip(v_lin, 0.0, e0y) + xp.maximum(0.0, v_lin - e1y)
     mu = rec[16] + uu * (rec[18] - rec[16])
     mv = rec[17] + vv * (rec[19] - rec[17])
-    texel = sample_alpha(xp, mask_plane, mu, mv,
-                         rec[16], rec[17], rec[18], rec[19])
+    samp = sample_alpha_llvm if gl else sample_alpha
+    texel = samp(xp, mask_plane, mu, mv,
+                 rec[16], rec[17], rec[18], rec[19])
     in_rect = rect_coverage(xp, rec[0], rec[1], rec[2], rec[3],
                             lx, ly, sx, sy, 0xF)
     mode = rec[15]

@@ -318,14 +318,19 @@ def blur_gpu_1d(xp, src, sigma: float, axis: int, blur_len: int):
             p = xp.clip(uv + sign * off, lo, hi)
             t = p - np.float32(0.5)
             i0 = xp.floor(t)
-            fr = (t - i0).astype("float32")
+            # llvmpipe bilinear (glprobe-calibrated): 8-bit ROUNDED
+            # weight, integer lerp (a·(256−w)+b·w+128)>>8 — the tap the
+            # blur shader's texture() call actually returns on the CI
+            # rasterizer (u8-grid value)
+            fr = xp.floor((t - i0) * np.float32(256.0) + np.float32(0.5))
             i0 = i0.astype("int32")
             a = xp.take(src, xp.clip(i0, 0, n - 1), axis=1 + axis)
             b = xp.take(src, xp.clip(i0 + 1, 0, n - 1), axis=1 + axis)
             shape = [1, 1, 1]
             shape[1 + axis] = n
             frb = fr.reshape(shape)
-            texel = a + (b - a) * frb
+            texel = xp.floor((a * (np.float32(256.0) - frb) + b * frb
+                              + np.float32(128.0)) * np.float32(1.0 / 256.0))
             avg = avg + texel * sub
     return avg
 
@@ -455,6 +460,65 @@ def gaussian_weights(sigma: float, radius: int) -> np.ndarray:
         w[radius + k] = wk
         w[radius - k] = wk
     return w
+
+def blur_plane_gpu(xp, plane, sigma: float):
+    """GPU float blur of one [h, w] plane, V then H, with R8 render-target
+    quantization between the two directions (the alpha-target blur chain
+    of box-shadow masks: render_task.rs new_blur + cs_blur.glsl float
+    fragment math).  `plane` holds u8-quantized values in [0, 1]."""
+    src = plane[None]
+    for axis in (0, 1):
+        content = xp.floor(src * np.float32(255.0) + np.float32(0.5))
+        L = content.shape[1 + axis]
+        out = blur_gpu_1d(xp, content, sigma, axis, L)
+        src = xp.clip(_rint(xp, out), 0.0, 255.0) * np.float32(1.0 / 255.0)
+    return src[0]
+
+
+def _rint(xp, v):
+    """Round half to even (GL unorm8 render-target conversion)."""
+    return xp.round(v) if not hasattr(xp, "rint") else xp.rint(v)
+
+
+def resample_bilinear_gpu(xp, src, dw: int, dh: int):
+    """cs_scale.glsl resample with llvmpipe's exact bilinear filtering
+    (glprobe-calibrated: 8-bit rounded weights, per-axis integer lerp
+    `(a·(256−w)+b·w+128)>>8`, X then Y), u8 quantization at the
+    render-target write.  `src` is planar [c, h, w] u8-quantized."""
+    c, h, w = src.shape
+    u = (xp.arange(dw).astype("float32") + np.float32(0.5)) * \
+        np.float32(w / dw)
+    v = (xp.arange(dh).astype("float32") + np.float32(0.5)) * \
+        np.float32(h / dh)
+    u = xp.clip(u, 0.5, max(w - 0.5, 0.5))
+    v = xp.clip(v, 0.5, max(h - 0.5, 0.5))
+    tu = u - np.float32(0.5)
+    tv = v - np.float32(0.5)
+    x0 = xp.clip(xp.floor(tu), 0, max(w - 2, 0))
+    y0 = xp.clip(xp.floor(tv), 0, max(h - 2, 0))
+    fx = xp.floor((tu - x0) * np.float32(256.0)
+                  + np.float32(0.5))[None, None, :]
+    fy = xp.floor((tv - y0) * np.float32(256.0)
+                  + np.float32(0.5))[None, :, None]
+    x0 = x0.astype("int32")
+    y0 = y0.astype("int32")
+    texels = xp.floor(src * np.float32(255.0) + np.float32(0.5))
+    x1 = xp.clip(x0 + 1, 0, w - 1)
+    y1 = xp.clip(y0 + 1, 0, h - 1)
+    r0 = xp.take(texels, y0, axis=1)
+    r1 = xp.take(texels, y1, axis=1)
+    t00 = xp.take(r0, x0, axis=2)
+    t10 = xp.take(r0, x1, axis=2)
+    t01 = xp.take(r1, x0, axis=2)
+    t11 = xp.take(r1, x1, axis=2)
+    a = xp.floor((t00 * (np.float32(256.0) - fx) + t10 * fx
+                  + np.float32(128.0)) * np.float32(1.0 / 256.0))
+    b = xp.floor((t01 * (np.float32(256.0) - fx) + t11 * fx
+                  + np.float32(128.0)) * np.float32(1.0 / 256.0))
+    out = xp.floor((a * (np.float32(256.0) - fy) + b * fy
+                    + np.float32(128.0)) * np.float32(1.0 / 256.0))
+    return xp.clip(out, 0.0, 255.0) * np.float32(1.0 / 255.0)
+
 
 def resample_bilinear(xp, src, dw: int, dh: int):
     """cs_scale.glsl resample with swgl's fixed-point bilinear filtering

@@ -201,6 +201,8 @@ class SoftwareRenderer:
             return
         rh, rw = target.shape[1], target.shape[2]
         f32 = frame.f32_buf
+        gl = getattr(frame, "gl_flavor", False)
+        blend_flag = blend_mod.GL_FLAVOR_FLAG if gl else 0
         for iid in order:
             rec = frame.instances[iid]
             bbox = frame.inst_bboxes[iid]
@@ -234,14 +236,18 @@ class SoftwareRenderer:
                 crec = f32[ca:ca + CLIP_STRIDE]
                 ccov = pk.clip_coverage(np, crec, frame.transforms,
                                         px, py, self.color_atlas[0],
-                                        lambda t, idx: t[int(idx)])
+                                        lambda t, idx: t[int(idx)], gl=gl)
                 # rect clips join the span geometry; the rest go through
                 # the u8 clip-mask chain (render_task.rs new_mask)
                 if crec[14] < 0.5 and crec[12] < 0.5:
                     cov = cov * ccov
                 else:
                     c8 = np.rint(ccov * np.float32(255.0))
-                    m8 = np.floor((c8 * m8 + c8) * np.float32(1.0 / 256.0))
+                    if gl:
+                        m8 = blend_mod.gl_mask_combine(np, c8, m8)
+                    else:
+                        m8 = np.floor((c8 * m8 + c8) *
+                                      np.float32(1.0 / 256.0))
             kind = int(rec[INST_KIND])
             if kind == KIND_SOLID:
                 color = pk.pattern_solid(np, pl, lx, ly)
@@ -275,7 +281,8 @@ class SoftwareRenderer:
                 continue
             dst = target[:, y0:y1, x0:x1]
             target[:, y0:y1, x0:x1] = blend_mod.compose_swgl(
-                np, int(rec[INST_BLEND]), color.astype(np.float32), cov,
+                np, int(rec[INST_BLEND]) | blend_flag,
+                color.astype(np.float32), cov,
                 m8 * np.float32(1.0 / 255.0), dst).astype(np.float32)
 
     # ------------------------------------------------------------------
