@@ -25,7 +25,11 @@ BASE = Path("/root/reference/wrench/reftests")
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--engine", default="oracle")
+    ap.add_argument("--engine", default="oracle",
+                    help="oracle | device | cross (cross = render every "
+                         "case on BOTH engines and bitwise-compare device "
+                         "output to the oracle — the device==oracle gate; "
+                         "text PNG-skips are asserted too)")
     ap.add_argument("--platform", default="union",
                     choices=sorted(PLATFORM_SETS),
                     help="which reference CI configuration to replicate: "
@@ -46,7 +50,9 @@ def main():
         if not manifest.exists():
             continue
         t0 = time.time()
-        results = [harness.run_case(c)
+        run1 = harness.run_case_cross if args.engine == "cross" \
+            else harness.run_case
+        results = [run1(c)
                    for c in parse_reftest_manifest(
                        manifest, PLATFORM_SETS[args.platform])]
         p, f, s = summarize(results)
@@ -70,7 +76,7 @@ def main():
                 if not r.passed:
                     print(f"   FAIL {r.case.line[:90]} | {r.detail[:110]}")
     print(f"{'TOTAL':22s} pass={grand[0]} fail={grand[1]} skip={grand[2]}")
-    if args.engine == "device":
+    if args.engine in ("device", "cross"):
         print(f"engine mix: {harness.engine_counts}")
     if args.json:
         with open(args.json, "w") as fjs:

@@ -38,10 +38,11 @@ def main():
     frame = backend.build_frame()
     print(f"[repro] frame built: {frame.instances.shape[0]} instances, "
           f"{len(frame.passes)} passes", file=sys.stderr, flush=True)
-    import numpy as np
     for p in frame.passes:
-        il = getattr(p, "tile_instances", None)
-        print(f"[repro]   pass kind={getattr(p, 'kind', '?')} ",
+        ti = getattr(p, "tile_insts", None)
+        n_inst = int((ti >= 0).sum()) if ti is not None else 0
+        print(f"[repro]   pass kind={getattr(p, 'kind', '?')} "
+              f"instances={n_inst}",
               file=sys.stderr, flush=True)
     t0 = time.perf_counter()
     fb = backend.renderer.render_device(frame)

@@ -50,7 +50,7 @@ void main() {
 
 
 def main():
-    from webrender_tpu.ops.raster import blur_gpu_1d, gauss_pair_taps
+    from webrender_tpu.ops.raster import blur_gpu_1d
 
     W = 256
     rng = np.random.RandomState(7)

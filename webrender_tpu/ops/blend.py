@@ -313,9 +313,13 @@ def _set_lum_sat255(xp, base, sref, lref, alpha):
 
 
 # gl_flavor: reftest lines gated to platform(linux/mac) compare against
-# PNGs rendered by the linux CI's llvmpipe (Mesa software GL).  The flag
-# is baked into the record blend-op at frame-build time so every backend
-# (numpy oracle / XLA / Pallas) single-sources the flavor decision.
+# PNGs rendered by the linux CI's llvmpipe (Mesa software GL).  Each
+# backend ORs the flag into the blend op at render/trace time from
+# frame.gl_flavor: the numpy oracle per instance (oracle/sw.py _raster),
+# the XLA and Pallas engines via their static `gl` parameter (the renderer
+# threads frame.gl_flavor into every dispatch, compiling distinct kernel
+# variants).  The flag is never stored in instance records, so device
+# blend LUTs stay sized to N_BLEND_OPS.
 GL_FLAVOR_FLAG = 0x1000
 
 

@@ -519,14 +519,15 @@ def dense_dispatch_info(f32_buf, instances, tile_insts, dense_kinds):
 
 @functools.partial(jax.jit,
                    static_argnames=("kinds", "blends", "mask_clips",
-                                    "interpret"))
+                                    "interpret", "gl"))
 def render_tiles_pallas_dense(dense, tile_counts, tile_origins, clear_color,
                               f32_rows, alpha_atlas, surface_atlas,
                               color_atlas, init_tiles=None,
                               *, kinds: Tuple[int, ...],
                               blends: Tuple[int, ...],
                               mask_clips: bool = False,
-                              interpret: bool = False):
+                              interpret: bool = False,
+                              gl: bool = False):
     """Dense-record pallas raster → [nt, 4, TILE_H, TILE_W].
 
     All per-instance state arrives in the tile's own VMEM block — no
@@ -540,7 +541,12 @@ def render_tiles_pallas_dense(dense, tile_counts, tile_origins, clear_color,
     `init_tiles` ([nt, 4, TILE_H, TILE_W], optional): per-tile starting
     contents for continuation passes (a render target drawn in several
     passes, e.g. after a picture-cache slice composite) — the accumulator
-    starts from the tile's current pixels instead of `clear_color`."""
+    starts from the tile's current pixels instead of `clear_color`.
+
+    `gl` (static): the llvmpipe pixel pipeline (frame.gl_flavor) — GL
+    blend compose (blend_mod.GL_FLAVOR_FLAG ORed into the dispatched ops
+    at trace time), llvmpipe clip-mask accumulation and llvmpipe bilinear
+    mask sampling; compiles as a distinct kernel variant."""
     nt, slots, _ = dense.shape
     has_init = init_tiles is not None
     kinds = tuple(kinds)
@@ -584,15 +590,19 @@ def render_tiles_pallas_dense(dense, tile_counts, tile_origins, clear_color,
                                   jnp.float32)
 
         def _sep_sample(u1d, v1d, u0, v0, u1, v1, nearest, src_hbm,
-                        nplanes, chan0=0, round8=False):
+                        nplanes, chan0=0, round8=False, llvm=False):
             """Axis-aligned bilinear sampling on the MXU with swgl's
             fixed-point filtering (texture.h textureLinearPlanarRGBA8):
             coordinates quantize to 7-bit fractions and the four taps are
             gathered with one-hot weight-matrix contractions against a
             DMA'd atlas window, then combined with truncating int16 lerps
             (y first, then x) — exactly the math of patterns.sample_rgba.
-            u1d: [1, TILE_W]; v1d: [TILE_H, 1].
+            `round8` = GPU-style 8-bit fractions with one combined round
+            (patterns.sample_alpha8); `llvm` = llvmpipe's per-axis rounded
+            integer lerp (patterns.sample_alpha_llvm — the gl_flavor mask
+            path).  u1d: [1, TILE_W]; v1d: [TILE_H, 1].
             Returns [nplanes, TILE_H, TILE_W] (or [TILE_H, TILE_W])."""
+            round8 = round8 or llvm
             lo_u = u0 + 0.5
             hi_u = jnp.maximum(u1 - 0.5, lo_u)
             lo_v = v0 + 0.5
@@ -665,7 +675,15 @@ def render_tiles_pallas_dense(dense, tile_counts, tile_origins, clear_color,
                 t01 = jnp.floor(_mm(R1, s0) * 255.0 + 0.5)
                 t10 = jnp.floor(_mm(R0, s1) * 255.0 + 0.5)
                 t11 = jnp.floor(_mm(R1, s1) * 255.0 + 0.5)
-                if round8:
+                if llvm:
+                    a = jnp.floor((t00 * (256.0 - fx) + t10 * fx + 128.0)
+                                  * (1.0 / 256.0))
+                    b = jnp.floor((t01 * (256.0 - fx) + t11 * fx + 128.0)
+                                  * (1.0 / 256.0))
+                    o = jnp.floor((a * (256.0 - fy) + b * fy + 128.0)
+                                  * (1.0 / 256.0))
+                    outs.append(o * (1.0 / 255.0))
+                elif round8:
                     a = t00 * (256.0 - fx) + t10 * fx
                     b = t01 * (256.0 - fx) + t11 * fx
                     o = a * (256.0 - fy) + b * fy
@@ -725,7 +743,7 @@ def render_tiles_pallas_dense(dense, tile_counts, tile_origins, clear_color,
                             (crec[19] - crec[17])
                         m = _sep_sample(mu, mv, crec[16], crec[17],
                                         crec[18], crec[19], 0.0, ca_hbm,
-                                        1, chan0=0)
+                                        1, chan0=0, llvm=gl)
                         return m * rect_cov
                     def _bs_cov():
                         # kind 4: box-shadow nine-patch
@@ -755,7 +773,7 @@ def render_tiles_pallas_dense(dense, tile_counts, tile_origins, clear_color,
                         mv = crec[17] + vv * (crec[19] - crec[17])
                         texel = _sep_sample(mu, mv, crec[16], crec[17],
                                             crec[18], crec[19], 0.0,
-                                            ca_hbm, 1, chan0=0)
+                                            ca_hbm, 1, chan0=0, llvm=gl)
                         mode = crec[15]
                         alpha = texel * (1.0 - mode) + (1.0 - texel) * mode
                         return mode * (1.0 - rect_cov) + alpha * rect_cov
@@ -783,7 +801,10 @@ def render_tiles_pallas_dense(dense, tile_counts, tile_origins, clear_color,
                 # the u8 clip-mask chain (render_task.rs new_mask)
                 is_geom = jnp.logical_and(crec[14] < 0.5, crec[12] < 0.5)
                 c8 = jnp.rint(ccov * 255.0)
-                m8n = jnp.floor((c8 * m8 + c8) * (1.0 / 256.0))
+                if gl:
+                    m8n = blend_mod.gl_mask_combine(jnp, c8, m8)
+                else:
+                    m8n = jnp.floor((c8 * m8 + c8) * (1.0 / 256.0))
                 return (jnp.where(is_geom, cov * ccov, cov),
                         jnp.where(is_geom, m8, m8n))
             cov, m8 = jax.lax.fori_loop(
@@ -918,7 +939,14 @@ def render_tiles_pallas_dense(dense, tile_counts, tile_origins, clear_color,
                 addr = p[12].astype(jnp.int32)
                 n = p[14].astype(jnp.int32)
                 srow = f32_rows[addr // 128]
-                return _eval_stops_row(srow, n, t, p[13]) * in_tile[None]
+                c = _eval_stops_row(srow, n, t, p[13])
+                # gl_flavor cached-gradient-task u8 quantization (p[15] —
+                # patterns._grad_task_quant; the frame builder only sets it
+                # under gl_flavor, so applying it unconditionally is the
+                # single-source behavior)
+                q = jnp.clip(jnp.rint(c * 255.0), 0.0, 255.0) * (1.0 / 255.0)
+                c = jnp.where(p[15] > 0.5, q, c)
+                return c * in_tile[None]
 
             def sep_branch(kind_s, p, lx, ly, sx, sy, f32_rows, trow):
                 """Separable (axis-aligned) sampled kinds: per-axis uv
@@ -1036,17 +1064,18 @@ def render_tiles_pallas_dense(dense, tile_counts, tile_origins, clear_color,
                           for b in branches])
 
             dst = jnp.stack([acc[0], acc[1], acc[2], acc[3]], 0)
+            gl_flag = blend_mod.GL_FLAVOR_FLAG if gl else 0
             if len(blends) == 1:
-                blended = blend_mod.compose_swgl(jnp, blends[0], color, cov,
-                                                 mcov, dst)
+                blended = blend_mod.compose_swgl(jnp, blends[0] | gl_flag,
+                                                 color, cov, mcov, dst)
             else:
                 bpos = lut_ref[18 + r[REC_BLEND].astype(jnp.int32)]
                 blended = jax.lax.switch(
                     bpos,
                     [functools.partial(
                         (lambda op: lambda c_, cv_, mc_, d_:
-                         blend_mod.compose_swgl(jnp, op, c_, cv_, mc_,
-                                                d_))(b),
+                         blend_mod.compose_swgl(jnp, op | gl_flag, c_, cv_,
+                                                mc_, d_))(b),
                         color, cov, mcov, dst)
                      for b in blends])
             for c in range(4):

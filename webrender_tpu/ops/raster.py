@@ -80,16 +80,22 @@ def _pattern_branch(kind: int):
     raise ValueError(kind)
 
 
-@functools.partial(jax.jit, static_argnames=("kinds", "blends"),
+@functools.partial(jax.jit, static_argnames=("kinds", "blends", "gl"),
                    donate_argnums=())
 def render_tiles(f32_buf, instances, transforms, tile_insts, tile_origins,
                  clear_color, color_atlas, alpha_atlas, surface_atlas,
                  *, kinds: Tuple[int, ...], blends: Tuple[int, ...],
-                 step: float = 1.0):
+                 step: float = 1.0, gl: bool = False):
     """Render all tiles of one pass → [nt, 4, TILE_H, TILE_W] premult f32.
 
     `clear_color` is either a [4] clear color or [nt, 4, TH, TW] initial tile
-    contents (continuation passes after a backdrop-filter break)."""
+    contents (continuation passes after a backdrop-filter break).
+
+    `gl` selects the llvmpipe pixel pipeline (frame.gl_flavor — reftest
+    lines gated to platform(linux/mac) PNGs): GL blend compose, llvmpipe
+    mask-chain accumulation and mask sampling.  Static — the renderer ORs
+    blend_mod.GL_FLAVOR_FLAG into the dispatched ops at trace time, so the
+    swgl and GL variants compile as distinct kernels."""
     nt, slots = tile_insts.shape
     kinds = tuple(kinds) or (KIND_SOLID,)
     blends = tuple(blends) or (blend_mod.BLEND_NORMAL,)
@@ -113,9 +119,10 @@ def render_tiles(f32_buf, instances, transforms, tile_insts, tile_origins,
            "alpha_atlas": alpha_atlas, "surface_atlas": surface_atlas}
     nt_chunk = 8  # tiles per vmap batch: bounds gather scratch on TPU
     pattern_fns = [_pattern_branch(k) for k in kinds]
+    gl_flag = blend_mod.GL_FLAVOR_FLAG if gl else 0
     blend_fns = [
         (lambda op: lambda color, cov, mcov, dst: blend_mod.compose_swgl(
-            jnp, op, color, cov, mcov, dst))(b) for b in blends]
+            jnp, op | gl_flag, color, cov, mcov, dst))(b) for b in blends]
 
     if clear_color.ndim == 1:
         init_tiles = jnp.broadcast_to(
@@ -147,14 +154,18 @@ def render_tiles(f32_buf, instances, transforms, tile_insts, tile_origins,
                     f32_buf, (rec[INST_CLIP_ADDR] + j * CLIP_STRIDE,),
                     (CLIP_STRIDE,))
                 ccov = pk.clip_coverage(jnp, crec, transforms, px, py,
-                                        mask_plane, lambda t, idx: t[idx])
+                                        mask_plane, lambda t, idx: t[idx],
+                                        gl=gl)
                 # plain rect clips shrink the span geometry (AA path);
                 # everything else renders into the u8 clip-mask chain
                 # (cs_clip_* passes multiply the R8 target — each step
                 # quantizes, render_task.rs new_mask)
                 is_geom = jnp.logical_and(crec[14] < 0.5, crec[12] < 0.5)
                 c8 = jnp.rint(ccov * 255.0)
-                m8n = jnp.floor((c8 * m8 + c8) * (1.0 / 256.0))
+                if gl:
+                    m8n = blend_mod.gl_mask_combine(jnp, c8, m8)
+                else:
+                    m8n = jnp.floor((c8 * m8 + c8) * (1.0 / 256.0))
                 return (jnp.where(is_geom, cov * ccov, cov),
                         jnp.where(is_geom, m8, m8n))
             m8_init = jnp.full(cov.shape, 255.0, jnp.float32)
@@ -297,12 +308,15 @@ def gauss_pair_taps(sigma: float, support: int):
 
 
 def blur_gpu_1d(xp, src, sigma: float, axis: int, blur_len: int):
-    """One direction of the GPU float blur (cs_blur.glsl fragment path):
-    paired taps sampled bilinearly at fractional offsets, accumulated in
-    f32 in shader order; sampling clamps into [0.5, blur_len - 0.5]
-    (vUvRect).  `src` is [4, h, w] of u8-quantized values; the caller
-    packs the result to u8 (render-target write).  Bit-deterministic
-    across numpy and XLA (sequential f32 ops only)."""
+    """One direction of the llvmpipe-flavored GPU blur (cs_blur.glsl
+    fragment path as the linux CI's Mesa software GL executes it): paired
+    taps at fractional offsets, each tap fetched with llvmpipe's 8-bit
+    INTEGER bilinear lerp (`(a·(256−w)+b·w+128)>>8`, glprobe-calibrated —
+    NOT the float lerp a hardware GPU would return), accumulated in f32
+    in shader order; sampling clamps into [0.5, blur_len - 0.5] (vUvRect).
+    `src` is [4, h, w] of u8-quantized values; the caller packs the result
+    to u8 (render-target write).  Bit-deterministic across numpy and XLA
+    (sequential f32 ops only).  blur_region_gpu inherits this flavor."""
     support = int(np.ceil(1.5 * sigma)) * 2
     if support <= 0:
         return src
@@ -336,9 +350,10 @@ def blur_gpu_1d(xp, src, sigma: float, axis: int, blur_len: int):
 
 
 def blur_region_gpu(xp, src, sigma: float, axis: int, bw: int, bh: int):
-    """GPU float blur of a planar [4, h, w] region with render-target
-    quantization (the role of blur_region, float path): taps clamp into
-    the blur region; fragments beyond it replicate the clamped edge."""
+    """llvmpipe-flavored GPU blur (via blur_gpu_1d — integer-lerp taps) of
+    a planar [4, h, w] region with render-target quantization: taps clamp
+    into the blur region; fragments beyond it replicate the clamped
+    edge."""
     h, w = src.shape[1], src.shape[2]
     if bw <= 0:
         bw = w

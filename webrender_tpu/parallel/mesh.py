@@ -64,7 +64,8 @@ def pad_tiles_for_mesh(tile_insts: np.ndarray, tile_origins: np.ndarray,
 def render_tiles_sharded(mesh: Mesh, f32_buf, instances, transforms,
                          tile_insts, tile_origins, clear_color,
                          color_atlas, alpha_atlas, surface_atlas,
-                         *, kinds, blends, step: float = 1.0):
+                         *, kinds, blends, step: float = 1.0,
+                         gl: bool = False):
     """One raster pass with the tile axis sharded over `mesh`.
 
     Same contract as ops.raster.render_tiles: returns [nt, 4, TH, TW]
@@ -90,7 +91,7 @@ def render_tiles_sharded(mesh: Mesh, f32_buf, instances, transforms,
 
     def shard_fn(fb, ins, tr, t_i, t_o, cl, ca, aa, sa):
         return render_tiles(fb, ins, tr, t_i, t_o, cl, ca, aa, sa,
-                            kinds=kinds, blends=blends, step=step)
+                            kinds=kinds, blends=blends, step=step, gl=gl)
 
     in_specs = (P(), P(), P(), P(MESH_AXIS), P(MESH_AXIS),
                 P(MESH_AXIS) if per_tile_clear else P(), P(), P(), P())
@@ -117,7 +118,7 @@ def render_tiles_pallas_sharded(mesh: Mesh, dense, tile_counts,
                                 alpha_atlas, surface_atlas, color_atlas,
                                 init_tiles=None,
                                 *, kinds, blends, mask_clips: bool = False,
-                                interpret: bool = False):
+                                interpret: bool = False, gl: bool = False):
     """The PRODUCTION raster path sharded: the dense-record Pallas kernel
     (ops/pallas/tile_raster.render_tiles_pallas_dense) runs per-device on
     its shard of the tile axis — dense records are already per-tile, so
@@ -152,7 +153,7 @@ def render_tiles_pallas_sharded(mesh: Mesh, dense, tile_counts,
     def shard_fn(d, c, o, cl, fr, aa, sa, ca, *rest):
         return render_tiles_pallas_dense(
             d, c, o, cl, fr, aa, sa, ca, *rest, kinds=kinds, blends=blends,
-            mask_clips=mask_clips, interpret=interpret)
+            mask_clips=mask_clips, interpret=interpret, gl=gl)
 
     in_specs = (P(MESH_AXIS), P(MESH_AXIS), P(MESH_AXIS),
                 P(MESH_AXIS) if per_tile_clear else P(),

@@ -530,7 +530,13 @@ class Renderer:
         """Run one raster pass over `tile_insts`, routed to the best engine:
         multi-chip sharded (mesh set), Pallas (supported + TPU), or the XLA
         fallback.  Returns [nt, 4, TH, TW] tiles; records the engine used in
-        `self.last_engine` (device-correctness evidence for artifacts)."""
+        `self.last_engine` (device-correctness evidence for artifacts).
+
+        frame.gl_flavor threads through to every engine as a static `gl`
+        flag (GL-pipeline reftest lines): the llvmpipe blend/mask math
+        compiles as distinct kernel variants on all backends, matching the
+        numpy oracle's flavor decision (oracle/sw.py:204)."""
+        gl = bool(getattr(frame, "gl_flavor", False))
         use_pallas = False
         tile_mask = None
         if self.use_pallas and allow_pallas and step == 1.0:
@@ -622,7 +628,7 @@ class Renderer:
                     self.surface_atlas, self.color_atlas, init,
                     kinds=cached[2], blends=cached[3],
                     mask_clips=cached[4],
-                    interpret=self.pallas_interpret)
+                    interpret=self.pallas_interpret, gl=gl)
             self.last_engine = "pallas"
             self.engine_counts["pallas"] = \
                 self.engine_counts.get("pallas", 0) + 1
@@ -631,7 +637,7 @@ class Renderer:
                 f32_buf.reshape(-1, 128), self.alpha_atlas,
                 self.surface_atlas, self.color_atlas, init,
                 kinds=cached[2], blends=cached[3], mask_clips=cached[4],
-                interpret=self.pallas_interpret)
+                interpret=self.pallas_interpret, gl=gl)
         if self.mesh is not None and \
                 tile_insts.shape[0] >= self.mesh.devices.size:
             from ..parallel.mesh import render_tiles_sharded
@@ -641,7 +647,8 @@ class Renderer:
             return render_tiles_sharded(
                 self.mesh, f32_buf, instances, transforms, tile_insts,
                 origins, clear, self.color_atlas, self.alpha_atlas,
-                self.surface_atlas, kinds=kinds, blends=blends, step=step)
+                self.surface_atlas, kinds=kinds, blends=blends, step=step,
+                gl=gl)
         self.last_engine = "xla"
         self.engine_counts["xla"] = self.engine_counts.get("xla", 0) + 1
         # bound a single XLA dispatch: the fallback engine's gather-based
@@ -656,7 +663,7 @@ class Renderer:
                 f32_buf, instances, transforms, jnp.asarray(tile_insts),
                 jnp.asarray(origins), clear, self.color_atlas,
                 self.alpha_atlas, self.surface_atlas, kinds=kinds,
-                blends=blends, step=step)
+                blends=blends, step=step, gl=gl)
         outs = []
         for s in range(0, nt_, MAX_XLA_TILES):
             e = min(s + MAX_XLA_TILES, nt_)
@@ -675,7 +682,8 @@ class Renderer:
             out = render_tiles(
                 f32_buf, instances, transforms, jnp.asarray(ti),
                 jnp.asarray(og), cl, self.color_atlas, self.alpha_atlas,
-                self.surface_atlas, kinds=kinds, blends=blends, step=step)
+                self.surface_atlas, kinds=kinds, blends=blends, step=step,
+                gl=gl)
             outs.append(out[:e - s] if pad else out)
         return jnp.concatenate(outs, 0)
 

@@ -254,6 +254,68 @@ class ReftestHarness:
                  "color_targets": _count_color_targets(backend.last_frame)}
         return img, stats
 
+    def render_yaml_pair(self, path: Path, font_render_mode=None,
+                         dppx: Optional[float] = None,
+                         size: Optional[Tuple[int, int]] = None,
+                         gl_flavor: bool = False
+                         ) -> Tuple[np.ndarray, np.ndarray]:
+        """Render one YAML with BOTH engines from the same built scene:
+        (device RGBA8, oracle RGBA8).  The device render runs first (it
+        consumes the pending uploads and fills the host atlas mirrors the
+        oracle reads)."""
+        backend = RenderBackend(size or self.window_size, dpr=dppx or 1.0)
+        backend.frame_builder.gl_flavor = gl_flavor
+        reader = YamlFrameReader(path, self.window_size,
+                                 font_render_mode=font_render_mode)
+        reader.build(backend)
+        dev = backend.render()
+        for k, v in backend.renderer.engine_counts.items():
+            self.engine_counts[k] = self.engine_counts.get(k, 0) + v
+        orc = backend.render_software()
+        return dev, orc
+
+    def run_case_cross(self, case: ReftestCase) -> ReftestResult:
+        """Device==oracle bitwise gate (VERDICT r4 #1): render every YAML
+        of the case on both engines and require IDENTICAL RGBA8 readbacks
+        — the design contract that the Pallas/XLA device math equals the
+        numpy oracle everywhere (swgl's determinism role,
+        ci-scripts/linux-release-tests.sh:28-29).  No fuzz budgets apply.
+        Text cases skipped against foreign-FreeType PNGs ARE asserted
+        here: both engines share this build's FreeType raster, so the
+        comparison sidesteps the foreign-PNG problem entirely."""
+        if case.skipped and \
+                not case.skip_reason.startswith("png reference"):
+            return ReftestResult(case, True, skipped=True,
+                                 detail=case.skip_reason)
+        try:
+            dppx = case.dppx or (case.zoom if case.zoom else None)
+            size = None
+            if case.reference.suffix == ".png":
+                reference = load_png_reference(case.reference)
+                size = (reference.shape[1], reference.shape[0])
+            yamls = list(case.tests)
+            if case.reference.suffix != ".png":
+                yamls.append(case.reference)
+            worst = CompareResult(True)
+            worst_path = ""
+            for p in yamls:
+                dev, orc = self.render_yaml_pair(
+                    p, case.font_render_mode, dppx, size=size,
+                    gl_flavor=case.gl_only)
+                cmp = compare_images(dev, orc)
+                if (cmp.max_difference, cmp.count_different) > \
+                        (worst.max_difference, worst.count_different):
+                    worst = cmp
+                    worst_path = p.name
+        except Exception as e:  # noqa: BLE001 — report, don't crash the run
+            return ReftestResult(case, False, detail=f"error: {e!r}")
+        detail = (f"dev_vs_oracle max_diff={worst.max_difference} "
+                  f"count={worst.count_different}")
+        if worst_path and not worst.equal:
+            detail += f" yaml={worst_path}"
+        return ReftestResult(case, worst.max_difference == 0 and
+                             worst.count_different == 0, detail=detail)
+
     def run_case(self, case: ReftestCase) -> ReftestResult:
         if case.skipped:
             return ReftestResult(case, True, skipped=True,
