@@ -1890,6 +1890,19 @@ class FrameBuilder:
                 vp = self.viewport.inflate(inflate + 2, inflate + 2)
                 bbox = (max(bbox[0], vp.x0), max(bbox[1], vp.y0),
                         min(bbox[2], vp.x1), min(bbox[3], vp.y1))
+            if use_ctx and inflate == 0 and lr0 is not None:
+                # the reference's raster-root surface rect is the content
+                # rect round_out'ed in raster space (picture.rs
+                # get_surface_rects) — it never includes the 1px AA ring
+                # the child metas carry.  Including the ring makes the
+                # composite bilinear-sample across a transparent margin and
+                # soften edges that the reference draws hard (preserve-3d
+                # planes, ps_split_composite) or AA's at composite time
+                # (brush_picture edge AA over the local rect).
+                bbox = (max(bbox[0], math.floor(lr0[0] * ctx_s)),
+                        max(bbox[1], math.floor(lr0[1] * ctx_s)),
+                        min(bbox[2], math.ceil(lr0[2] * ctx_s)),
+                        min(bbox[3], math.ceil(lr0[3] * ctx_s)))
             if bbox[2] <= bbox[0] or bbox[3] <= bbox[1]:
                 for r in self._region_scopes.pop():
                     self.surface_atlas.free(r)

@@ -345,6 +345,41 @@ def sample_rgba(xp, atlas, u, v, u0, v0, u1, v1, nearest):
     return _fixed_lerp(xp, a, b, fx) * (1.0 / 255.0)
 
 
+def sample_rgba_llvm(xp, atlas, u, v, u0, v0, u1, v1, nearest):
+    """Planar-RGBA bilinear with llvmpipe's exact filtering (the linux CI
+    renderer behind platform(linux,mac) PNG refs — see sample_alpha_llvm):
+    8-bit ROUNDED weights, per-axis integer lerp `(a·(256−w)+b·w+128)>>8`,
+    X first then Y.  uv-rect clamping matches sample_rgba."""
+    H, W = atlas.shape[1], atlas.shape[2]
+    lo_u = u0 + 0.5
+    hi_u = xp.maximum(u1 - 0.5, lo_u)
+    lo_v = v0 + 0.5
+    hi_v = xp.maximum(v1 - 0.5, lo_v)
+    u = xp.clip(u, lo_u, hi_u)
+    v = xp.clip(v, lo_v, hi_v)
+    un = xp.floor(u) + 0.5
+    vn = xp.floor(v) + 0.5
+    u = xp.where(nearest > 0.5, un, u)
+    v = xp.where(nearest > 0.5, vn, v)
+    x0 = xp.clip(xp.floor(u - 0.5), 0.0, max(W - 2, 0))
+    y0 = xp.clip(xp.floor(v - 0.5), 0.0, max(H - 2, 0))
+    fx = xp.floor((u - 0.5 - x0) * 256.0 + 0.5)[None]
+    fy = xp.floor((v - 0.5 - y0) * 256.0 + 0.5)[None]
+    x0 = x0.astype("int32")
+    y0 = y0.astype("int32")
+    x1 = xp.clip(x0 + 1, 0, W - 1)
+    y1 = xp.clip(y0 + 1, 0, H - 1)
+    flat = atlas.reshape(4, -1)
+    t00 = xp.floor(flat[:, y0 * W + x0] * 255.0 + 0.5)
+    t10 = xp.floor(flat[:, y0 * W + x1] * 255.0 + 0.5)
+    t01 = xp.floor(flat[:, y1 * W + x0] * 255.0 + 0.5)
+    t11 = xp.floor(flat[:, y1 * W + x1] * 255.0 + 0.5)
+    a = xp.floor((t00 * (256.0 - fx) + t10 * fx + 128.0) * (1.0 / 256.0))
+    b = xp.floor((t01 * (256.0 - fx) + t11 * fx + 128.0) * (1.0 / 256.0))
+    out = xp.floor((a * (256.0 - fy) + b * fy + 128.0) * (1.0 / 256.0))
+    return out * (1.0 / 255.0)
+
+
 def sample_alpha8(xp, atlas, u, v, u0, v0, u1, v1):
     """Single-plane bilinear with GPU-style 8-bit fractions and a rounded
     result (vs swgl's truncating 7-bit path in sample_alpha): used where
@@ -491,10 +526,11 @@ def _tile_coords(xp, p, lx, ly, stretch_w, stretch_h, spacing_w, spacing_h):
     return tx, ty, in_tile
 
 
-def pattern_image(xp, p, lx, ly, color_atlas):
+def pattern_image(xp, p, lx, ly, color_atlas, gl: bool = False):
     """brush_image.glsl: [8:12] atlas uv rect, [18:20] stretch size,
     [20:22] tile spacing, [22:24] image-px per local-px scale, [24:26]
-    crop origin in image px (huge-image sub-rect residency)."""
+    crop origin in image px (huge-image sub-rect residency).
+    `gl` = llvmpipe bilinear (GL-pipeline reftest lines)."""
     u0, v0, u1, v1 = p[8], p[9], p[10], p[11]
     stretch_w = xp.maximum(p[18], 1e-6)
     stretch_h = xp.maximum(p[19], 1e-6)
@@ -502,6 +538,13 @@ def pattern_image(xp, p, lx, ly, color_atlas):
                                    p[20], p[21])
     u = u0 + tx * p[22] - p[24]
     v = v0 + ty * p[23] - p[25]
+    # gl NOTE: PNG evidence (transforms suite, r5) shows the CI's
+    # composite/image sampling lands CLOSER to swgl's truncating 7-bit
+    # filter than to an llvmpipe 8-bit rounded lerp at our analytically-
+    # derived uv coordinates — the residual is coordinate ULPs (llvmpipe
+    # interpolates varyings by 4-wide accumulating plane stamps,
+    # tools/glinterp_probe.py), not filter flavor.  Keep one sampler.
+    del gl
     texel = sample_rgba(xp, color_atlas, u, v, u0, v0, u1, v1, p[16])
     mod = xp.stack([p[12], p[13], p[14], p[15]], 0)
     return texel * mod[:, None, None] * in_tile[None]
@@ -1076,13 +1119,14 @@ def apply_color_matrix(xp, color, m20, flag):
     return xp.where(flag > 0.5, out, color)
 
 
-def pattern_picture(xp, p, lx, ly, px, py, surface_atlas):
+def pattern_picture(xp, p, lx, ly, px, py, surface_atlas, gl: bool = False):
     """Composite a rendered surface region (the `composite.glsl` /
     ps_split_composite role): device-space mapping (1:1 or scaled when the
     surface was rendered through a downscale chain), optional color matrix.
     p[37] > 0.5 = raster-root mode: the surface was rasterized in the
     instance's LOCAL space at scale p[40] with raster origin p[38:40]
-    (picture.rs raster roots / MAX_SURFACE_SIZE) — sample at local coords."""
+    (picture.rs raster roots / MAX_SURFACE_SIZE) — sample at local coords.
+    `gl` = llvmpipe bilinear (GL-pipeline reftest lines)."""
     w = xp.maximum(p[2] - p[0], 1e-6)
     h = xp.maximum(p[3] - p[1], 1e-6)
     su = (p[10] - p[8]) / w
@@ -1091,6 +1135,7 @@ def pattern_picture(xp, p, lx, ly, px, py, surface_atlas):
     v = p[9] + (py - p[1]) * sv
     u = xp.where(p[37] > 0.5, p[8] + lx * p[40] - p[38], u)
     v = xp.where(p[37] > 0.5, p[9] + ly * p[40] - p[39], v)
+    del gl  # see pattern_image's gl NOTE
     texel = sample_rgba(xp, surface_atlas, u, v, p[8], p[9], p[10], p[11], 0.0)
     mod = xp.stack([p[12], p[13], p[14], p[15]], 0)
     texel = texel * mod[:, None, None]

@@ -252,7 +252,8 @@ class SoftwareRenderer:
             if kind == KIND_SOLID:
                 color = pk.pattern_solid(np, pl, lx, ly)
             elif kind == KIND_IMAGE:
-                color = pk.pattern_image(np, pl, lx, ly, self.color_atlas)
+                color = pk.pattern_image(np, pl, lx, ly, self.color_atlas,
+                                         gl=gl)
             elif kind == KIND_LINEAR_GRAD:
                 color = pk.pattern_linear_gradient(np, _py_fori, pl, lx, ly, f32)
             elif kind == KIND_RADIAL_GRAD:
@@ -266,7 +267,7 @@ class SoftwareRenderer:
                                                self.color_atlas)
             elif kind == KIND_PICTURE:
                 color = pk.pattern_picture(np, pl, lx, ly, px, py,
-                                            self.surface_atlas)
+                                           self.surface_atlas, gl=gl)
             elif kind == KIND_CLEAR:
                 color = np.ones((4,) + lx.shape, np.float32)
             elif kind == KIND_BOX_SHADOW:
