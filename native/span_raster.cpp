@@ -291,9 +291,37 @@ inline void sample_plane8(const float* plane, int64_t H, int64_t W, float u,
 inline void sample_rgba(const Ctx& c, const float* atlas, int64_t H,
                         int64_t W, float u, float v, float u0, float v0,
                         float u1, float v1, bool nearest, float out[4]) {
-  for (int ch = 0; ch < 4; ch++) {
-    sample_plane(atlas + ch * H * W, H, W, u, v, u0, v0, u1, v1, nearest,
-                 &out[ch]);
+  // coords computed ONCE for all four planes (sample_plane re-derived
+  // them per channel — 4x redundant fixed-point addressing per texel)
+  float lo_u = u0 + 0.5f, hi_u = std::max(u1 - 0.5f, lo_u);
+  float lo_v = v0 + 0.5f, hi_v = std::max(v1 - 0.5f, lo_v);
+  u = clampf(u, lo_u, hi_u);
+  v = clampf(v, lo_v, hi_v);
+  if (nearest) {
+    u = std::floor(u) + 0.5f;
+    v = std::floor(v) + 0.5f;
+  }
+  int64_t qu = (int64_t)std::floor(u * 128.0f - 63.5f);
+  int64_t qv = (int64_t)std::floor(v * 128.0f - 63.5f);
+  int64_t ix = qu >> 7, iy = qv >> 7;
+  int fx = (int)(qu & 127), fy = (int)(qv & 127);
+  if (ix < 0) fx = 0;
+  if (ix > W - 2) fx = 128;
+  int64_t x0 = std::min(std::max(ix, (int64_t)0), W - 2);
+  int64_t y0 = std::min(std::max(iy, (int64_t)0), H - 1);
+  int64_t y1 = y0 + ((iy >= 0 && iy < H - 1) ? 1 : 0);
+  int64_t x1 = std::min(x0 + 1, W - 1);
+  const int64_t plane = H * W;
+  const float* r0 = atlas + y0 * W;
+  const float* r1 = atlas + y1 * W;
+  for (int ch = 0; ch < 4; ch++, r0 += plane, r1 += plane) {
+    int t00 = (int)std::floor(r0[x0] * 255.0f + 0.5f);
+    int t10 = (int)std::floor(r0[x1] * 255.0f + 0.5f);
+    int t01 = (int)std::floor(r1[x0] * 255.0f + 0.5f);
+    int t11 = (int)std::floor(r1[x1] * 255.0f + 0.5f);
+    int a = t00 + (((t01 - t00) * fy) >> 7);
+    int b = t10 + (((t11 - t10) * fy) >> 7);
+    out[ch] = (float)(a + (((b - a) * fx) >> 7)) * (1.0f / 255.0f);
   }
 }
 
@@ -879,20 +907,81 @@ int wr_raster_pass(
     int64_t x1 = std::min((int64_t)std::ceil(bb[2] + 1 - ox), tw);
     int64_t y1 = std::min((int64_t)std::ceil(bb[3] + 1 - oy), th);
 
-    // band-parallel spans (the SwCompositor thread-pool role,
-    // compositor/sw_compositor.rs:7-40)
-#pragma omp parallel for schedule(static)
-    for (int64_t y = y0; y < y1; y++) {
-      float py = oy + (float)y + 0.5f;
-      for (int64_t x = x0; x < x1; x++) {
+    // interior fast path (the swgl opaque-run span specialization,
+    // swgl/src/rasterize.h draw_quad_spans): for axis-aligned instances
+    // whose clips are all plain axis-aligned rect clips, every pixel of
+    // the interior device rect has cov == 1 and an empty mask chain —
+    // the span skips coverage + clip math entirely, and full-coverage
+    // solid spans become vectorizable integer over-blends (opaque fills
+    // are plain stores).
+    bool axis = std::fabs(tr[1]) < 1e-9f && std::fabs(tr[3]) < 1e-9f &&
+                std::fabs(tr[2]) < 1e-9f && std::fabs(tr[5]) < 1e-9f &&
+                std::fabs(tr[8] - 1.f) < 1e-6f &&
+                std::fabs(tr[0]) > 1e-9f && std::fabs(tr[4]) > 1e-9f;
+    bool fast_ok = axis;
+    double fix0 = -1e30, fiy0 = -1e30, fix1 = 1e30, fiy1 = 1e30;
+    auto fold_rect = [&](const float* t2, float rx0, float ry0, float rx1,
+                         float ry1) {
+      double ax = ((double)rx0 - t2[6]) / t2[0];
+      double bx = ((double)rx1 - t2[6]) / t2[0];
+      if (ax > bx) std::swap(ax, bx);
+      double ay = ((double)ry0 - t2[7]) / t2[4];
+      double by = ((double)ry1 - t2[7]) / t2[4];
+      if (ay > by) std::swap(ay, by);
+      fix0 = std::max(fix0, ax);
+      fix1 = std::min(fix1, bx);
+      fiy0 = std::max(fiy0, ay);
+      fiy1 = std::min(fiy1, by);
+    };
+    if (fast_ok) fold_rect(tr, p[4], p[5], p[6], p[7]);
+    for (int j = 0; fast_ok && j < clip_count; j++) {
+      const float* cr = f32_buf + clip_addr + j * CLIP_STRIDE;
+      const float* ct = transforms + (int)cr[13] * 12;
+      bool caxis = std::fabs(ct[1]) < 1e-9f && std::fabs(ct[3]) < 1e-9f &&
+                   std::fabs(ct[2]) < 1e-9f && std::fabs(ct[5]) < 1e-9f &&
+                   std::fabs(ct[8] - 1.f) < 1e-6f &&
+                   std::fabs(ct[0]) > 1e-9f && std::fabs(ct[4]) > 1e-9f;
+      if (cr[14] >= 1.5f || cr[12] >= 0.5f || !caxis) {
+        fast_ok = false;
+        break;
+      }
+      if (cr[14] >= 0.5f) {
+        // rounded rect: the rect inset by the max corner radius is fully
+        // inside the rounded outline -> still a valid interior bound
+        float mr = 0.f;
+        for (int k = 4; k < 12; k++) mr = std::max(mr, cr[k]);
+        fold_rect(ct, cr[0] + mr, cr[1] + mr, cr[2] - mr, cr[3] - mr);
+      } else {
+        fold_rect(ct, cr[0], cr[1], cr[2], cr[3]);
+      }
+    }
+    int64_t fxa = 1, fxb = 0, fya = 1, fyb = 0;
+    if (fast_ok) {
+      fxa = std::max((int64_t)std::ceil(fix0 - ox + 2.0), x0);
+      fxb = std::min((int64_t)std::floor(fix1 - ox - 2.0), x1);
+      fya = std::max((int64_t)std::ceil(fiy0 - oy + 2.0), y0);
+      fyb = std::min((int64_t)std::floor(fiy1 - oy - 2.0), y1);
+    }
+    bool solid_span = fast_ok && kind == 0 &&
+                      (blend_op == 0 || blend_op == 16);
+    float s8c[4] = {0, 0, 0, 0};
+    if (solid_span)
+      for (int ch = 0; ch < 4; ch++)
+        s8c[ch] = clampf(std::nearbyintf(p[8 + ch] * 255.0f), 0.f, 255.f);
+
+    auto shade = [&](int64_t x, int64_t y, float py, bool interior) {
         float px = ox + (float)x + 0.5f;
         float lx, ly;
         inverse_map(tr, px, py, &lx, &ly);
-        float cov = rect_coverage_auto(tr, p[4], p[5], p[6], p[7], lx, ly,
-                                       px, py, edge_aa);
+        float cov;
+        int m8 = 255;
+        if (interior) {
+          cov = 1.f;
+        } else {
+        cov = rect_coverage_auto(tr, p[4], p[5], p[6], p[7], lx, ly,
+                                 px, py, edge_aa);
         // clips: rect clips join the span geometry, everything else
         // chains through the u8 clip mask (render_task.rs new_mask)
-        int m8 = 255;
         for (int j = 0; j < clip_count; j++) {
           const float* cr = f32_buf + clip_addr + j * CLIP_STRIDE;
           const float* ct = transforms + (int)cr[13] * 12;
@@ -958,7 +1047,8 @@ int wr_raster_pass(
             m8 = (c8 * m8 + c8) >> 8;
           }
         }
-        if (cov <= 0.f) continue;
+        }
+        if (cov <= 0.f) return;
 
         float color[4] = {0, 0, 0, 0};
         switch (kind) {
@@ -1410,7 +1500,7 @@ int wr_raster_pass(
             break;
           }
           default:
-            continue;
+            return;
         }
         float dst[4] = {target[0 * plane + y * tw + x],
                         target[1 * plane + y * tw + x],
@@ -1419,7 +1509,68 @@ int wr_raster_pass(
         compose_px(blend_op, color, cov, m8, dst);
         for (int ch = 0; ch < 4; ch++)
           target[ch * plane + y * tw + x] = dst[ch];
+    };
+
+    // band-parallel spans (the SwCompositor thread-pool role,
+    // compositor/sw_compositor.rs:7-40)
+#pragma omp parallel for schedule(static)
+    for (int64_t y = y0; y < y1; y++) {
+      float py = oy + (float)y + 0.5f;
+      int64_t sxa = x1, sxb = x1;
+      if (fast_ok && y >= fya && y < fyb && fxa < fxb) {
+        sxa = fxa;
+        sxb = fxb;
       }
+      for (int64_t x = x0; x < std::min(sxa, x1); x++)
+        shade(x, y, py, false);
+      if (sxa < sxb) {
+        if (solid_span && s8c[3] == 255.f) {
+          // opaque solid span: the over-blend reduces to the source
+          for (int ch = 0; ch < 4; ch++)
+            std::fill(target + ch * plane + y * tw + sxa,
+                      target + ch * plane + y * tw + sxb,
+                      s8c[ch] * (1.0f / 255.0f));
+        } else if (solid_span) {
+          // translucent solid span: integer over-blend, vectorizable
+          // (compose_px with cov=1, m8=255 collapses to this exactly)
+          float sA = s8c[3];
+          for (int ch = 0; ch < 4; ch++) {
+            float sv = s8c[ch];
+            float* row = target + ch * plane + y * tw;
+            for (int64_t x = sxa; x < sxb; x++) {
+              float d8 = std::floor(row[x] * 255.0f + 0.5f);
+              float o = sv + d8 -
+                        std::floor((d8 * sA + d8) * (1.0f / 256.0f));
+              row[x] = (o > 255.f ? 255.f : o) * (1.0f / 255.0f);
+            }
+          }
+        } else {
+          for (int64_t x = sxa; x < sxb; x++) shade(x, y, py, true);
+        }
+      }
+      for (int64_t x = std::max(sxb, x0); x < x1; x++)
+        shade(x, y, py, false);
+    }
+  }
+  return 0;
+}
+
+
+// Pack the planar premultiplied f32 framebuffer to interleaved RGBA8 with
+// the oracle's exact conversion (oracle/sw.py render epilogue): f64
+// product, NaN->0, floor(v + 0.5), clamp — GL unorm rounding.  The numpy
+// epilogue was ~10x the cost of rasterizing a 4K frame; this is the same
+// math OpenMP-parallel.
+int wr_pack_rgba8(const float* fb, int64_t h, int64_t w, uint8_t* out) {
+  const int64_t plane = h * w;
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < plane; i++) {
+    for (int c = 0; c < 4; c++) {
+      double v = (double)fb[c * plane + i] * 255.0;
+      if (std::isnan(v)) v = 0.0;
+      v = std::floor(v + 0.5);
+      v = v < 0.0 ? 0.0 : (v > 255.0 ? 255.0 : v);
+      out[i * 4 + c] = (uint8_t)v;
     }
   }
   return 0;

@@ -500,8 +500,8 @@ def dense_dispatch_info(f32_buf, instances, tile_insts, dense_kinds):
     ids = np.unique(tile_insts[tile_insts >= 0])
     kset = np.unique(dense_kinds[ids]) if ids.size else np.zeros(0, np.int32)
     kinds = tuple(int(k) for k in kset if k >= 0)
-    blends = tuple(sorted(set(
-        int(b) for b in instances[ids][:, INST_BLEND]))) if ids.size else (0,)
+    blends = tuple(np.unique(instances[ids][:, INST_BLEND]).astype(int)
+                   .tolist()) if ids.size else (0,)
     mask_clips = False
     if ids.size:
         recs = instances[ids]

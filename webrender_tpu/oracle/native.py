@@ -45,6 +45,9 @@ def _load() -> Optional[ctypes.CDLL]:
         f32p, ctypes.c_int64, ctypes.c_int64,   # target
         ctypes.c_float, ctypes.c_float,  # origin
     ]
+    lib.wr_pack_rgba8.restype = ctypes.c_int
+    lib.wr_pack_rgba8.argtypes = [f32p, ctypes.c_int64, ctypes.c_int64,
+                                  ctypes.POINTER(ctypes.c_uint8)]
     _LIB = lib
     return lib
 
@@ -82,3 +85,19 @@ def raster_pass(f32_buf: np.ndarray, instances: np.ndarray,
         fp(target), target.shape[1], target.shape[2],
         float(origin[0]), float(origin[1]))
     assert rc == 0
+
+
+def pack_rgba8(fb: np.ndarray) -> np.ndarray:
+    """Planar [4, h, w] premultiplied f32 -> (h, w, 4) RGBA8 with the
+    oracle's exact unorm conversion (C++ OpenMP; ~10x faster than the
+    numpy epilogue on 4K frames)."""
+    lib = _load()
+    assert lib is not None
+    fb = np.ascontiguousarray(fb, np.float32)
+    h, w = fb.shape[1], fb.shape[2]
+    out = np.empty((h, w, 4), np.uint8)
+    rc = lib.wr_pack_rgba8(fb.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                           h, w,
+                           out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    assert rc == 0
+    return out

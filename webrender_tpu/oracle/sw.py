@@ -170,10 +170,14 @@ class SoftwareRenderer:
                 out = resample_bilinear(np, src, dw, dh)
                 self.surface_atlas[:, dy:dy + dh, dx:dx + dw] = \
                     out.astype(np.float32)
+        if self.use_native:
+            from . import native
+            return native.pack_rgba8(fb)
         rgba = np.transpose(fb, (1, 2, 0))
         # unorm8 conversion in f64: GL's float->u8 rounds the exact product,
         # not an f32 intermediate (f32*255 can round 229.49999 up to 229.5);
-        # ties round half-up like GL unorm conversion
+        # ties round half-up like GL unorm conversion (native pack_rgba8
+        # implements the identical formula in C++)
         v = rgba.astype(np.float64) * 255.0
         return np.clip(np.floor(np.nan_to_num(v) + 0.5), 0,
                        255).astype(np.uint8)

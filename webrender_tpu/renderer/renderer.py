@@ -42,6 +42,64 @@ class _CacheHolder:
     pass splits tile-level between the Pallas and XLA engines."""
 
 
+@functools.partial(jax.jit, donate_argnums=())
+def _scatter_rows(buf, rows, vals):
+    return buf.at[rows].set(vals)
+
+
+class _DeltaStore:
+    """Persistent device mirrors of the per-frame flat arrays with
+    row-delta uploads — the renderer/upload.rs PBO-pool role re-imagined
+    for XLA: instead of re-uploading ~2.5 MB of GPU buffer + instance
+    records every dynamic frame, keep capacity-padded device copies and
+    `at[rows].set` only the rows whose bytes changed (typical scroll
+    frame: a few transform rows + the moved prims' payloads).  Capacity
+    padding also makes the consumer kernels' input shapes frame-stable,
+    eliminating per-frame recompiles for growing scenes."""
+
+    # pow2 bucket for the changed-row count: bounds distinct jit variants
+    _BUCKETS = [1 << i for i in range(20)]
+
+    def __init__(self):
+        self._entries: Dict = {}
+
+    def put(self, key, host: np.ndarray):
+        """host: [n, R] (2-D) array → device array [cap, R] (cap = pow2
+        ≥ n, sticky across frames).  Returns the device mirror."""
+        n, R = host.shape
+        cap = 1 << max(3, int(np.ceil(np.log2(max(n, 1)))))
+        ent = self._entries.get(key)
+        if ent is not None and (ent["cap"] < n or ent["R"] != R or
+                                ent["dtype"] != host.dtype):
+            ent = None
+        if ent is None:
+            cap = max(cap, 8)
+            padded = np.zeros((cap, R), host.dtype)
+            padded[:n] = host
+            dev = jnp.asarray(padded)
+            self._entries[key] = {"cap": cap, "R": R, "host": padded,
+                                  "dev": dev, "dtype": host.dtype}
+            return dev
+        prev = ent["host"]
+        cap = ent["cap"]
+        cur = np.zeros((cap, R), host.dtype)
+        cur[:n] = host
+        changed = np.nonzero((prev != cur).any(axis=1))[0]
+        if changed.size == 0:
+            return ent["dev"]
+        if changed.size > cap // 2:
+            dev = jnp.asarray(cur)
+        else:
+            k = changed.size
+            bucket = 1 << int(np.ceil(np.log2(max(k, 1))))
+            rows = np.resize(changed, bucket).astype(np.int32)
+            dev = _scatter_rows(ent["dev"], jnp.asarray(rows),
+                                jnp.asarray(cur[rows]))
+        ent["host"] = cur
+        ent["dev"] = dev
+        return dev
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _upload_color(atlas, texels, x: int, y: int):
     # texels arrive (h, w, 4); atlas is planar [4, H, W]
@@ -224,6 +282,10 @@ class Renderer:
         self._fb_sig = None
         self._fb_retained = None
         self._upload_epoch = 0
+        # persistent device mirrors + row-delta uploads of per-frame
+        # arrays (upload.rs staging-PBO pool role)
+        self._delta = _DeltaStore()
+        self._pass_seq = 0
 
     # ------------------------------------------------------------------
     def apply_uploads(self, uploads: List[PendingUpload]) -> None:
@@ -273,11 +335,17 @@ class Renderer:
                 (4, frame.surface_rows, self.surface_atlas.shape[2]),
                 jnp.float32)
         # device copies of the frame's flat arrays are cached on the frame:
-        # re-rendering the same frame must not re-upload ~2.5 MB per call
+        # re-rendering the same frame must not re-upload ~2.5 MB per call.
+        # Fresh frames go through the delta store: persistent capacity-
+        # padded device mirrors, row-delta uploads (upload.rs PBO role)
         dev = getattr(frame, "_dev_arrays", None)
         if dev is None:
-            dev = (jnp.asarray(frame.f32_buf), jnp.asarray(frame.instances),
-                   jnp.asarray(frame.transforms))
+            nf = frame.f32_buf.shape[0]
+            f32_2d = frame.f32_buf.reshape(-1, 128) if nf % 128 == 0 \
+                else frame.f32_buf.reshape(-1, 1)
+            dev = (self._delta.put("f32", f32_2d).reshape(-1),
+                   self._delta.put("inst", frame.instances),
+                   self._delta.put("xf", frame.transforms))
             frame._dev_arrays = dev
         f32_buf, instances, transforms = dev
         framebuffer = None
@@ -302,6 +370,7 @@ class Renderer:
             _t_last = now
         if any(q.slice_key is not None for q in frame.passes):
             self.last_dirty_tiles = -1
+        self._pass_seq = 0
         passes = frame.passes if self.picture_caching \
             else self._merged_root_passes(frame)
         for p in passes:
@@ -509,8 +578,9 @@ class Renderer:
             sets = ((0,), (0,))
         else:
             used = frame.instances[np.unique(ids)]
-            kinds = tuple(sorted(set(int(k) for k in used[:, INST_KIND])))
-            blends = tuple(sorted(set(int(b) for b in used[:, INST_BLEND])))
+            kinds = tuple(np.unique(used[:, INST_KIND]).astype(int).tolist())
+            blends = tuple(np.unique(used[:, INST_BLEND]).astype(int)
+                           .tolist())
             sets = (kinds, blends)
         p._dispatch_sets = sets
         return sets
@@ -606,10 +676,18 @@ class Renderer:
                     frame._dense_kinds = dk
                 # dense records are gathered ON DEVICE from the compact
                 # frame arrays (host builds were the dynamic-content
-                # bottleneck: ~nt·slots·512B per frame over PCIe)
+                # bottleneck: ~nt·slots·512B per frame over PCIe); the
+                # tile lists and dense kinds ride the delta store, so a
+                # scroll frame transfers only its re-binned tile rows
+                seq = self._pass_seq
+                self._pass_seq += 1
+                ti_dev = self._delta.put(("ti", seq, tile_insts.shape[1]),
+                                         np.ascontiguousarray(tile_insts)
+                                         )[:tile_insts.shape[0]]
+                dk_dev = self._delta.put(
+                    ("dk",), dk.reshape(-1, 1))[:dk.shape[0], 0]
                 dense = build_dense_records_device(
-                    f32_buf, instances, transforms,
-                    jnp.asarray(tile_insts), jnp.asarray(dk))
+                    f32_buf, instances, transforms, ti_dev, dk_dev)
                 counts = (tile_insts >= 0).sum(1).astype(np.int32)
                 pk, pb, mask_clips = dense_dispatch_info(
                     frame.f32_buf, frame.instances, tile_insts, dk)
