@@ -291,3 +291,60 @@ def test_external_image_lock_unlock_and_refresh():
     img2 = backend.render_software()
     assert (img2[32, 32] == [0, 255, 0, 255]).all()
     assert handler.locks == 2 and handler.unlocks == 2
+
+
+def test_reuse_items_across_epochs():
+    """display_item_cache.rs end-to-end: epoch 0 retains an item group
+    (start/finish_item_group); epoch 1 sends a display list WITHOUT the
+    items, splicing them back with push_reuse_items — identical pixels,
+    and the second list carries no retained payload."""
+    backend = RenderBackend((96, 64))
+    keys = {}
+
+    def fill0(b, common, root):
+        b.push_rect(common, Rect(0, 0, 96, 64), ColorF(1, 1, 1, 1))
+        b.start_item_group()
+        b.push_rect(common, Rect(8, 8, 40, 24), ColorF(1, 0, 0, 1))
+        b.push_rect(common, Rect(20, 20, 40, 24), ColorF(0, 0, 1, 0.5))
+        keys["k"] = b.finish_item_group()
+
+    img0 = _render_dl(backend, fill0, epoch=0)
+    assert keys["k"] is not None
+
+    def fill1(b, common, root):
+        b.push_rect(common, Rect(0, 0, 96, 64), ColorF(1, 1, 1, 1))
+        b.push_reuse_items(keys["k"])
+
+    img1 = _render_dl(backend, fill1, epoch=1)
+    assert (img0 == img1).all()
+    # and the reused epoch's list really is smaller (no retained payload)
+    dl1 = backend.scene.pipelines[(PID.namespace, PID.id)]
+    assert not dl1.cache_data
+
+
+def test_reuse_items_missing_group_fails_loudly():
+    """A ReuseItems key with no retained group is a scene-builder error,
+    not silent corruption."""
+    backend = RenderBackend((32, 32))
+    with pytest.raises(Exception):
+        _render_dl(backend, lambda b, c, r: b.push_reuse_items(12345),
+                   epoch=0)
+
+
+def test_async_screenshot_grabber():
+    """screen_capture.rs AsyncScreenshotGrabber: request (non-blocking
+    device-side crop/scale) then map later; matches the sync path."""
+    backend = RenderBackend((64, 48))
+    _render_dl(backend, lambda b, c, r: b.push_rect(
+        c, Rect(0, 0, 64, 48), ColorF(0.2, 0.5, 0.8, 1.0)))
+    backend.render()  # device render populates last_framebuffer
+    r = backend.renderer
+    h1 = r.request_screenshot(rect=(8, 8, 32, 16))
+    h2 = r.request_screenshot(rect=(0, 0, 64, 48), size=(32, 24))
+    a = r.map_screenshot(h1)
+    assert a is not None and a.shape == (16, 32, 4)
+    sync = r.get_screenshot(rect=(8, 8, 32, 16))
+    assert (a == sync).all()
+    b2 = r.map_screenshot(h2)
+    assert b2 is not None and b2.shape == (24, 32, 4)
+    assert r.map_screenshot(h1) is None  # handle recycled

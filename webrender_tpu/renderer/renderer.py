@@ -286,6 +286,9 @@ class Renderer:
         # arrays (upload.rs staging-PBO pool role)
         self._delta = _DeltaStore()
         self._pass_seq = 0
+        # async screenshot grabber state (screen_capture.rs:55)
+        self._screenshot_seq = 0
+        self._pending_screenshots: Dict[int, object] = {}
 
     # ------------------------------------------------------------------
     def apply_uploads(self, uploads: List[PendingUpload]) -> None:
@@ -564,6 +567,37 @@ class Renderer:
         crop = jax.lax.dynamic_slice(fb, (0, y, x), (4, h, w))
         if size is not None and (size[0] != w or size[1] != h):
             crop = jax.image.resize(crop, (4, size[1], size[0]), "linear")
+        arr = np.asarray(crop)
+        v = np.transpose(arr, (1, 2, 0)).astype(np.float64) * 255.0
+        return np.clip(np.floor(v + 0.5), 0, 255).astype(np.uint8)
+
+    # ------------------------------------------------------------------
+    def request_screenshot(self, rect=None, size=None) -> int:
+        """screen_capture.rs AsyncScreenshotGrabber::get_screenshot (:130):
+        enqueue the crop+scale on the device WITHOUT blocking — XLA's async
+        dispatch is the natural PBO here — and hand back a handle.  The
+        expensive readback happens only when the caller maps the handle
+        (map_and_recycle_screenshot), so profiler-driven capture never
+        stalls the frame loop."""
+        fb = self.last_framebuffer
+        if fb is None:
+            return -1
+        H, W = fb.shape[1], fb.shape[2]
+        x, y, w, h = rect or (0, 0, W, H)
+        crop = jax.lax.dynamic_slice(fb, (0, y, x), (4, h, w))
+        if size is not None and (size[0] != w or size[1] != h):
+            crop = jax.image.resize(crop, (4, size[1], size[0]), "linear")
+        handle = self._screenshot_seq
+        self._screenshot_seq += 1
+        self._pending_screenshots[handle] = crop  # device-resident, async
+        return handle
+
+    def map_screenshot(self, handle: int) -> Optional[np.ndarray]:
+        """Blocking readback of a previously requested screenshot; the
+        handle is recycled (screen_capture.rs map_and_recycle_screenshot)."""
+        crop = self._pending_screenshots.pop(handle, None)
+        if crop is None:
+            return None
         arr = np.asarray(crop)
         v = np.transpose(arr, (1, 2, 0)).astype(np.float64) * 255.0
         return np.clip(np.floor(v + 0.5), 0, 255).astype(np.uint8)

@@ -19,17 +19,29 @@ class Scene:
     pipelines: Dict[Tuple[int, int], BuiltDisplayList] = field(default_factory=dict)
     epochs: Dict[Tuple[int, int], Epoch] = field(default_factory=dict)
     root_pipeline_id: Optional[PipelineId] = None
+    # display-item cache (display_item_cache.rs DisplayItemCache): retained
+    # item groups persist across display lists per pipeline; a later epoch
+    # splices them back with ReuseItems without re-serializing the items
+    item_caches: Dict[Tuple[int, int], Dict[int, tuple]] = \
+        field(default_factory=dict)
 
     def set_display_list(self, pipeline_id: PipelineId, epoch: Epoch,
                          dl: BuiltDisplayList) -> None:
         key = (pipeline_id.namespace, pipeline_id.id)
         self.pipelines[key] = dl
         self.epochs[key] = epoch
+        # display_item_cache.rs update(): retained groups replace cache
+        # entries by key; entries survive until overwritten or the
+        # pipeline is removed
+        cache = self.item_caches.setdefault(key, {})
+        for retained in getattr(dl, "cache_data", ()):
+            cache[retained.key] = tuple(retained.items)
 
     def remove_pipeline(self, pipeline_id: PipelineId) -> None:
         key = (pipeline_id.namespace, pipeline_id.id)
         self.pipelines.pop(key, None)
         self.epochs.pop(key, None)
+        self.item_caches.pop(key, None)
 
     @property
     def has_root_pipeline(self) -> bool:

@@ -22,7 +22,8 @@ from ..api.display_item import (
     PopReferenceFrameItem, PopStackingContextItem, PrimitiveFlags,
     PushReferenceFrameItem, PushShadowItem, PushStackingContextItem,
     RadialGradientItem, RectangleItem, RectClipItem, ReferenceFrameKind,
-    RepeatingImageItem, RoundedRectClipItem, ScrollFrameItem, Shadow,
+    RepeatingImageItem, RetainedItemsItem, ReuseItemsItem,
+    RoundedRectClipItem, ScrollFrameItem, Shadow,
     SpatialId, StackingContextFlags, StickyFrameItem, TextItem,
     TransformStyle, YuvImageItem, ROOT_CLIP_CHAIN,
 )
@@ -113,6 +114,23 @@ class SceneBuilder:
             pipeline_epochs=dict(self.scene.epochs),
         )
 
+    def _expand_cached(self, dl, ns):
+        """Expand ReuseItems markers from the pipeline's display-item
+        cache (display_item_cache.rs get_items + scene_building.rs cache
+        expansion): retained groups splice back inline, so the rest of the
+        traversal never sees the cache machinery."""
+        cache = self.scene.item_caches.get(ns, {})
+        for item in dl.items:
+            if isinstance(item, ReuseItemsItem):
+                group = cache.get(item.key)
+                assert group is not None, \
+                    f"ReuseItems({item.key}) with no retained group"
+                yield from group
+            elif isinstance(item, RetainedItemsItem):
+                continue  # cache payload, not drawn in place
+            else:
+                yield item
+
     def _alloc_spatial_index(self) -> int:
         idx = len(self.spatial_tree.nodes)
         return idx
@@ -125,7 +143,7 @@ class SceneBuilder:
             _StackingContext(target, offset, extra_clips)]
         rf_stack: List[int] = []  # global indices of pushed reference frames
         shadow: Optional[_ShadowState] = None
-        items = iter(dl.items)
+        items = iter(self._expand_cached(dl, ns))
 
         for item in items:
             top = sc_stack[-1]
