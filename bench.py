@@ -27,7 +27,8 @@ def build_4k_scene(w=3840, h=2160, n_rects=400, n_grads=100, n_images=80,
     from webrender_tpu.api import (AlphaType, BorderRadius, ColorF,
                                    CommonItemProperties, DisplayListBuilder,
                                    Epoch, ExtendMode, GradientStop, ImageData,
-                                   ImageDescriptor, ImageFormat,
+                                   ImageDescriptor, ImageDescriptorFlags,
+                                   ImageFormat,
                                    ImageRendering, PipelineId, Point2D, Rect,
                                    Size2D, SpatialId, Transaction)
     from webrender_tpu.api.font import (FontInstanceKey, FontInstanceOptions,
@@ -83,7 +84,9 @@ def build_4k_scene(w=3840, h=2160, n_rects=400, n_grads=100, n_images=80,
     for k in range(8):
         px = (rng.rand(96, 96, 4) * 255).astype(np.uint8)
         px[..., 3] = 255
-        txn.add_image(100 + k, ImageDescriptor(ImageFormat.RGBA8, 96, 96),
+        txn.add_image(100 + k,
+                      ImageDescriptor(ImageFormat.RGBA8, 96, 96,
+                                      flags=ImageDescriptorFlags.IS_OPAQUE),
                       ImageData(pixels=px))
     for i in range(n_images):
         key = 100 + (i % 8)

@@ -540,6 +540,7 @@ class FrameBuilder:
         pay[:, 0:4] = rects[keep]
         pay[:, 4:8] = cov[keep]
         ok_rows = np.ones(k, bool)
+        opq_rows = np.zeros(k, bool)
         i = 0
         for p_, kp in zip(prims, keep):
             if not kp:
@@ -565,6 +566,13 @@ class FrameBuilder:
                           p_.tile_spacing.height)
             row[22:26] = (desc.width / max(stretch_w, 1e-6),
                           desc.height / max(stretch_h, 1e-6), 0.0, 0.0)
+            # IS_OPAQUE templates drawn gap-free at full alpha mod are
+            # occluders (rectangle_occlusion.rs push; segment.rs's
+            # opaque-interior role): anything binned below a full-tile
+            # cover is dropped by bin_instances
+            opq_rows[i] = bool(desc.is_opaque and p_.color.a >= 1.0 and
+                               p_.tile_spacing.width == 0 and
+                               p_.tile_spacing.height == 0)
             i += 1
         if not ok_rows.any():
             return
@@ -582,7 +590,14 @@ class FrameBuilder:
         inst[:, 6] = edge_aa[keep][ok_rows]
         inst[:, 7] = 0
         idxs = self.gb.push_instance_block(inst)
-        self.metas.push_block(db[keep][ok_rows].astype(np.float32))
+        db2 = db[keep][ok_rows].astype(np.float32)
+        opq = np.empty((k2, 4), np.float32)
+        opq[:, 0] = db2[:, 0] + 1.0
+        opq[:, 1] = db2[:, 1] + 1.0
+        opq[:, 2] = db2[:, 2] - 1.0
+        opq[:, 3] = db2[:, 3] - 1.0
+        omask = opq_rows[ok_rows] & (clip_count == 0) & axis_aligned
+        self.metas.push_block(db2, opq, omask)
         out.extend(idxs.tolist())
 
     def _flush_image_batch(self, batch: List, out: List[int]) -> None:
@@ -822,6 +837,7 @@ class FrameBuilder:
         pay[:, 0:4] = rects[keep]
         pay[:, 4:8] = cov[keep]
         kinds = np.empty(k, np.int64)
+        opq_rows = np.zeros(k, bool)
         i = 0
         for p_, kp in zip(prims, keep):
             if not kp:
@@ -829,6 +845,10 @@ class FrameBuilder:
             lr = p_.common.local_rect
             ts = p_.tile_size
             sp = p_.tile_spacing
+            # all-opaque stops + gap-free tiling = an occluding gradient
+            # (rectangle_occlusion.rs push)
+            opq_rows[i] = (sp.width == 0 and sp.height == 0 and
+                           all(st.color.a >= 1.0 for st in p_.stops))
             tw = ts.width or lr.w
             th = ts.height or lr.h
             if sp.width == 0 and sp.height == 0 and \
@@ -871,7 +891,14 @@ class FrameBuilder:
         inst[:, 6] = edge_aa[keep]
         inst[:, 7] = 0
         idxs = self.gb.push_instance_block(inst)
-        self.metas.push_block(db[keep].astype(np.float32))
+        db2 = db[keep].astype(np.float32)
+        opq = np.empty((k, 4), np.float32)
+        opq[:, 0] = db2[:, 0] + 1.0
+        opq[:, 1] = db2[:, 1] + 1.0
+        opq[:, 2] = db2[:, 2] - 1.0
+        opq[:, 3] = db2[:, 3] - 1.0
+        omask = opq_rows & (clip_count == 0) & axis_aligned
+        self.metas.push_block(db2, opq, omask)
         out.extend(idxs.tolist())
 
     def _emit_child(self, child, out: List[int]) -> None:
@@ -3178,7 +3205,12 @@ class FrameBuilder:
         idx = self.gb.push_instance(KIND_YUV, self._row(c.spatial_node),
                                     addr, clip_addr, clip_count,
                                     BLEND_NORMAL, edge_aa)
-        self.metas.push(bbox)
+        # video frames are always alpha-1 (yuv.glsl) -> occluders
+        opaque = None
+        if clip_count == 0 and axis_aligned:
+            opaque = (bbox[0] + 1.0, bbox[1] + 1.0,
+                      bbox[2] - 1.0, bbox[3] - 1.0)
+        self.metas.push(bbox, opaque)
         out.append(idx)
 
     def _emit_image_instance(self, prim, c, axis_aligned, out, ux, uy, uw, uh,
