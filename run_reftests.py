@@ -9,9 +9,16 @@ engine mix — evidence of which passes ran Pallas vs XLA vs sharded.
 """
 import argparse
 import json
+import os
 import sys
 import time
 from pathlib import Path
+
+if os.environ.get("WRTPU_PLATFORM"):
+    # e.g. WRTPU_PLATFORM=cpu — run without the TPU tunnel (oracle runs
+    # are pure CPU; only the atlas arrays lived on the device)
+    import jax
+    jax.config.update("jax_platforms", os.environ["WRTPU_PLATFORM"])
 
 from webrender_tpu.wrench.reftest import (PLATFORM_SETS, ReftestHarness,
                                           parse_reftest_manifest, summarize)

@@ -267,6 +267,7 @@ class Renderer:
         self._root_hashes = None
         self._root_shape = None
         self.last_dirty_tiles = -1  # PictureCacheDebugInfo analog
+        self.last_dirty_rect = None  # partial-present damage (device px)
         # per-pass engine evidence: which raster engine ran each pass
         # (pallas / xla / sharded) — exported by bench + reftest artifacts
         self.last_engine = None
@@ -866,6 +867,24 @@ class Renderer:
         else:
             dirty = np.nonzero(self._root_hashes != p.tile_hashes)[0]
         self.last_dirty_tiles = int(dirty.size)
+        # device-space dirty rect (union of dirty tiles) — the partial-
+        # present damage a compositor consumes (composite.rs dirty rects)
+        # plus rasterized-area accounting (picture.rs pre/post_update
+        # dependency-diff role: re-raster cost tracks the dirty area, not
+        # the frame size)
+        if dirty.size:
+            txs = dirty % p.nx
+            tys = dirty // p.nx
+            self.last_dirty_rect = (
+                int(txs.min()) * TILE_W, int(tys.min()) * TILE_H,
+                int(txs.max() + 1) * TILE_W, int(tys.max() + 1) * TILE_H)
+        else:
+            self.last_dirty_rect = None
+        if self.profiler is not None:
+            self.profiler.set("rendered_picture_tiles", float(dirty.size))
+            self.profiler.set("rendered_picture_px",
+                              float(dirty.size * TILE_W * TILE_H))
+            self.profiler.set("picture_tiles", float(nt))
         if dirty.size:
             # pad the dirty set to a pow2 bucket with repeats of the first
             # dirty tile (stable shapes bound recompiles; duplicates write

@@ -88,6 +88,7 @@ COUNTER_LIST: List[CounterDef] = [
     _c("alpha_passes", "Alpha passes", "count"),
     _c("picture_tiles", "Picture tiles", "count"),
     _c("rendered_picture_tiles", "Rendered picture tiles", "count"),
+    _c("rendered_picture_px", "Rendered picture pixels", "px"),
     # template memory (:FONT_TEMPLATES..)
     _c("font_templates", "Font templates", "count"),
     _c("font_templates_mem", "Font templates mem", "MB"),
