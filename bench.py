@@ -231,6 +231,14 @@ def main():
     # end so remote-tunnel round-trip latency amortizes
     _progress("end-to-end loop")
     e2e_iters = 8
+    # steady-state warmup: the first dynamic frames compile the delta-
+    # upload scatter variants and the dense-gather shapes — one-time costs
+    # that would otherwise land inside the timed window
+    for _ in range(3):
+        dirty()
+        f2 = backend.build_frame()
+        backend.renderer.render_device(f2)
+    device_render_once(backend, f2)
     dirty()
     f2 = backend.build_frame()
     t0 = time.perf_counter()

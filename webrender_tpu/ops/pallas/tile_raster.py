@@ -494,6 +494,20 @@ def build_dense_records_device(f32_buf, instances, transforms, tile_insts,
     return dense.reshape(nt, slots, 128)
 
 
+@jax.jit
+def update_dense_records_device(dense, f32_buf, instances, transforms,
+                                tile_insts_dev, dense_kinds, tiles):
+    """Incrementally re-gather the dense records of `tiles` (device index
+    array) into the persistent per-pass dense mirror: one fused dispatch
+    — sub-gather + row scatter — instead of rebuilding the whole
+    ~nt·slots·512B tensor every dynamic frame (the 4K scroll case: a few
+    dozen dirty tiles out of ~1000)."""
+    sub_ti = tile_insts_dev[tiles]
+    sub = build_dense_records_device(f32_buf, instances, transforms,
+                                     sub_ti, dense_kinds)
+    return dense.at[tiles].set(sub)
+
+
 def dense_dispatch_info(f32_buf, instances, tile_insts, dense_kinds):
     """(kinds, blends, mask_clips) static dispatch sets for one dense pass:
     kinds come from the per-instance dense kinds (pseudo-kinds included)."""
@@ -647,13 +661,15 @@ def render_tiles_pallas_dense(dense, tile_counts, tile_origins, clear_color,
                 cp.start()
                 cp.wait()
             else:
-                for c in range(nplanes):
-                    cp = pltpu.make_async_copy(
-                        src_hbm.at[chan0 + c, pl.ds(y0c, SEP_H),
-                                   pl.ds(x0c, SEP_W)],
-                        sep.at[c], sep_sem)
-                    cp.start()
-                    cp.wait()
+                # ONE 3-D DMA for all planes (the per-plane start();wait()
+                # chain serialized 4 round-trip latencies per instance —
+                # VERDICT r4 #5)
+                cp = pltpu.make_async_copy(
+                    src_hbm.at[pl.ds(chan0, nplanes), pl.ds(y0c, SEP_H),
+                               pl.ds(x0c, SEP_W)],
+                    sep.at[pl.ds(0, nplanes)], sep_sem)
+                cp.start()
+                cp.wait()
             xr0 = x0f - x0c.astype(jnp.float32)        # [1, TILE_W]
             yr0 = y0f - y0c.astype(jnp.float32)        # [TILE_H, 1]
             yr1 = yr0 + row1
@@ -894,13 +910,12 @@ def render_tiles_pallas_dense(dense, tile_counts, tile_origins, clear_color,
                 dsty = (jnp.clip(y0c - y0i, 0, 72) // 8) * 8
                 dxs = x0i - x0c
                 dys = y0i - y0c + dsty
-                for c in range(4):
-                    cp = pltpu.make_async_copy(
-                        src_hbm.at[c, pl.ds(y0c, SAMP_H),
-                                   pl.ds(x0c, SAMP_W)],
-                        samp.at[c, pl.ds(dsty, SAMP_H), :], samp_sem)
-                    cp.start()
-                    cp.wait()
+                cp = pltpu.make_async_copy(
+                    src_hbm.at[pl.ds(0, 4), pl.ds(y0c, SAMP_H),
+                               pl.ds(x0c, SAMP_W)],
+                    samp.at[pl.ds(0, 4), pl.ds(dsty, SAMP_H), :], samp_sem)
+                cp.start()
+                cp.wait()
                 planes = samp[:, :, :]
                 planes = pltpu.roll(planes, -dxs, 2)
                 planes = jnp.concatenate(

@@ -29,7 +29,8 @@ PASS_NAMES = {PASS_RASTER: "raster", PASS_BLUR_H: "blur_h",
               PASS_CHANNEL_LUT: "channel_lut", PASS_SRGB: "srgb",
               PASS_ARITH: "arith", PASS_DOWNSCALE: "downscale",
               PASS_COLOR_MATRIX: "color_matrix"}
-from ..frame.gpu import INST_BLEND, INST_KIND
+from ..frame.gpu import (INST_BLEND, INST_CLIP_ADDR, INST_CLIP_COUNT,
+                         INST_KIND, INST_PRIM_ADDR, INST_SPATIAL)
 from ..frame.tiles import TILE_H, TILE_W
 from ..ops.raster import (assemble_tiles, blur_region, disassemble_tiles,
                           gaussian_weights, render_tiles)
@@ -43,8 +44,13 @@ class _CacheHolder:
 
 
 @functools.partial(jax.jit, donate_argnums=())
-def _scatter_rows(buf, rows, vals):
-    return buf.at[rows].set(vals)
+def _scatter_packed(buf, packed):
+    """Row-scatter from ONE packed upload: column 0 carries the row index
+    (exact in f32 below 2^24 / verbatim in i32), the rest the row values.
+    One device_put per delta instead of two — transfers to a busy device
+    pay a fixed tunnel round-trip each on this platform."""
+    rows = packed[:, 0].astype(jnp.int32)
+    return buf.at[rows].set(packed[:, 1:].astype(buf.dtype))
 
 
 class _DeltaStore:
@@ -62,6 +68,7 @@ class _DeltaStore:
 
     def __init__(self):
         self._entries: Dict = {}
+        self._consts: Dict = {}
 
     def put(self, key, host: np.ndarray):
         """host: [n, R] (2-D) array → device array [cap, R] (cap = pow2
@@ -78,25 +85,58 @@ class _DeltaStore:
             padded[:n] = host
             dev = jnp.asarray(padded)
             self._entries[key] = {"cap": cap, "R": R, "host": padded,
-                                  "dev": dev, "dtype": host.dtype}
+                                  "dev": dev, "dtype": host.dtype,
+                                  "last_changed": None}
             return dev
         prev = ent["host"]
         cap = ent["cap"]
         cur = np.zeros((cap, R), host.dtype)
         cur[:n] = host
         changed = np.nonzero((prev != cur).any(axis=1))[0]
+        ent["last_changed"] = changed
         if changed.size == 0:
             return ent["dev"]
         if changed.size > cap // 2:
             dev = jnp.asarray(cur)
         else:
             k = changed.size
-            bucket = 1 << int(np.ceil(np.log2(max(k, 1))))
-            rows = np.resize(changed, bucket).astype(np.int32)
-            dev = _scatter_rows(ent["dev"], jnp.asarray(rows),
-                                jnp.asarray(cur[rows]))
+            # bucket floor 64: typical deltas (a scroll's few rows) always
+            # land in ONE jit variant per mirror — unbounded bucket sizes
+            # were recompiling _scatter_packed mid-animation
+            bucket = max(64, 1 << int(np.ceil(np.log2(max(k, 1)))))
+            bucket = min(bucket, cap)
+            rows = np.resize(changed, bucket)
+            # one packed upload: [k, 1 + R] with the row index in col 0
+            # (f32 keeps indices exact below 2^24; caps stay far under)
+            packed = np.empty((bucket, R + 1), host.dtype)
+            packed[:, 0] = rows.astype(host.dtype)
+            packed[:, 1:] = cur[rows]
+            dev = _scatter_packed(ent["dev"], jnp.asarray(packed))
         ent["host"] = cur
         ent["dev"] = dev
+        return dev
+
+    def last_changed(self, key):
+        """Changed-row indices of the most recent put() for `key`: None =
+        full upload / unknown (treat as all-changed), else the np index
+        array (possibly empty)."""
+        ent = self._entries.get(key)
+        if ent is None:
+            return None
+        return ent.get("last_changed")
+
+    def put_const(self, value: np.ndarray):
+        """Device constant cache for small per-pass arrays that repeat
+        across frames (clear colors, tile origins): keyed by content,
+        uploaded once; bounded (dropped wholesale when it outgrows its
+        cap — repopulating costs one upload each)."""
+        key = (value.shape, value.dtype.str, value.tobytes())
+        dev = self._consts.get(key)
+        if dev is None:
+            if len(self._consts) > 512:
+                self._consts.clear()
+            dev = jnp.asarray(value)
+            self._consts[key] = dev
         return dev
 
 
@@ -287,6 +327,8 @@ class Renderer:
         # arrays (upload.rs staging-PBO pool role)
         self._delta = _DeltaStore()
         self._pass_seq = 0
+        # persistent per-pass dense-record mirrors (incremental gather)
+        self._dense_mirrors: Dict = {}
         # async screenshot grabber state (screen_capture.rs:55)
         self._screenshot_seq = 0
         self._pending_screenshots: Dict[int, object] = {}
@@ -716,17 +758,23 @@ class Renderer:
                 # scroll frame transfers only its re-binned tile rows
                 seq = self._pass_seq
                 self._pass_seq += 1
-                ti_dev = self._delta.put(("ti", seq, tile_insts.shape[1]),
+                nt_, slots_ = tile_insts.shape
+                ti_key = ("ti", seq, slots_)
+                ti_dev = self._delta.put(ti_key,
                                          np.ascontiguousarray(tile_insts)
-                                         )[:tile_insts.shape[0]]
+                                         )[:nt_]
                 dk_dev = self._delta.put(
                     ("dk",), dk.reshape(-1, 1))[:dk.shape[0], 0]
-                dense = build_dense_records_device(
-                    f32_buf, instances, transforms, ti_dev, dk_dev)
+                dense = self._dense_records(
+                    frame, f32_buf, instances, transforms, tile_insts,
+                    ti_dev, dk, dk_dev, ti_key, seq)
                 counts = (tile_insts >= 0).sum(1).astype(np.int32)
+                cnt_dev = self._delta.put(("cnt", seq),
+                                          counts.reshape(-1, 1)
+                                          )[:counts.shape[0], 0]
                 pk, pb, mask_clips = dense_dispatch_info(
                     frame.f32_buf, frame.instances, tile_insts, dk)
-                cached = (dense, jnp.asarray(counts), pk, pb, mask_clips)
+                cached = (dense, cnt_dev, pk, pb, mask_clips)
                 if dense_cache_holder is not None:
                     dense_cache_holder._dense_cache = cached
             if self.mesh is not None and \
@@ -736,7 +784,8 @@ class Renderer:
                 self.engine_counts["pallas-sharded"] = \
                     self.engine_counts.get("pallas-sharded", 0) + 1
                 return render_tiles_pallas_sharded(
-                    self.mesh, cached[0], cached[1], jnp.asarray(origins),
+                    self.mesh, cached[0], cached[1],
+                    self._delta.put_const(origins),
                     clr1, f32_buf.reshape(-1, 128), self.alpha_atlas,
                     self.surface_atlas, self.color_atlas, init,
                     kinds=cached[2], blends=cached[3],
@@ -746,7 +795,7 @@ class Renderer:
             self.engine_counts["pallas"] = \
                 self.engine_counts.get("pallas", 0) + 1
             return render_tiles_pallas_dense(
-                cached[0], cached[1], jnp.asarray(origins), clr1,
+                cached[0], cached[1], self._delta.put_const(origins), clr1,
                 f32_buf.reshape(-1, 128), self.alpha_atlas,
                 self.surface_atlas, self.color_atlas, init,
                 kinds=cached[2], blends=cached[3], mask_clips=cached[4],
@@ -774,7 +823,8 @@ class Renderer:
         if nt_ <= MAX_XLA_TILES:
             return render_tiles(
                 f32_buf, instances, transforms, jnp.asarray(tile_insts),
-                jnp.asarray(origins), clear, self.color_atlas,
+                self._delta.put_const(np.asarray(origins, np.float32)),
+                clear, self.color_atlas,
                 self.alpha_atlas, self.surface_atlas, kinds=kinds,
                 blends=blends, step=step, gl=gl)
         outs = []
@@ -799,6 +849,66 @@ class Renderer:
                 gl=gl)
             outs.append(out[:e - s] if pad else out)
         return jnp.concatenate(outs, 0)
+
+    def _dense_records(self, frame, f32_buf, instances, transforms,
+                       tile_insts, ti_dev, dk, dk_dev, ti_key, seq):
+        """Dense per-tile records for one pass, incrementally: a persistent
+        device mirror is re-gathered only for the tiles whose inputs
+        changed since the previous frame (tile lists, instance records,
+        payload/clip rows, transform rows, dense kinds).  A 4K scroll
+        frame re-gathers a few dozen of ~1000 tiles instead of rebuilding
+        the ~67 MB dense tensor — the dominant device cost of dynamic
+        frames after the raster itself."""
+        from ..ops.pallas.tile_raster import (build_dense_records_device,
+                                              update_dense_records_device)
+        nt_, slots_ = tile_insts.shape
+        dkey = ("dense", seq, slots_)
+        mirror = self._dense_mirrors.get(dkey)
+        ti_ch = self._delta.last_changed(ti_key)
+        inst_ch = self._delta.last_changed("inst")
+        f32_ch = self._delta.last_changed("f32")
+        xf_ch = self._delta.last_changed("xf")
+        dk_ch = self._delta.last_changed(("dk",))
+        usable = (mirror is not None and mirror["shape"] == (nt_, slots_)
+                  and ti_ch is not None and inst_ch is not None
+                  and f32_ch is not None and xf_ch is not None
+                  and dk_ch is not None and f32_ch.size <= 256)
+        if usable:
+            N = frame.instances.shape[0]
+            m = np.zeros(N, bool)
+            m[inst_ch[inst_ch < N]] = True
+            m[dk_ch[dk_ch < N]] = True
+            if xf_ch.size:
+                m |= np.isin(frame.instances[:, INST_SPATIAL], xf_ch)
+            if f32_ch.size:
+                pa = frame.instances[:, INST_PRIM_ADDR]
+                m |= np.isin(pa // 128, f32_ch) | \
+                    np.isin((pa + 63) // 128, f32_ch)
+                c0 = frame.instances[:, INST_CLIP_ADDR] // 128
+                cnt = frame.instances[:, INST_CLIP_COUNT]
+                for r in f32_ch:
+                    m |= (c0 <= r) & (r < c0 + cnt)
+            dirty = np.zeros(nt_, bool)
+            dirty[ti_ch[ti_ch < nt_]] = True
+            ids = np.nonzero(m)[0]
+            if ids.size:
+                dirty |= np.isin(tile_insts, ids).any(axis=1)
+            nd = int(dirty.sum())
+            if nd == 0:
+                return mirror["dev"]
+            if nd <= nt_ // 2:
+                bucket = min(max(64, 1 << (nd - 1).bit_length()), nt_)
+                tiles = np.resize(np.nonzero(dirty)[0], bucket) \
+                    .astype(np.int32)
+                dense = update_dense_records_device(
+                    mirror["dev"], f32_buf, instances, transforms, ti_dev,
+                    dk_dev, jnp.asarray(tiles))
+                mirror["dev"] = dense
+                return dense
+        dense = build_dense_records_device(
+            f32_buf, instances, transforms, ti_dev, dk_dev)
+        self._dense_mirrors[dkey] = {"dev": dense, "shape": (nt_, slots_)}
+        return dense
 
     def _run_raster(self, p: RenderPass, frame: Frame, f32_buf, instances,
                     transforms, framebuffer):
@@ -834,7 +944,7 @@ class Renderer:
         kinds, blends = self._pass_dispatch_sets(p, frame)
         x_, y_, rw_, rh_ = p.region
         if p.clear is not None:
-            clear = jnp.asarray(np.asarray(p.clear, np.float32))
+            clear = self._delta.put_const(np.asarray(p.clear, np.float32))
         else:
             # continuation pass: start from the target's current content
             src = framebuffer if p.target == TARGET_ROOT else \
@@ -895,7 +1005,7 @@ class Renderer:
             sub_insts = p.tile_insts[padded]
             origins = self._tile_origins(p)[padded]
             kinds, blends = self._pass_dispatch_sets(p, frame)
-            clear = jnp.asarray(np.asarray(p.clear, np.float32))
+            clear = self._delta.put_const(np.asarray(p.clear, np.float32))
             tiles = self._dispatch_raster(
                 frame, f32_buf, instances, transforms, sub_insts, origins,
                 clear, kinds, blends)
