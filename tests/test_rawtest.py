@@ -348,3 +348,76 @@ def test_async_screenshot_grabber():
     b2 = r.map_screenshot(h2)
     assert b2 is not None and b2.shape == (24, 32, 4)
     assert r.map_screenshot(h1) is None  # handle recycled
+
+
+def test_blob_visible_area():
+    """rawtest.rs test_blob_visible_area: only the visible window of a
+    blob rasterizes — content outside it is blank; the handler sees the
+    window offset so the pattern stays in absolute blob coordinates."""
+    backend = RenderBackend((96, 96))
+    backend.resources.set_blob_image_handler(CheckerboardBlobHandler())
+    txn = Transaction()
+    txn.add_blob_image(9, ImageDescriptor(ImageFormat.RGBA8, 96, 96),
+                       struct.pack("<iBBB", 16, 255, 0, 0))
+    txn.set_blob_image_visible_area(9, (16, 16, 80, 80))
+    img = _render_dl(backend, lambda b, c, r: b.push_image(
+        c, Rect(0, 0, 96, 96), ImageRendering.AUTO,
+        AlphaType.PREMULTIPLIED_ALPHA, 9), txn=txn)
+    # inside the area: checkerboard in ABSOLUTE coords — tile (1,1) is
+    # even parity (white), tile (2,1) odd (colored)
+    assert tuple(img[24, 24][:3]) == (255, 255, 255)
+    assert tuple(img[24, 40][:3]) == (255, 0, 0)
+    # outside the area: the blob is transparent (the white document
+    # backdrop shows through) — tile (1,0) would be colored if the
+    # window weren't limiting rasterization
+    assert tuple(img[8, 24][:3]) == (255, 255, 255)
+    assert tuple(img[90, 90][:3]) == (255, 255, 255)
+
+
+def test_blob_set_visible_area():
+    """rawtest.rs test_blob_set_visible_area: moving the window
+    re-rasterizes the new area (and only it)."""
+    backend = RenderBackend((96, 96))
+    backend.resources.set_blob_image_handler(CheckerboardBlobHandler())
+    txn = Transaction()
+    txn.add_blob_image(9, ImageDescriptor(ImageFormat.RGBA8, 96, 96),
+                       struct.pack("<iBBB", 16, 0, 200, 0))
+    txn.set_blob_image_visible_area(9, (0, 0, 48, 48))
+    img = _render_dl(backend, lambda b, c, r: b.push_image(
+        c, Rect(0, 0, 96, 96), ImageRendering.AUTO,
+        AlphaType.PREMULTIPLIED_ALPHA, 9), txn=txn)
+    assert tuple(img[8, 8][:3]) == (255, 255, 255)
+    assert tuple(img[8, 24][:3]) == (0, 200, 0)    # inside window, odd tile
+    assert tuple(img[80, 72][:3]) == (255, 255, 255)  # outside: backdrop
+    txn = Transaction()
+    txn.set_blob_image_visible_area(9, (48, 48, 96, 96))
+    img2 = _render_dl(backend, lambda b, c, r: b.push_image(
+        c, Rect(0, 0, 96, 96), ImageRendering.AUTO,
+        AlphaType.PREMULTIPLIED_ALPHA, 9), epoch=1, txn=txn)
+    # old window now blank (backdrop), incl. the previously-colored tile
+    assert tuple(img2[8, 24][:3]) == (255, 255, 255)
+    # absolute parity inside the new window: tile (4,5) odd -> colored
+    assert tuple(img2[80, 72][:3]) == (0, 200, 0)
+
+
+def test_retained_blob_update_without_new_display_list():
+    """rawtest.rs test_blob_update_epoch_test essence: updating only the
+    blob resource (no new display list) must invalidate the retained
+    frame and show the new raster."""
+    backend = RenderBackend((64, 64))
+    backend.resources.set_blob_image_handler(CheckerboardBlobHandler())
+    txn = Transaction()
+    txn.add_blob_image(4, ImageDescriptor(ImageFormat.RGBA8, 64, 64),
+                       struct.pack("<iBBB", 16, 255, 0, 0))
+    img = _render_dl(backend, lambda b, c, r: b.push_image(
+        c, Rect(0, 0, 64, 64), ImageRendering.AUTO,
+        AlphaType.PREMULTIPLIED_ALPHA, 4), txn=txn)
+    assert tuple(img[8, 24][:3]) == (255, 0, 0)
+    # resource-only transaction
+    txn = Transaction()
+    txn.update_image(4, ImageDescriptor(ImageFormat.RGBA8, 64, 64),
+                     ImageData(blob=struct.pack("<iBBB", 16, 0, 0, 255)))
+    txn.generate_frame()
+    backend.send_transaction(txn)
+    img2 = backend.render_software()
+    assert tuple(img2[8, 24][:3]) == (0, 0, 255)

@@ -77,6 +77,13 @@ class UpdateImage:
 
 
 @dataclass
+class SetBlobImageVisibleArea:
+    """render_api.rs ResourceUpdate::SetBlobImageVisibleArea."""
+    key: int
+    area: tuple  # (x0, y0, x1, y1) image px
+
+
+@dataclass
 class DeleteImage:
     key: int
 
@@ -173,6 +180,12 @@ class Transaction:
 
     def delete_image(self, key: int) -> None:
         self.resource_updates.append(DeleteImage(key))
+
+    def set_blob_image_visible_area(self, key: int, area) -> None:
+        """render_api.rs set_blob_image_visible_area: (x0, y0, x1, y1)
+        image-px window the blob rasterizes within."""
+        self.resource_updates.append(SetBlobImageVisibleArea(key,
+                                                            tuple(area)))
 
     def add_blob_image(self, key: int, descriptor: ImageDescriptor,
                        blob: bytes, visible_rect=None,

@@ -1135,7 +1135,10 @@ def pattern_picture(xp, p, lx, ly, px, py, surface_atlas, gl: bool = False):
     v = p[9] + (py - p[1]) * sv
     u = xp.where(p[37] > 0.5, p[8] + lx * p[40] - p[38], u)
     v = xp.where(p[37] > 0.5, p[9] + ly * p[40] - p[39], v)
-    del gl  # see pattern_image's gl NOTE
+    # gl NOTE: llvmpipe-flavored sampling measured FARTHER from the CI
+    # PNGs here too (filters r5 experiment: max_diff 3 -> 6) — the chain-
+    # level mismatch is structural, not filter flavor.  Keep one sampler.
+    del gl
     texel = sample_rgba(xp, surface_atlas, u, v, p[8], p[9], p[10], p[11], 0.0)
     mod = xp.stack([p[12], p[13], p[14], p[15]], 0)
     texel = texel * mod[:, None, None]

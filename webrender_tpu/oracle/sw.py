@@ -88,6 +88,11 @@ class SoftwareRenderer:
                     self.surface_atlas[:, y:y + rh, x:x + rw] = \
                         _quantize_unorm8(target)
             elif p.kind in (PASS_BLUR_H, PASS_BLUR_V):
+                # NOTE: gl-flavoring this chain (llvmpipe blur + scale,
+                # both probe-verified bit-exact per stage) measured
+                # FARTHER from the CI PNGs than the swgl fixed-point
+                # chain (filters r5: max_diff 3 -> 5) — kept available in
+                # _blur(gl=True) for future chain-level calibration
                 self._blur(p)
             elif p.kind == PASS_COPY:
                 sx, sy, sw, sh = p.src_region
@@ -166,8 +171,12 @@ class SoftwareRenderer:
                 sx, sy, sw, sh = p.src_region
                 dx, dy, dw, dh = p.region
                 src = self.surface_atlas[:, sy:sy + sh, sx:sx + sw]
-                from ..ops.raster import resample_bilinear
+                # gl_flavor: cs_scale runs llvmpipe's bilinear (probe-
+                # verified bit-exact); swgl's fixed-point otherwise
+                from ..ops.raster import (resample_bilinear,
+                                          resample_bilinear_gpu)
                 out = resample_bilinear(np, src, dw, dh)
+                del resample_bilinear_gpu  # see the PASS_BLUR note
                 self.surface_atlas[:, dy:dy + dh, dx:dx + dw] = \
                     out.astype(np.float32)
         if self.use_native:
@@ -291,12 +300,24 @@ class SoftwareRenderer:
                 m8 * np.float32(1.0 / 255.0), dst).astype(np.float32)
 
     # ------------------------------------------------------------------
-    def _blur(self, p) -> None:
+    def _blur(self, p, gl: bool = False) -> None:
         sx_, sy_, sw, sh = p.src_region
         dx, dy, _, _ = p.region
         src = self.surface_atlas[:, sy_:sy_ + sh, sx_:sx_ + sw]
         if p.sigma <= 0:
             self.surface_atlas[:, dy:dy + sh, dx:dx + sw] = src
+            return
+        if gl:
+            # gl_flavor: cs_blur's llvmpipe execution (integer-lerp taps,
+            # glblur_check-verified bit-exact) instead of swgl's
+            # fixed-point separable chain
+            from ..ops.raster import blur_region_gpu
+            axis = 1 if p.kind == PASS_BLUR_H else 0
+            bw, bh = p.blur_region if p.blur_region is not None \
+                else (sw, sh)
+            out = blur_region_gpu(np, src, p.sigma, axis, bw, bh)
+            self.surface_atlas[:, dy:dy + sh, dx:dx + sw] = \
+                out.astype(np.float32)
             return
         radius = max(1, int(np.ceil(1.5 * p.sigma)) * 2)
         w = gaussian_weights(p.sigma, radius)

@@ -19,6 +19,7 @@ import numpy as np
 from .api.color import ColorF
 from .api.display_item import PipelineId
 from .api.transaction import (AddFont, AddFontInstance, AddImage, DeleteFont,
+                              SetBlobImageVisibleArea,
                               DeleteFontInstance, DeleteImage, Epoch,
                               Transaction, UpdateImage)
 from .api.units import Point2D, Rect, Transform
@@ -163,6 +164,9 @@ class RenderBackend:
         elif isinstance(update, UpdateImage):
             self.resources.update_image_template(update.key, update.descriptor,
                                                  update.data, update.dirty_rect)
+        elif isinstance(update, SetBlobImageVisibleArea):
+            self.resources.set_blob_image_visible_area(update.key,
+                                                       update.area)
         elif isinstance(update, DeleteImage):
             self.resources.delete_image_template(update.key)
         elif isinstance(update, AddFont):

@@ -220,13 +220,25 @@ def _apply_channel_lut(src, lut):
     return jnp.stack([out[0] * na, out[1] * na, out[2] * na, na], 0)
 
 
-@functools.partial(jax.jit, static_argnames=("dw", "dh"))
-def _downscale2x(src, dw: int, dh: int):
+@functools.partial(jax.jit, static_argnames=("dw", "dh", "gl"))
+def _downscale2x(src, dw: int, dh: int, gl: bool = False):
     """cs_scale.glsl via swgl's fixed-point bilinear (ops.raster
     .resample_bilinear): a truncating 2x2 average at exact halving,
-    fractional for truncated target sizes (RenderTask::new_scaling)."""
-    from ..ops.raster import resample_bilinear
+    fractional for truncated target sizes (RenderTask::new_scaling).
+    `gl` = llvmpipe's bilinear (gl_flavor chains; probe-verified)."""
+    from ..ops.raster import resample_bilinear, resample_bilinear_gpu
+    if gl:
+        return resample_bilinear_gpu(jnp, src, dw, dh)
     return resample_bilinear(jnp, src, dw, dh)
+
+
+@functools.partial(jax.jit, static_argnames=("sigma", "axis", "bw", "bh"))
+def _blur_region_gpu_dev(src, *, sigma: float, axis: int, bw: int, bh: int):
+    """gl_flavor blur pass: cs_blur under llvmpipe (integer-lerp taps,
+    tools/glblur_check-verified) — jitted; sigma is static (few distinct
+    values per scene)."""
+    from ..ops.raster import blur_region_gpu
+    return blur_region_gpu(jnp, src, sigma, axis, bw, bh)
 
 
 @functools.partial(jax.jit, static_argnames=("nx", "ny"))
@@ -424,6 +436,7 @@ class Renderer:
                 framebuffer = self._run_raster(
                     p, frame, f32_buf, instances, transforms, framebuffer)
             elif p.kind in (PASS_BLUR_H, PASS_BLUR_V):
+                # swgl chain even under gl_flavor (see oracle/sw.py note)
                 self._run_blur(p)
             elif p.kind == PASS_COPY:
                 sx, sy, sw, sh = p.src_region
@@ -1109,7 +1122,7 @@ class Renderer:
                                 cx0 - gx0, cy0 - gy0,
                                 w=cx1 - cx0, h=cy1 - cy0)
 
-    def _run_blur(self, p: RenderPass) -> None:
+    def _run_blur(self, p: RenderPass, gl: bool = False) -> None:
         sx, sy, sw, sh = p.src_region
         dx, dy, _, _ = p.region
         axis = 1 if p.kind == PASS_BLUR_H else 0
@@ -1118,6 +1131,16 @@ class Renderer:
             src = jax.lax.dynamic_slice(self.surface_atlas, (0, sy, sx),
                                         (4, sh, sw))
             self.surface_atlas = _copy_region(self.surface_atlas, src, dx, dy)
+            return
+        if gl:
+            src = jax.lax.dynamic_slice(self.surface_atlas, (0, sy, sx),
+                                        (4, sh, sw))
+            bw, bh = p.blur_region if p.blur_region is not None \
+                else (sw, sh)
+            blurred = _blur_region_gpu_dev(src, sigma=float(sigma),
+                                           axis=axis, bw=bw, bh=bh)
+            self.surface_atlas = _copy_region(self.surface_atlas, blurred,
+                                              dx, dy)
             return
         # cs_blur.glsl support: 2*ceil(1.5*sigma) taps each side; after
         # the downscale chain sigma <= 4 so radius <= 12 (bounded compile

@@ -338,7 +338,8 @@ class CheckerboardBlobHandler(BlobImageHandler):
         import struct
         ts, r, g, b = struct.unpack("<iBBB", blob[:7])
         h, w = descriptor.height, descriptor.width
-        ys, xs = np.mgrid[0:h, 0:w]
+        ox, oy = tile_offset or (0, 0)
+        ys, xs = np.mgrid[oy:oy + h, ox:ox + w]
         on = ((xs // ts) ^ (ys // ts)) & 1
         img = np.zeros((h, w, 4), np.uint8)
         img[..., 0] = np.where(on, r, 255)
@@ -495,6 +496,21 @@ class ResourceCache:
     def set_blob_image_handler(self, handler: "BlobImageHandler") -> None:
         """render_api.rs set_blob_image_handler role."""
         self.blob_handler = handler
+
+    def set_blob_image_visible_area(self, key: int, area) -> None:
+        """render_api.rs Transaction::set_blob_image_visible_area: restrict
+        rasterization to `area` = (x0, y0, x1, y1) in image px; a changed
+        area drops the cached raster so the next request re-rasterizes
+        exactly the new area (tiled-blob visible-window role)."""
+        tpl = self.images.get(key)
+        if tpl is None:
+            return
+        new = tuple(int(v) for v in area)
+        if getattr(tpl, "blob_visible_area", None) == new:
+            return
+        tpl.blob_visible_area = new
+        tpl.data.pixels = None
+        tpl.generation += 1
 
     def set_external_image_handler(self, handler) -> None:
         """renderer/mod.rs set_external_image_handler role."""
@@ -670,9 +686,29 @@ class ResourceCache:
                     else -2
             return tpl.region, tpl.descriptor
         if tpl.data.pixels is None and tpl.data.blob is not None:
-            # blob rasterization (doc/blob.md async path, run lazily)
+            # blob rasterization (doc/blob.md async path, run lazily).
+            # With a visible area set (render_api.rs
+            # set_blob_image_visible_area) only that sub-rect rasterizes —
+            # content outside the area stays blank until the area moves
+            # (rawtest.rs test_blob_visible_area semantics)
             assert self.blob_handler is not None, "no blob image handler"
-            px = self.blob_handler.rasterize(tpl.descriptor, tpl.data.blob)
+            area = getattr(tpl, "blob_visible_area", None)
+            if area is None:
+                px = self.blob_handler.rasterize(tpl.descriptor,
+                                                 tpl.data.blob)
+            else:
+                W, H = tpl.descriptor.width, tpl.descriptor.height
+                ax0 = max(0, int(area[0]))
+                ay0 = max(0, int(area[1]))
+                ax1 = min(W, int(area[2]))
+                ay1 = min(H, int(area[3]))
+                px = np.zeros((H, W, 4), np.uint8)
+                if ax1 > ax0 and ay1 > ay0:
+                    sub_desc = ImageDescriptor(
+                        ImageFormat.RGBA8, ax1 - ax0, ay1 - ay0,
+                        flags=tpl.descriptor.flags)
+                    px[ay0:ay1, ax0:ax1] = self.blob_handler.rasterize(
+                        sub_desc, tpl.data.blob, tile_offset=(ax0, ay0))
             tpl.data.pixels = px
             tpl.descriptor = ImageDescriptor(
                 ImageFormat.RGBA8, tpl.descriptor.width,
