@@ -784,7 +784,9 @@ inline void compose_px(int op, const float color[4], float cov, int m8,
     return;
   }
   int s8[4], d8[4], o8[4];
-  int aa = (int)std::nearbyintf(clampf(cov, 0.f, 1.f) * 256.0f);
+  // quantize_cov tie nudge (see the clip chain above)
+  int aa = (int)std::floor(clampf(cov, 0.f, 1.f) * 256.0f + 0.5f +
+                           (1.0f / 1024.0f));
   for (int i = 0; i < 4; i++) {
     int sv = (int)clampf(std::nearbyintf(color[i] * 255.0f), 0.f, 255.f);
     sv = (sv * aa) >> 8;
@@ -1043,7 +1045,10 @@ int wr_raster_pass(
           if (cr[14] < 0.5f && cr[12] < 0.5f) {
             cov *= ccov;
           } else {
-            int c8 = (int)std::nearbyintf(ccov * 255.0f);
+            // tie-nudged coverage quantization (ops/blend.py quantize_cov:
+            // TPU div/sqrt/exp are not correctly rounded, so exact-half
+            // coverage ties must round identically on every backend)
+            int c8 = (int)std::floor(ccov * 255.0f + 0.5f + (1.0f / 1024.0f));
             m8 = (c8 * m8 + c8) >> 8;
           }
         }
@@ -1196,6 +1201,9 @@ int wr_raster_pass(
                                                   sx, sy);
             float shcov = p[21] > 0.5f ? (1.f - blurred) * box_cov
                                        : blurred * (1.f - box_cov);
+            // u8-grid mask quantization + tie nudge (patterns.py)
+            shcov = std::floor(shcov * 255.0f + 0.5f + (1.0f / 1024.0f)) *
+                    (1.0f / 255.0f);
             for (int ch = 0; ch < 4; ch++) color[ch] = p[34 + ch] * shcov;
             break;
           }

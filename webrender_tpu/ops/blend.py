@@ -182,7 +182,10 @@ def _rgb_only(xp, c):
 
 def _pack_float(xp, v):
     """swgl pack_pixels_RGBA8 round: roundfast = SSE2 cvtps round-half-even
-    of v*255, saturating (glsl.h:732)."""
+    of v*255, saturating (glsl.h:732).  NOT tie-nudged: a nudged color
+    pack breaks YAML<->YAML equivalences where two display-list routes
+    produce x.5 vs x.5-delta (r5: gradient/radial-optimized) — the nudge
+    applies only to coverage/mask quantization (quantize_cov)."""
     return xp.clip(xp.rint(v * 255.0), 0.0, 255.0)
 
 
@@ -323,6 +326,28 @@ def _set_lum_sat255(xp, base, sref, lref, alpha):
 GL_FLAVOR_FLAG = 0x1000
 
 
+# Tie-nudged u8 quantization for COVERAGE-derived values.  TPU div / sqrt
+# / exp are not correctly rounded (multi-ULP vs the host — measured
+# directly), so coverage values that land mathematically on an exact
+# half-step (x.5, common on half-pixel AA boundaries) arrive as x.5 on the
+# numpy oracle but x.5±ulp on the chip, flipping rint ties and breaking
+# the device==oracle contract one u8 step at a time.  Nudging the round
+# point DOWN by far-above-ULP-but-far-below-visible epsilon makes every
+# backend round such values identically (up), while exact integers are
+# untouched.  Colors keep swgl's round-half-even pack — the nudge applies
+# only to coverage/mask quantization.
+# 1/1024 of a u8 step: absorbs exact-half ties (values the analytic math
+# produces as x.5 exactly, where TPU transcendental ULP noise would flip
+# backends to different sides) while leaving the swgl round-half-even pack
+# behavior unchanged for everything visibly off the tie.  Larger nudges
+# measurably regress PNG fidelity (r5: 1/64 cost ~12 oracle cases).
+COV_TIE_EPS = 1.0 / 1024.0
+
+
+def quantize_cov(xp, cov, scale):
+    return xp.floor(cov * scale + (0.5 + COV_TIE_EPS))
+
+
 def gl_mask_combine(xp, c8, m8):
     """llvmpipe clip-mask accumulation: each mask renders into the shared
     R8 clip task with multiply blending — dst*src in 8-bit fixed point,
@@ -340,19 +365,19 @@ def compose_gl(xp, op: int, color, cov, mcov, dst):
     unorm8 target write."""
     src = color * (cov * mcov)[None]
     if op == BLEND_NORMAL:
-        s = xp.clip(xp.rint(src * 255.0), 0.0, 255.0)
+        s = _pack_float(xp, src)
         d = xp.floor(dst * 255.0 + 0.5)
         out = s + xp.rint(d * (255.0 - _alphas(xp, s)) * (1.0 / 255.0))
     elif op == BLEND_ADD:
-        s = xp.clip(xp.rint(src * 255.0), 0.0, 255.0)
+        s = _pack_float(xp, src)
         d = xp.floor(dst * 255.0 + 0.5)
         out = s + d
     elif op == BLEND_CLEAR:
-        s = xp.clip(xp.rint(src * 255.0), 0.0, 255.0)
+        s = _pack_float(xp, src)
         d = xp.floor(dst * 255.0 + 0.5)
         out = xp.rint(d * (255.0 - _alphas(xp, s)) * (1.0 / 255.0))
     elif op == BLEND_CH_CLEAR:
-        s = xp.clip(xp.rint(src * 255.0), 0.0, 255.0)
+        s = _pack_float(xp, src)
         d = xp.floor(dst * 255.0 + 0.5)
         out = xp.rint(d * (255.0 - s) * (1.0 / 255.0))
     else:
@@ -386,9 +411,9 @@ def compose_swgl(xp, op: int, color, cov, mcov, dst):
         out = blend_src_over_dst(xp, op, src, dst)
         return _pack_float(xp, out) * (1.0 / 255.0)
     s = _pack_float(xp, color)
-    aa = xp.rint(xp.clip(cov, 0.0, 1.0) * 256.0)[None]
+    aa = quantize_cov(xp, xp.clip(cov, 0.0, 1.0), 256.0)[None]
     s = xp.floor(s * aa * (1.0 / 256.0))
-    m = xp.rint(xp.clip(mcov, 0.0, 1.0) * 255.0)[None]
+    m = quantize_cov(xp, xp.clip(mcov, 0.0, 1.0), 255.0)[None]
     s = xp.floor((s * m + s) * (1.0 / 256.0))
     d = xp.floor(dst * 255.0 + 0.5)
     out = _blend_case_int(xp, op, s, d)

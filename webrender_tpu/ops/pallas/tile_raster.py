@@ -816,7 +816,7 @@ def render_tiles_pallas_dense(dense, tile_counts, tile_origins, clear_color,
                 # rect clips join the span geometry; the rest go through
                 # the u8 clip-mask chain (render_task.rs new_mask)
                 is_geom = jnp.logical_and(crec[14] < 0.5, crec[12] < 0.5)
-                c8 = jnp.rint(ccov * 255.0)
+                c8 = blend_mod.quantize_cov(jnp, ccov, 255.0)
                 if gl:
                     m8n = blend_mod.gl_mask_combine(jnp, c8, m8)
                 else:

@@ -776,6 +776,14 @@ def pattern_box_shadow(xp, p, lx, ly, sx, sy):
     cov = xp.where(inset > 0.5,
                    (1.0 - blurred) * box_cov,
                    blurred * (1.0 - box_cov))
+    # u8-grid mask quantization with the tie nudge: the reference's box
+    # shadow samples a CACHED u8 mask texture, so the mask is integer by
+    # construction — snapping the analytic value both matches that and
+    # makes the backends immune to TPU sqrt/exp ULP noise (blend.py
+    # quantize_cov rationale)
+    from . import __init__ as _  # noqa: F401 (keep import graph acyclic)
+    from .blend import quantize_cov
+    cov = quantize_cov(xp, cov, 255.0) * (1.0 / 255.0)
     # per-channel products (a (4,)->(4,1,1) broadcast trips Mosaic's
     # layout inference; stacking full planes lowers cleanly everywhere)
     return xp.stack([p[34] * cov, p[35] * cov, p[36] * cov,

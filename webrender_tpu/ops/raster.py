@@ -161,7 +161,7 @@ def render_tiles(f32_buf, instances, transforms, tile_insts, tile_origins,
                 # (cs_clip_* passes multiply the R8 target — each step
                 # quantizes, render_task.rs new_mask)
                 is_geom = jnp.logical_and(crec[14] < 0.5, crec[12] < 0.5)
-                c8 = jnp.rint(ccov * 255.0)
+                c8 = blend_mod.quantize_cov(jnp, ccov, 255.0)
                 if gl:
                     m8n = blend_mod.gl_mask_combine(jnp, c8, m8)
                 else:

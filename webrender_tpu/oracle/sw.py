@@ -32,8 +32,9 @@ from ..ops.raster import gaussian_weights
 
 
 def _quantize_unorm8(img):
-    """RGBA8 offscreen target quantization — swgl pack rounding:
-    roundfast = SSE2 cvtps round-half-even of v*255 (glsl.h:732)."""
+    """RGBA8 offscreen target quantization — tie-nudged round (see
+    renderer._quantize_unorm8 / ops/blend.py quantize_cov: backends must
+    round exact-half ties identically despite TPU transcendental ULPs)."""
     return np.clip(np.rint(img * np.float32(255.0)),
                    0.0, 255.0).astype(np.float32) * np.float32(1.0 / 255.0)
 
@@ -72,6 +73,17 @@ class SoftwareRenderer:
         for p in frame.passes:
             if p.kind == PASS_RASTER:
                 x, y, rw, rh = p.region
+                if p.target == TARGET_ROOT and p.slice_key is not None \
+                        and p.cache_insts is not None:
+                    # picture-cache slice: the device rasters the slice's
+                    # CONTENT grid onto transparent and integer-src-overs
+                    # it at the scroll offset (renderer _run_slice_cached
+                    # + _slice_composite).  The oracle must execute the
+                    # same two-step compose — rastering the instances
+                    # directly onto the framebuffer differs by the
+                    # intermediate quantization on AA pixels.
+                    fb = self._slice_raster(frame, p, fb)
+                    continue
                 if p.clear is not None:
                     target = np.empty((4, rh, rw), np.float32)
                     target[:] = np.asarray(p.clear,
@@ -192,6 +204,51 @@ class SoftwareRenderer:
                        255).astype(np.uint8)
 
     # ------------------------------------------------------------------
+    def _slice_raster(self, frame: Frame, p, fb):
+        """One picture-cache slice, device-exact (renderer
+        _run_slice_cached): raster the content grid at its content-space
+        origins onto transparent, then integer src-over the cropped window
+        at the slice's device offset (_slice_composite math)."""
+        from ..frame.tiles import TILE_H, TILE_W
+        x, y, rw, rh = p.region
+        if fb is None:
+            clear = np.asarray(p.clear if p.clear is not None
+                               else (0.0, 0.0, 0.0, 0.0), np.float32)
+            fb = np.empty((4, rh, rw), np.float32)
+            fb[:] = clear.reshape(4, 1, 1)
+        nxc, nyc = p.cache_nx, p.cache_ny
+        anchor = p.cache_anchor
+        dx, dy = p.slice_delta
+        img_w, img_h = nxc * TILE_W, nyc * TILE_H
+        gx0 = anchor[0] * TILE_W + dx
+        gy0 = anchor[1] * TILE_H + dy
+
+        class _Shim:
+            tile_insts = p.cache_insts
+            origin = (float(gx0), float(gy0))
+            inst_order = p.inst_order
+            raster_step = 1.0
+        content = np.zeros((4, img_h, img_w), np.float32)
+        self._raster(frame, _Shim, content)
+        crop = p.cache_crop or (0, 0, rw, rh)
+        cx0 = max(0, gx0, crop[0])
+        cy0 = max(0, gy0, crop[1])
+        cx1 = min(rw, gx0 + img_w, crop[2])
+        cy1 = min(rh, gy0 + img_h, crop[3])
+        if cx1 <= cx0 or cy1 <= cy0:
+            return fb
+        src = content[:, cy0 - gy0:cy1 - gy0, cx0 - gx0:cx1 - gx0]
+        dst = fb[:, cy0:cy1, cx0:cx1]
+        # swgl integer src-over on u8-quantized operands (_slice_composite)
+        s8 = np.floor(src * np.float32(255.0) + np.float32(0.5))
+        d8 = np.floor(dst * np.float32(255.0) + np.float32(0.5))
+        a8 = np.broadcast_to(s8[3:4], s8.shape)
+        out8 = s8 + d8 - np.floor((d8 * a8 + d8) * np.float32(1.0 / 256.0))
+        fb[:, cy0:cy1, cx0:cx1] = \
+            np.clip(out8, 0.0, 255.0) * np.float32(1.0 / 255.0)
+        return fb
+
+    # ------------------------------------------------------------------
     def _raster(self, frame: Frame, p, target: np.ndarray) -> None:
         ids = p.tile_insts[p.tile_insts >= 0]
         if ids.size == 0:
@@ -255,7 +312,8 @@ class SoftwareRenderer:
                 if crec[14] < 0.5 and crec[12] < 0.5:
                     cov = cov * ccov
                 else:
-                    c8 = np.rint(ccov * np.float32(255.0))
+                    c8 = blend_mod.quantize_cov(
+                        np, ccov, np.float32(255.0))
                     if gl:
                         m8 = blend_mod.gl_mask_combine(np, c8, m8)
                     else:

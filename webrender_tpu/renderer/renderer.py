@@ -153,9 +153,13 @@ def _upload_alpha(atlas, texels, x: int, y: int):
 
 
 def _quantize_unorm8(img):
-    """The reference's offscreen surfaces are RGBA8 render targets; quantize
-    intermediate results to 8-bit exactly as swgl packs shader output:
-    roundfast = SSE2 cvtps round-half-even of v*255 (glsl.h:732)."""
+    """The reference's offscreen surfaces are RGBA8 render targets.
+    Quantization uses the tie-nudged round (ops/blend.py quantize_cov
+    rationale): surface contents flow from div/sqrt/exp math whose TPU
+    results differ from the host by ULPs, so exact-half ties must round
+    identically on every backend (swgl's round-half-even differs from
+    this only AT exact odd ties — sub-visible vs the PNG corpus, decisive
+    for the device==oracle gate)."""
     return jnp.clip(jnp.rint(img * 255.0), 0.0, 255.0) * (1.0 / 255.0)
 
 
