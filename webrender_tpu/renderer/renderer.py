@@ -714,9 +714,16 @@ class Renderer:
             if cached_split is not None:
                 tile_mask = cached_split[0]
             else:
+                inst_ok = getattr(frame, "_pallas_inst_ok", None)
+                if inst_ok is None:
+                    from ..ops.pallas.tile_raster import _supported_vec
+                    inst_ok = _supported_vec(frame.instances,
+                                             frame.transforms,
+                                             frame.f32_buf)
+                    frame._pallas_inst_ok = inst_ok
                 tile_mask = pallas_supported_mask(
                     frame.instances, tile_insts, frame.transforms,
-                    frame.f32_buf)
+                    frame.f32_buf, inst_ok=inst_ok)
             use_pallas = bool(tile_mask.all())
         if not use_pallas and tile_mask is not None and tile_mask.any() \
                 and self.mesh is None:
