@@ -845,10 +845,17 @@ class FrameBuilder:
             lr = p_.common.local_rect
             ts = p_.tile_size
             sp = p_.tile_spacing
-            # all-opaque stops + gap-free tiling = an occluding gradient
-            # (rectangle_occlusion.rs push)
+            # all-opaque stops + gap-free tiling that actually covers the
+            # rect = an occluding gradient (rectangle_occlusion.rs push);
+            # degenerate tile sizes (e.g. NaN-laced lists sanitized to 0)
+            # cover nothing and must never occlude
+            tw0 = ts.width or lr.w
+            th0 = ts.height or lr.h
             opq_rows[i] = (sp.width == 0 and sp.height == 0 and
-                           all(st.color.a >= 1.0 for st in p_.stops))
+                           np.isfinite(tw0) and np.isfinite(th0) and
+                           tw0 >= lr.w - 0.5 and th0 >= lr.h - 0.5 and
+                           all(st.color.a >= 1.0 and
+                               np.isfinite(st.offset) for st in p_.stops))
             tw = ts.width or lr.w
             th = ts.height or lr.h
             if sp.width == 0 and sp.height == 0 and \
@@ -879,6 +886,12 @@ class FrameBuilder:
                 row[16:18] = (g.start_offset, g.end_offset)
                 row[18:22] = (tw, th, sp.width, sp.height)
             i += 1
+        # NaN-laced gradients (gradient/linear-nan.yaml): the reference
+        # renders deterministically; NaN payloads would also diverge
+        # between backends (NaN propagation differs across compilers), so
+        # sanitize here — one choke point all engines inherit
+        np.nan_to_num(pay, copy=False, nan=0.0, posinf=3.4e38,
+                      neginf=-3.4e38)
         addrs = self.gb.push_f32_block(pay)
         row_t = self._row(c0.spatial_node)
         inst = np.empty((k, 8), np.int64)
@@ -2964,6 +2977,10 @@ class FrameBuilder:
         hit = self._lut_cache.get(key)
         if hit is None:
             recs = gradient_stops_records(stops)
+            # NaN stop offsets/colors must not reach the kernels (see the
+            # gradient payload sanitization) — linear-nan.yaml
+            np.nan_to_num(recs, copy=False, nan=0.0, posinf=3.4e38,
+                          neginf=-3.4e38)
             hit = (self.gb.push_f32(recs.reshape(-1)), recs.shape[0])
             self._lut_cache[key] = hit
         return hit

@@ -190,6 +190,14 @@ class GpuBufferBuilder:
         for c in self._f32:
             f32[off:off + c.shape[0]] = c
             off += c.shape[0]
+        # NaN/inf payloads (NaN-laced display lists are a reference crash
+        # suite: gradient/linear-nan.yaml) must never reach the kernels:
+        # NaN propagation differs between numpy, XLA and Mosaic, so any
+        # NaN in the GPU buffer breaks the device==oracle contract.  One
+        # sanitize at the single choke point all backends read from.
+        if not np.isfinite(f32[:off]).all():
+            np.nan_to_num(f32, copy=False, nan=0.0, posinf=3.4e38,
+                          neginf=-3.4e38)
         if self._inst_tail:
             self._inst_chunks.append(np.asarray(self._inst_tail, np.int32))
             self._inst_tail = []

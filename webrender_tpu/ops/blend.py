@@ -34,7 +34,12 @@ BLEND_SVGFE_MIX_BASE = 40
 # converted sRGB→linear (straight-alpha), blended, and the result converted
 # back (the _CONVERTSRGB shader variants of cs_svg_filter_node.glsl:105-118)
 BLEND_LINEAR_BASE = 64
-N_BLEND_OPS = BLEND_LINEAR_BASE + BLEND_MIX_BASE + 17
+# highest constructible op: BLEND_LINEAR_BASE + BLEND_SVGFE_MIX_BASE +
+# mode(<=16) = 120 (a linearRGB SVGFE mix-blend).  The old bound
+# (BLEND_LINEAR_BASE + BLEND_MIX_BASE + 17 = 97) made the device blend
+# LUTs index out of bounds for exactly those ops
+# (svgfe-blend*-linear reftests crashed the device engine).
+N_BLEND_OPS = BLEND_LINEAR_BASE + BLEND_SVGFE_MIX_BASE + 17
 
 
 def _pow(xp, x, y):
