@@ -154,7 +154,9 @@ inline float rect_coverage_auto(const float* tr, float x0, float y0,
     if ((edge_aa & 0xF) == 0) {
       float dx = std::max(x0 - lx, lx - x1);
       float dy = std::max(y0 - ly, ly - y1);
-      return std::max(dx, dy) < 0.f ? 1.f : 0.f;
+      // inclusion bias for exact-on-edge pixel centers (patterns.py
+      // rect_coverage_auto hard path)
+      return std::max(dx, dy) < (1.0f / 1024.0f) ? 1.f : 0.f;
     }
     return rect_coverage_tx(x0, y0, x1, y1, lx, ly,
                             local_fwidth(tr, lx, ly, px, py));
@@ -904,10 +906,28 @@ int wr_raster_pass(
     float sx = tr[9], sy = tr[10];
 
     const float* bb = bboxes + iid * 4;
-    int64_t x0 = std::max((int64_t)std::floor(bb[0] - 1 - ox), (int64_t)0);
-    int64_t y0 = std::max((int64_t)std::floor(bb[1] - 1 - oy), (int64_t)0);
-    int64_t x1 = std::min((int64_t)std::ceil(bb[2] + 1 - ox), tw);
-    int64_t y1 = std::min((int64_t)std::ceil(bb[3] + 1 - oy), th);
+    int64_t x0, y0, x1, y1;
+    bool projective = std::fabs(tr[2]) > 1e-12f ||
+                      std::fabs(tr[5]) > 1e-12f ||
+                      std::fabs(tr[8] - 1.f) > 1e-6f;
+    if (projective) {
+      // whole-tile windows like the device kernel (oracle/sw.py _raster:
+      // projective bboxes can under-estimate the inverse map's reach)
+      const int64_t TW = 128, TH = 64;
+      int64_t tx0 = std::max((int64_t)std::floor((bb[0] - 1 - ox) / TW),
+                             (int64_t)0);
+      int64_t ty0 = std::max((int64_t)std::floor((bb[1] - 1 - oy) / TH),
+                             (int64_t)0);
+      x0 = std::min(tx0 * TW, tw);
+      y0 = std::min(ty0 * TH, th);
+      x1 = std::min((int64_t)std::ceil((bb[2] + 1 - ox) / TW) * TW, tw);
+      y1 = std::min((int64_t)std::ceil((bb[3] + 1 - oy) / TH) * TH, th);
+    } else {
+      x0 = std::max((int64_t)std::floor(bb[0] - 1 - ox), (int64_t)0);
+      y0 = std::max((int64_t)std::floor(bb[1] - 1 - oy), (int64_t)0);
+      x1 = std::min((int64_t)std::ceil(bb[2] + 1 - ox), tw);
+      y1 = std::min((int64_t)std::ceil(bb[3] + 1 - oy), th);
+    }
 
     // interior fast path (the swgl opaque-run span specialization,
     // swgl/src/rasterize.h draw_quad_spans): for axis-aligned instances

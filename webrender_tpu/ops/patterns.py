@@ -130,7 +130,12 @@ def rect_coverage_auto(xp, trow, x0, y0, x1, y1, lx, ly, px, py, edge_aa):
     tx = rect_coverage_tx(xp, x0, y0, x1, y1, lx, ly, fw)
     dx = xp.maximum(x0 - lx, lx - x1)
     dy = xp.maximum(y0 - ly, ly - y1)
-    hard = xp.where(xp.maximum(dx, dy) < 0.0, 1.0, 0.0)
+    # hard (aliased) edges include the exact-on-edge pixel center with a
+    # small inclusion bias: a plane edge that lands exactly on pixel
+    # centers (backface-perspective) otherwise flips in/out per backend
+    # with the division's last-ULP rounding (blend.py quantize_cov
+    # rationale — XLA/Mosaic div differs from the host's)
+    hard = xp.where(xp.maximum(dx, dy) < 1.0 / 1024.0, 1.0, 0.0)
     aa_any = (edge_aa & 0xF) > 0 if isinstance(edge_aa, int) \
         else (edge_aa > 0)
     tx = xp.where(aa_any, tx, hard)

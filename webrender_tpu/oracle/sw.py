@@ -273,13 +273,36 @@ class SoftwareRenderer:
         f32 = frame.f32_buf
         gl = getattr(frame, "gl_flavor", False)
         blend_flag = blend_mod.GL_FLAVOR_FLAG if gl else 0
+        from ..frame.tiles import TILE_H, TILE_W
         for iid in order:
             rec = frame.instances[iid]
             bbox = frame.inst_bboxes[iid]
-            x0 = max(0, int(math.floor((bbox[0] - 1 - ox) / step)))
-            y0 = max(0, int(math.floor((bbox[1] - 1 - oy) / step)))
-            x1 = min(rw, int(math.ceil((bbox[2] + 1 - ox) / step)))
-            y1 = min(rh, int(math.ceil((bbox[3] + 1 - oy) / step)))
+            trow_w = frame.transforms[int(rec[INST_SPATIAL])]
+            projective = abs(float(trow_w[2])) > 1e-12 or \
+                abs(float(trow_w[5])) > 1e-12 or \
+                abs(float(trow_w[8]) - 1.0) > 1e-6
+            if projective:
+                # PROJECTIVE prims evaluate over WHOLE TILES, exactly like
+                # the device: near-degenerate perspective bboxes can
+                # under-estimate the region the inverse map reaches
+                # (backface-perspective), so a bbox-tight window would
+                # miss pixels the device kernel shades.  Affine bboxes
+                # are exact — they keep the tight (fast) window.
+                tx0 = max(0, int(math.floor((bbox[0] - 1 - ox)
+                                            / (TILE_W * step))))
+                ty0 = max(0, int(math.floor((bbox[1] - 1 - oy)
+                                            / (TILE_H * step))))
+                tx1 = int(math.ceil((bbox[2] + 1 - ox) / (TILE_W * step)))
+                ty1 = int(math.ceil((bbox[3] + 1 - oy) / (TILE_H * step)))
+                x0 = min(rw, tx0 * TILE_W)
+                y0 = min(rh, ty0 * TILE_H)
+                x1 = min(rw, tx1 * TILE_W)
+                y1 = min(rh, ty1 * TILE_H)
+            else:
+                x0 = max(0, int(math.floor((bbox[0] - 1 - ox) / step)))
+                y0 = max(0, int(math.floor((bbox[1] - 1 - oy) / step)))
+                x1 = min(rw, int(math.ceil((bbox[2] + 1 - ox) / step)))
+                y1 = min(rh, int(math.ceil((bbox[3] + 1 - oy) / step)))
             if x1 <= x0 or y1 <= y0:
                 continue
             px = ox + (np.arange(x0, x1, dtype=np.float32)[None, :] + 0.5) \
