@@ -111,6 +111,17 @@ def _sep_spans(kind: int, t, pp):
     # cover min(tile span, uv rect) + the bilinear tap
     span_x = min(TILE_W * abs(du), uv_w) + 2.0
     span_y = min(TILE_H * abs(dv), uv_h) + 2.0
+    if kind in (KIND_IMAGE, KIND_YUV):
+        # a REPEAT WRAP inside one tile jumps the sampled uv from the
+        # rect's end back to its start — the window must then cover the
+        # whole uv rect (tile-with-spacing rendered blank tiles past the
+        # first period otherwise)
+        period_x = pp[18] + pp[20]
+        period_y = pp[19] + pp[21]
+        if pp[2] - pp[0] > period_x - 1e-4:
+            span_x = uv_w + 2.0
+        if pp[3] - pp[1] > period_y - 1e-4:
+            span_y = uv_h + 2.0
     return span_x, span_y
 
 
@@ -239,6 +250,13 @@ def _supported_vec(instances: np.ndarray, transforms: np.ndarray,
                            t[:, 4] * uv_h / rect_h))
     span_x = np.minimum(TILE_W * np.abs(du), uv_w) + 2.0
     span_y = np.minimum(TILE_H * np.abs(dv), uv_h) + 2.0
+    # repeat wraps inside a tile need the whole uv rect windowed (see
+    # _sep_spans) — only images/YUV carry stretch+spacing at [18:22]
+    is_img = (kinds == KIND_IMAGE) | (kinds == KIND_YUV)
+    wrap_x = is_img & ((at(2) - at(0)) > (at(18) + at(20)) - 1e-4)
+    wrap_y = is_img & ((at(3) - at(1)) > (at(19) + at(21)) - 1e-4)
+    span_x = np.where(wrap_x, uv_w + 2.0, span_x)
+    span_y = np.where(wrap_y, uv_h + 2.0, span_y)
     sep_ok = axis_aligned & (span_x <= MAX_SEP_SPAN_X) & \
         (span_y <= MAX_SEP_SPAN_Y)
     ok |= sampled & (fast | sep_ok)

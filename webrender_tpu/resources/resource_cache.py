@@ -188,12 +188,30 @@ class FontContext:
         import threading
         self._tls = threading.local()
 
+    class _NullFace:
+        """Bitmap-strike-only fonts (text/embedded-bitmaps): ft2font
+        cannot even open them at a scalable size.  The null face keeps
+        the pipeline deterministic on every backend — zero glyph indices,
+        zero advances, empty rasters — instead of crashing scene build
+        (platform font backends would select the nearest strike; not
+        exposed through this binding)."""
+        units_per_EM = 1000
+
+        def get_char_index(self, cp):
+            return 0
+
+        def set_size(self, *a):
+            raise RuntimeError("bitmap-strike-only font")
+
     def add_font(self, key: FontKey, data: Optional[bytes], path: Optional[str],
                  index: int = 0) -> None:
-        if data is not None:
-            face = self._ft.FT2Font(io.BytesIO(data))
-        else:
-            face = self._ft.FT2Font(path)
+        try:
+            if data is not None:
+                face = self._ft.FT2Font(io.BytesIO(data))
+            else:
+                face = self._ft.FT2Font(path)
+        except RuntimeError:
+            face = self._NullFace()
         self.faces[(key.namespace, key.key)] = face
         self._sources[(key.namespace, key.key)] = (data, path, index)
 
@@ -247,9 +265,12 @@ class FontContext:
         if da is None:
             face = self.faces[(key.namespace, key.key)]
             upem = face.units_per_EM
-            face.set_size(float(upem), 72)
-            g = face.load_glyph(gi, self._ft.LoadFlags.NO_HINTING)
-            da = g.linearHoriAdvance / 65536.0 / float(upem)
+            try:
+                face.set_size(float(upem), 72)
+                g = face.load_glyph(gi, self._ft.LoadFlags.NO_HINTING)
+                da = g.linearHoriAdvance / 65536.0 / float(upem)
+            except RuntimeError:
+                da = 0.0  # bitmap-strike-only font (see rasterize)
             self._design_adv[k] = da
         return da * size
 
@@ -265,7 +286,15 @@ class FontContext:
         """
         if face is None:
             face = self.faces[(key.namespace, key.key)]
-        face.set_size(size, 72)  # size in px when dpi=72
+        try:
+            face.set_size(size, 72)  # size in px when dpi=72
+        except RuntimeError:
+            # bitmap-strike-only font (text/embedded-bitmaps): ft2font
+            # cannot select arbitrary sizes; degrade to an empty raster
+            # deterministically on every backend instead of crashing the
+            # pipeline (platform font backends would pick the nearest
+            # strike — not exposed through this binding)
+            return (np.zeros((0, 0), np.float32), 0.0, 0.0, 0.0)
         glyph = face.load_glyph(glyph_index, self._ft.LoadFlags.RENDER)
         x0, y0, x1, y1 = glyph.bbox  # 26.6 fixed point
         w = (x1 - x0 + 63) // 64 + 1
