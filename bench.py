@@ -143,11 +143,27 @@ def build_4k_scene(w=3840, h=2160, n_rects=400, n_grads=100, n_images=80,
     return backend
 
 
+_CK = None
+
+
+def _checksum_sync(fb):
+    """Force execution and return a checksum via ONE jitted reduction +
+    tiny host copy.  An eager `float(fb[0,0,0])` getitem is the naive way
+    to sync, but on the tunneled backend each eager scalar read costs
+    10-200+ ms (per-op remote execution + 0-d transfer), which both slows
+    the bench and pollutes every timing it closes."""
+    global _CK
+    import jax
+    if _CK is None:
+        _CK = jax.jit(lambda a: a.sum().reshape(1))
+    return float(np.asarray(_CK(fb))[0])
+
+
 def device_render_once(backend, frame):
-    """One full device render; a scalar checksum readback forces execution
+    """One full device render; a checksum readback forces execution
     (remote-tunnel backends can report readiness before compute finishes)."""
     fb = backend.renderer.render_device(frame)
-    return float(fb[0, 0, 0])
+    return _checksum_sync(fb)
 
 
 def device_render_loop(backend, frame, iters):
@@ -157,7 +173,7 @@ def device_render_loop(backend, frame, iters):
     fb = None
     for _ in range(iters):
         fb = backend.renderer.render_device(frame)
-    return float(fb[0, 0, 0])
+    return _checksum_sync(fb)
 
 
 def _progress(msg):
@@ -273,7 +289,7 @@ def main():
     fb = r.render_device(f3)
     stages["dispatch_ms"] = (time.perf_counter() - t0) * 1000.0
     t0 = time.perf_counter()
-    _jax.block_until_ready(fb)
+    _checksum_sync(fb)
     stages["device_exec_ms"] = (time.perf_counter() - t0) * 1000.0
 
     # incremental: unchanged-frame recomposite with picture caching on

@@ -149,6 +149,17 @@ class Frame:
     gl_flavor: bool = False
 
 
+class _FrozenGb:
+    """Read-only stand-in for GpuBufferBuilder during the scroll fast
+    path: pass emission only snapshots the (already final) instances."""
+
+    def __init__(self, instances: np.ndarray):
+        self._inst = instances
+
+    def snapshot_instances(self) -> np.ndarray:
+        return self._inst
+
+
 class _MetaStore:
     """Per-instance device AABBs + opaque interiors as growing numpy
     buffers (SoA — the per-frame bump-allocated FrameVec role of
@@ -212,12 +223,18 @@ class FrameBuilder:
         # swgl CI (cached gradient tasks, …); reftest lines gated to
         # platform(linux/mac) PNGs are compared under this flavor
         self.gl_flavor = False
+        # scroll-translation fast path state (_try_scroll_fast_path)
+        self._fast_state = None
 
     def build(self, scene: BuiltScene, resources: ResourceCache,
               device_size: Tuple[int, int], dpr: float = 1.0,
               scroll_offsets: Optional[Dict[int, Point2D]] = None,
               properties: Optional[Dict[int, Transform]] = None,
               ) -> Frame:
+        fast = self._try_scroll_fast_path(scene, resources, device_size,
+                                          dpr, scroll_offsets, properties)
+        if fast is not None:
+            return fast
         self.scene = scene
         self.resources = resources
         self.device_size = device_size
@@ -290,9 +307,213 @@ class FrameBuilder:
         rows = self.surface_atlas_size[0]
         while rows < used:
             rows *= 2
-        return Frame(f32_buf, instances, self.palette, self.passes,
-                     (w, h), bg.premultiplied(), bboxes,
-                     surface_rows=rows, gl_flavor=self.gl_flavor)
+        frame = Frame(f32_buf, instances, self.palette, self.passes,
+                      (w, h), bg.premultiplied(), bboxes,
+                      surface_rows=rows, gl_flavor=self.gl_flavor)
+        self._capture_fast_state(scene, resources, frame, root_insts, rows,
+                                 bg.premultiplied())
+        return frame
+
+    # ------------------------------------------------------------------
+    # Scroll-translation fast path (spatial_tree.rs UpdateDocument's
+    # "scrolled-only" frame update: WR re-resolves the spatial tree and
+    # patches the transform palette without re-running scene/prim prepare;
+    # here the whole prepare stage — payload emission, glyph raster,
+    # clip serialization — is skipped and only transform palette, clip
+    # transform rows, device bboxes, binning/occlusion and tile hashes
+    # are recomputed).  Strictly gated: any condition that could change a
+    # payload byte falls back to the full build.
+    # ------------------------------------------------------------------
+    _FAST_MAX_BUILDS = 256      # resync cadence (defense in depth)
+    _FAST_MAX_DELTA = 3000.0    # cumulative px before the ±4096 cull
+    #                             margin of the captured build could bite
+
+    def _capture_fast_state(self, scene, resources, frame: Frame,
+                            root_insts: List, rows: int, bg) -> None:
+        self._fast_state = None
+        # only pure root-raster frames (no offscreen surfaces: their task
+        # rects/payloads are device-space and would need re-preparing)
+        if any(not (p.kind == PASS_RASTER and p.target == TARGET_ROOT)
+               for p in frame.passes):
+            return
+        if any(not isinstance(e, (int, np.integer)) for e in root_insts):
+            return
+        T = len(self.resolved)
+        if self.palette.shape[0] != T + 1:
+            return  # raster-root rows were appended (transformed surfaces)
+        inst = frame.instances
+        if inst.shape[0] and int(inst[:, 1].max()) > T:
+            return
+        if (inst[:, 0] == KIND_PICTURE).any():
+            return  # composites read the surface atlas (device-space uvs)
+        self._fast_state = {
+            "scene": scene, "device_size": self.device_size,
+            "dpr": self.dpr, "gl_flavor": self.gl_flavor,
+            "res_epoch": resources.content_epoch(),
+            "resolved": self.resolved, "H_dev": self.H_dev,
+            "f32_buf": frame.f32_buf, "instances": inst,
+            "bboxes": frame.inst_bboxes, "metas": self.metas,
+            "root_insts": list(root_insts), "clip_meta": dict(self._clip_meta),
+            "descendant_cache": self._descendant_cache,
+            "surface_rows": rows, "bg": bg,
+            "cum": np.zeros((T, 2), np.float64), "builds": 0,
+        }
+
+    def _try_scroll_fast_path(self, scene, resources, device_size, dpr,
+                              scroll_offsets, properties) -> Optional[Frame]:
+        st = self._fast_state
+        if st is None or st["scene"] is not scene \
+                or st["device_size"] != device_size or st["dpr"] != dpr \
+                or st["gl_flavor"] != self.gl_flavor \
+                or st["builds"] >= self._FAST_MAX_BUILDS \
+                or st["res_epoch"] != resources.content_epoch():
+            return None
+        w, h = device_size
+        try:
+            resolved = scene.spatial_tree.resolve(
+                scroll_offsets=scroll_offsets,
+                transform_properties=properties,
+                viewport=Rect(0, 0, w / dpr, h / dpr))
+        except Exception:
+            return None
+        old = st["resolved"]
+        T = len(old)
+        if len(resolved) != T:
+            return None
+        H_new = [node_homography(r.world, dpr) for r in resolved]
+        H_old = st["H_dev"]
+        k = np.zeros((T, 2), np.float64)
+        for i in range(T):
+            r, o = resolved[i], old[i]
+            if (r.is_2d_axis_aligned, r.is_invertible, r.backface) != \
+                    (o.is_2d_axis_aligned, o.is_invertible, o.backface):
+                return None
+            Hn, Ho = H_new[i], H_old[i]
+            if Hn[2, 2] != Ho[2, 2] or not (
+                    Hn[0, 0] == Ho[0, 0] and Hn[0, 1] == Ho[0, 1]
+                    and Hn[0, 2] == Ho[0, 2] and Hn[1, 0] == Ho[1, 0]
+                    and Hn[1, 1] == Ho[1, 1] and Hn[1, 2] == Ho[1, 2]):
+                return None
+            rx = round(Hn[2, 0] - Ho[2, 0])
+            ry = round(Hn[2, 1] - Ho[2, 1])
+            # the delta must be an integer EXACTLY (snap invariance needs
+            # tx' == tx + k bit-for-bit, not within a tolerance)
+            if Hn[2, 0] != Ho[2, 0] + rx or Hn[2, 1] != Ho[2, 1] + ry:
+                return None
+            k[i] = (rx, ry)
+        if not k.any():
+            return None  # identical resolved — retention layer handles it
+        if np.abs(st["cum"] + k).max() > self._FAST_MAX_DELTA:
+            return None
+        inst = st["instances"]
+        N = inst.shape[0]
+        kk = np.concatenate([k, np.zeros((1, 2))], axis=0)
+        ki = kk[inst[:, 1]]                     # per-instance delta
+        moved = (ki != 0).any(axis=1)
+        if not moved.any():
+            return None
+        f32_old = st["f32_buf"]
+        # per-chain check: every clip node must move exactly with the
+        # instances it clips (a fixed clip over moving content — or vice
+        # versa — changes bboxes/coverage non-uniformly)
+        caddr = inst[:, 3].astype(np.int64)
+        ccnt = inst[:, 4].astype(np.int64)
+        groups: Dict[Tuple[int, int], np.ndarray] = {}
+        patch_rows: List[Tuple[int, int]] = []  # (f32 base, node)
+        for i in np.nonzero(ccnt > 0)[0]:
+            key = (int(caddr[i]), int(ccnt[i]))
+            g = groups.get(key)
+            if g is None:
+                nodes = []
+                for j in range(key[1]):
+                    base = key[0] + j * CLIP_STRIDE
+                    node = int(f32_old[base + 13])
+                    kind = f32_old[base + 14]
+                    if kind == 3.0:
+                        return None  # device polygon clips (preserve-3d)
+                    if not (0 <= node <= T):
+                        return None
+                    nodes.append((base, node))
+                g = groups[key] = nodes
+            for base, node in g:
+                if (kk[node] != ki[i]).any():
+                    return None
+        seen = set()
+        for g in groups.values():
+            for base, node in g:
+                if base not in seen and kk[node].any():
+                    seen.add(base)
+                    patch_rows.append((base, node))
+        # culling margin: every moved bbox must sit strictly inside the
+        # build-time ±4096 viewport clamp before AND after the shift
+        bb = st["bboxes"]
+        ids = np.nonzero(moved)[0]
+        k4 = np.concatenate([ki[ids], ki[ids]], axis=1).astype(np.float32)
+        for arr in (bb[ids], bb[ids] + k4):
+            if (arr[:, 0] <= -4096.0).any() or (arr[:, 1] <= -4096.0).any() \
+                    or (arr[:, 2] >= w + 4096.0).any() \
+                    or (arr[:, 3] >= h + 4096.0).any():
+                return None
+        # ---- commit: patch state and re-emit passes -------------------
+        self.scene = scene
+        self.resources = resources
+        self.device_size = device_size
+        self.dpr = dpr
+        self.viewport = Rect(0, 0, w, h)
+        self._properties = properties or {}
+        self.resolved = resolved
+        self.H_dev = H_new
+        palette = build_transform_palette(resolved, dpr)
+        dev_row = np.zeros((1, palette.shape[1]), np.float32)
+        dev_row[0, 0:9] = np.eye(3, dtype=np.float32).reshape(-1)
+        dev_row[0, 9:11] = 1.0
+        self.device_spatial = palette.shape[0]
+        self.palette = np.concatenate([palette, dev_row], axis=0)
+        f32_buf = f32_old
+        if patch_rows:
+            f32_buf = f32_old.copy()
+            for base, node in patch_rows:
+                f32_buf[base + 96:base + 108] = self.palette[node]
+        self.metas = st["metas"]
+        self.metas.bbox[ids] += k4
+        om = self.metas.opaque_mask[:N]
+        oids = np.nonzero(moved & om)[0]
+        if oids.size:
+            self.metas.opaque[oids] += np.concatenate(
+                [ki[oids], ki[oids]], axis=1).astype(np.float32)
+        bboxes = self.metas.bbox[:N].copy()
+        # clip-node device bounds in the meta cache shift with their node
+        new_meta = {}
+        for addr, (nodes_info, has_poly) in st["clip_meta"].items():
+            out = []
+            for (node, kind, mode, db) in nodes_info:
+                if db is not None and 0 <= node < T and kk[node].any():
+                    db = (db[0] + kk[node][0], db[1] + kk[node][1],
+                          db[2] + kk[node][0], db[3] + kk[node][1])
+                out.append((node, kind, mode, db))
+            new_meta[addr] = (tuple(out), has_poly)
+        self._clip_meta = new_meta
+        self._descendant_cache = st["descendant_cache"]
+        self._scroll_root_cache = {}
+        self._poly_clip = None
+        self._rctx = None
+        self.slice_cache_disabled_runs = 0
+        self.gb = _FrozenGb(inst)
+        self.passes = []
+        self._emit_root_passes(st["root_insts"], (0, 0, w, h), st["bg"])
+        self._compute_tile_hashes(f32_buf, inst)
+        frame = Frame(f32_buf, inst, self.palette, self.passes,
+                      (w, h), st["bg"], bboxes,
+                      surface_rows=st["surface_rows"],
+                      gl_flavor=self.gl_flavor)
+        st["resolved"] = resolved
+        st["H_dev"] = H_new
+        st["f32_buf"] = f32_buf
+        st["bboxes"] = bboxes
+        st["clip_meta"] = new_meta
+        st["cum"] += k
+        st["builds"] += 1
+        return frame
 
     _FNV_OFFSET = np.uint64(0xcbf29ce484222325)
     _FNV_PRIME = np.uint64(0x9e3779b97f4a7c15)

@@ -53,6 +53,40 @@ def _scatter_packed(buf, packed):
     return buf.at[rows].set(packed[:, 1:].astype(buf.dtype))
 
 
+def _mirror_view(dev, spec):
+    if spec[0] == "rows":
+        return dev[:spec[1]]
+    if spec[0] == "col0":
+        return dev[:spec[1], 0]
+    if spec[0] == "flat":
+        return dev.reshape(-1)
+    if spec[0] == "rows128":
+        return dev if dev.shape[1] == 128 else dev.reshape(-1, 128)
+    raise KeyError(spec)  # pragma: no cover - programming error
+
+
+@functools.partial(jax.jit, static_argnames=("layout",))
+def _apply_packed_deltas(mirrors, carrier, layout):
+    """Apply EVERY pending mirror delta in one device execution: `carrier`
+    is the frame's packed uploads concatenated into a single f32 vector
+    (one transfer), `layout` the static (offset, bucket, width, view
+    specs) of each mirror's segment.  Remote platforms charge a fixed
+    per-execution cost (tunnel RPC), so N scatters as one program is the
+    difference between ~1 ms and ~N ms of device overhead per dynamic
+    frame.  The registered views (row slices the consumers want) compute
+    in the SAME program — steady-state frames then issue zero eager
+    slice ops."""
+    outs = []
+    views = []
+    for buf, (off, b, r, specs) in zip(mirrors, layout):
+        seg = carrier[off:off + b * r].reshape(b, r)
+        rows = seg[:, 0].astype(jnp.int32)
+        new = buf.at[rows].set(seg[:, 1:].astype(buf.dtype))
+        outs.append(new)
+        views.append(tuple(_mirror_view(new, s) for s in specs))
+    return tuple(outs), tuple(views)
+
+
 class _DeltaStore:
     """Persistent device mirrors of the per-frame flat arrays with
     row-delta uploads — the renderer/upload.rs PBO-pool role re-imagined
@@ -69,12 +103,17 @@ class _DeltaStore:
     def __init__(self):
         self._entries: Dict = {}
         self._consts: Dict = {}
+        # deferred row-deltas: put() packs them host-side, the first view
+        # of any mirror flushes ALL of them in one device execution
+        self._pending: List = []
 
     def put(self, key, host: np.ndarray):
         """host: [n, R] (2-D) array → device array [cap, R] (cap = pow2
         ≥ n, sticky across frames).  Returns the device mirror."""
         n, R = host.shape
         cap = 1 << max(3, int(np.ceil(np.log2(max(n, 1)))))
+        if any(k == key for k, _ in self._pending):
+            self.flush()  # two puts to one mirror in one frame: serialize
         ent = self._entries.get(key)
         if ent is not None and (ent["cap"] < n or ent["R"] != R or
                                 ent["dtype"] != host.dtype):
@@ -85,36 +124,104 @@ class _DeltaStore:
             padded[:n] = host
             dev = jnp.asarray(padded)
             self._entries[key] = {"cap": cap, "R": R, "host": padded,
-                                  "dev": dev, "dtype": host.dtype,
-                                  "last_changed": None}
+                                  "scratch": np.zeros((cap, R), host.dtype),
+                                  "n": n, "dev": dev, "dtype": host.dtype,
+                                  "last_changed": None, "rev": 0,
+                                  "views": {}}
             return dev
         prev = ent["host"]
         cap = ent["cap"]
-        cur = np.zeros((cap, R), host.dtype)
+        # double-buffered host mirror: copy into the scratch buffer and
+        # zero only the tail the previous frame used — a fresh np.zeros
+        # of a multi-MB mirror every frame was measurable on 1-core hosts
+        cur = ent["scratch"]
         cur[:n] = host
+        if ent["n"] > n:
+            cur[n:ent["n"]] = 0
+        ent["n"] = n
         changed = np.nonzero((prev != cur).any(axis=1))[0]
         ent["last_changed"] = changed
         if changed.size == 0:
+            ent["scratch"] = prev
+            ent["host"] = cur
             return ent["dev"]
-        if changed.size > cap // 2:
-            dev = jnp.asarray(cur)
-        else:
-            k = changed.size
+        k = changed.size
+        small = k <= cap // 2
+        if small:
             # bucket floor 64: typical deltas (a scroll's few rows) always
             # land in ONE jit variant per mirror — unbounded bucket sizes
-            # were recompiling _scatter_packed mid-animation
+            # were recompiling the scatter mid-animation
             bucket = max(64, 1 << int(np.ceil(np.log2(max(k, 1)))))
             bucket = min(bucket, cap)
+            # the fused carrier rides f32: row values must survive the
+            # round-trip exactly (int32 magnitudes < 2^24 do)
+            if host.dtype != np.float32 and np.abs(cur[changed]).max() >= \
+                    (1 << 24):
+                small = False
+        if not small:
+            dev = jnp.asarray(cur)
+            ent["dev"] = dev
+            ent["rev"] += 1
+        else:
             rows = np.resize(changed, bucket)
             # one packed upload: [k, 1 + R] with the row index in col 0
             # (f32 keeps indices exact below 2^24; caps stay far under)
-            packed = np.empty((bucket, R + 1), host.dtype)
-            packed[:, 0] = rows.astype(host.dtype)
+            packed = np.empty((bucket, R + 1), np.float32)
+            packed[:, 0] = rows.astype(np.float32)
             packed[:, 1:] = cur[rows]
-            dev = _scatter_packed(ent["dev"], jnp.asarray(packed))
+            self._pending.append((key, packed))
+            dev = None  # resolved at flush
+        ent["scratch"] = prev
         ent["host"] = cur
-        ent["dev"] = dev
         return dev
+
+    def flush(self):
+        """Apply every pending row-delta in ONE transfer + ONE execution."""
+        if not self._pending:
+            return
+        pend, self._pending = self._pending, []
+        parts = []
+        layout = []
+        keys = []
+        off = 0
+        for key, packed in pend:
+            flat = packed.reshape(-1)
+            parts.append(flat)
+            specs = tuple(self._entries[key].get("specs", ()))
+            layout.append((off, packed.shape[0], packed.shape[1], specs))
+            keys.append(key)
+            off += flat.size
+        carrier = jnp.asarray(np.concatenate(parts)
+                              if len(parts) > 1 else parts[0])
+        mirrors = tuple(self._entries[k]["dev"] for k in keys)
+        outs, views = _apply_packed_deltas(mirrors, carrier, tuple(layout))
+        for k, dev, (_, _, _, specs), vs in zip(keys, outs, layout, views):
+            ent = self._entries[k]
+            ent["dev"] = dev
+            ent["rev"] += 1
+            for s, v in zip(specs, vs):
+                ent["views"][s] = (ent["rev"], v)
+
+    def dev(self, key):
+        """The (flushed) device mirror for `key`."""
+        self.flush()
+        return self._entries[key]["dev"]
+
+    def view(self, key, spec):
+        """Derived device view of a mirror, cached per revision so an
+        unchanged mirror costs ZERO device ops on re-use (each eager slice
+        or reshape is a dispatch round-trip on tunneled devices).
+        spec: ("rows", n) → dev[:n]; ("col0", n) → dev[:n, 0];
+        ("flat",) → dev.reshape(-1); ("rows128",) → [*, 128] view."""
+        ent = self._entries[key]
+        ent.setdefault("specs", {})[spec] = True  # sticky: flush precomputes
+        self.flush()
+        hit = ent["views"].get(spec)
+        if hit is not None and hit[0] == ent["rev"]:
+            return hit[1]
+        arr = _mirror_view(ent["dev"], spec)
+        ent["views"][spec] = (ent["rev"], arr)
+        return arr
 
     def last_changed(self, key):
         """Changed-row indices of the most recent put() for `key`: None =
@@ -345,6 +452,16 @@ class Renderer:
         self._pass_seq = 0
         # persistent per-pass dense-record mirrors (incremental gather)
         self._dense_mirrors: Dict = {}
+        # incremental per-instance Pallas-eligibility / dense-kind caches:
+        # both are row-independent classifications, so a dynamic frame
+        # recomputes only the rows its delta touched (4K scroll: a few
+        # dozen of ~4096 instances instead of the full _supported_vec
+        # sweep every frame — measurable on 1-core hosts)
+        self._elig_cache = None
+        # mirror-coherence bookkeeping: which frame the delta mirrors hold,
+        # and a render counter for dense-mirror freshness (_dense_records)
+        self._last_put_frame = None
+        self._render_seq = 0
         # async screenshot grabber state (screen_capture.rs:55)
         self._screenshot_seq = 0
         self._pending_screenshots: Dict[int, object] = {}
@@ -401,15 +518,31 @@ class Renderer:
         # Fresh frames go through the delta store: persistent capacity-
         # padded device mirrors, row-delta uploads (upload.rs PBO role)
         dev = getattr(frame, "_dev_arrays", None)
-        if dev is None:
+        self._render_seq += 1
+        if dev is None or self._last_put_frame is not frame:
             nf = frame.f32_buf.shape[0]
             f32_2d = frame.f32_buf.reshape(-1, 128) if nf % 128 == 0 \
                 else frame.f32_buf.reshape(-1, 1)
-            dev = (self._delta.put("f32", f32_2d).reshape(-1),
-                   self._delta.put("inst", frame.instances),
-                   self._delta.put("xf", frame.transforms))
-            frame._dev_arrays = dev
-        f32_buf, instances, transforms = dev
+            # puts only PACK the row deltas; the first consumer flushes
+            # them together with the per-pass tile-list deltas in one
+            # fused device execution (see _DeltaStore.flush).  Re-puts on
+            # every frame switch keep the mirrors coherent with THIS
+            # frame (rendering an older frame rolls the rows back).
+            self._delta.put("f32", f32_2d)
+            self._delta.put("inst", frame.instances)
+            self._delta.put("xf", frame.transforms)
+            frame._f32_row_unit = f32_2d.shape[1]
+            frame._addr_aligned = bool(nf % 128 == 0) and bool(
+                frame.instances.shape[0] == 0
+                or (frame.instances[:, INST_PRIM_ADDR] % 128 == 0).all())
+            frame._changed_inst_mask = self._changed_instance_mask(frame)
+            if dev is None:
+                self._refresh_instance_caches(frame)
+                frame._dev_arrays = "delta"
+            self._last_put_frame = frame
+        # device views resolve lazily in _dispatch_raster (after that
+        # pass's own delta puts, so one flush covers everything)
+        f32_buf = instances = transforms = None
         framebuffer = None
         self.slice_debug = []
         # per-pass device timing (device/query_gl.rs GpuProfiler role):
@@ -784,23 +917,28 @@ class Renderer:
                 self._pass_seq += 1
                 nt_, slots_ = tile_insts.shape
                 ti_key = ("ti", seq, slots_)
-                ti_dev = self._delta.put(ti_key,
-                                         np.ascontiguousarray(tile_insts)
-                                         )[:nt_]
-                dk_dev = self._delta.put(
-                    ("dk",), dk.reshape(-1, 1))[:dk.shape[0], 0]
+                counts = (tile_insts >= 0).sum(1).astype(np.int32)
+                # all puts BEFORE any view/resolve: the frame mirrors and
+                # this pass's tile lists flush in ONE device execution
+                self._delta.put(ti_key, np.ascontiguousarray(tile_insts))
+                self._delta.put(("dk",), dk.reshape(-1, 1))
+                self._delta.put(("cnt", seq), counts.reshape(-1, 1))
+                if f32_buf is None:
+                    f32_buf, instances, transforms = self._resolve_mirrors()
+                ti_dev = self._delta.view(ti_key, ("rows", nt_))
+                dk_dev = self._delta.view(("dk",), ("col0", dk.shape[0]))
+                cnt_dev = self._delta.view(("cnt", seq),
+                                           ("col0", counts.shape[0]))
                 dense = self._dense_records(
                     frame, f32_buf, instances, transforms, tile_insts,
                     ti_dev, dk, dk_dev, ti_key, seq)
-                counts = (tile_insts >= 0).sum(1).astype(np.int32)
-                cnt_dev = self._delta.put(("cnt", seq),
-                                          counts.reshape(-1, 1)
-                                          )[:counts.shape[0], 0]
                 pk, pb, mask_clips = dense_dispatch_info(
                     frame.f32_buf, frame.instances, tile_insts, dk)
                 cached = (dense, cnt_dev, pk, pb, mask_clips)
                 if dense_cache_holder is not None:
                     dense_cache_holder._dense_cache = cached
+            if f32_buf is None:
+                f32_buf, instances, transforms = self._resolve_mirrors()
             if self.mesh is not None and \
                     tile_insts.shape[0] >= self.mesh.devices.size:
                 from ..parallel.mesh import render_tiles_pallas_sharded
@@ -810,7 +948,7 @@ class Renderer:
                 return render_tiles_pallas_sharded(
                     self.mesh, cached[0], cached[1],
                     self._delta.put_const(origins),
-                    clr1, f32_buf.reshape(-1, 128), self.alpha_atlas,
+                    clr1, self._f32_rows128(f32_buf), self.alpha_atlas,
                     self.surface_atlas, self.color_atlas, init,
                     kinds=cached[2], blends=cached[3],
                     mask_clips=cached[4],
@@ -820,10 +958,12 @@ class Renderer:
                 self.engine_counts.get("pallas", 0) + 1
             return render_tiles_pallas_dense(
                 cached[0], cached[1], self._delta.put_const(origins), clr1,
-                f32_buf.reshape(-1, 128), self.alpha_atlas,
+                self._f32_rows128(f32_buf), self.alpha_atlas,
                 self.surface_atlas, self.color_atlas, init,
                 kinds=cached[2], blends=cached[3], mask_clips=cached[4],
                 interpret=self.pallas_interpret, gl=gl)
+        if f32_buf is None:
+            f32_buf, instances, transforms = self._resolve_mirrors()
         if self.mesh is not None and \
                 tile_insts.shape[0] >= self.mesh.devices.size:
             from ..parallel.mesh import render_tiles_sharded
@@ -874,6 +1014,86 @@ class Renderer:
             outs.append(out[:e - s] if pad else out)
         return jnp.concatenate(outs, 0)
 
+    def _resolve_mirrors(self):
+        """Device views of the frame's delta mirrors (flushes any pending
+        row-deltas — callers order their put()s first so one flush covers
+        the frame arrays AND the per-pass tile lists)."""
+        return (self._delta.view("f32", ("flat",)),
+                self._delta.dev("inst"), self._delta.dev("xf"))
+
+    def _f32_rows128(self, f32_buf):
+        """[*, 128] view of the frame's GPU buffer for the Pallas kernels,
+        via the delta store's revision cache when `f32_buf` is the store's
+        own flat view (zero device ops on unchanged frames)."""
+        ent = self._delta._entries.get("f32")
+        if ent is not None:
+            hit = ent["views"].get(("flat",))
+            if hit is not None and hit[1] is f32_buf:
+                return self._delta.view("f32", ("rows128",))
+        return f32_buf.reshape(-1, 128)
+
+    def _changed_instance_mask(self, frame):
+        """Bool [N] marking instances whose device-visible inputs (record,
+        payload/clip rows, transform row) changed since the previous frame's
+        delta puts — or None when unknown (first frame, capacity growth, or
+        a delta too large to be worth masking).  Computed once per
+        render_device call, right after the frame's delta puts; consumers
+        read `frame._changed_inst_mask`."""
+        inst_ch = self._delta.last_changed("inst")
+        f32_ch = self._delta.last_changed("f32")
+        xf_ch = self._delta.last_changed("xf")
+        m = None
+        if (inst_ch is not None and f32_ch is not None and xf_ch is not None
+                and f32_ch.size <= 256):
+            N = frame.instances.shape[0]
+            unit = getattr(frame, "_f32_row_unit", 128)
+            m = np.zeros(N, bool)
+            m[inst_ch[inst_ch < N]] = True
+            if xf_ch.size:
+                m |= np.isin(frame.instances[:, INST_SPATIAL], xf_ch)
+            if f32_ch.size:
+                pa = frame.instances[:, INST_PRIM_ADDR]
+                m |= np.isin(pa // unit, f32_ch) | \
+                    np.isin((pa + 63) // unit, f32_ch)
+                c0 = frame.instances[:, INST_CLIP_ADDR] // unit
+                cnt = frame.instances[:, INST_CLIP_COUNT] \
+                    if unit == 128 else \
+                    frame.instances[:, INST_CLIP_COUNT] * 128
+                for r in f32_ch:
+                    m |= (c0 <= r) & (r < c0 + cnt)
+        return m
+
+    def _refresh_instance_caches(self, frame):
+        """Per-frame _pallas_inst_ok / _dense_kinds, incrementally: only the
+        delta-changed rows re-classify (both checks are row-independent —
+        ops/pallas/tile_raster._supported_vec / classify_dense_kinds)."""
+        from ..ops.pallas.tile_raster import (_supported_vec,
+                                              classify_dense_kinds)
+        N = frame.instances.shape[0]
+        m = getattr(frame, "_changed_inst_mask", None)
+        cache = self._elig_cache
+        if cache is not None and m is not None and cache["n"] == N:
+            sub = np.nonzero(m)[0]
+            if sub.size:
+                cache["ok"][sub] = _supported_vec(
+                    frame.instances[sub], frame.transforms, frame.f32_buf)
+                cache["dk"][sub] = classify_dense_kinds(
+                    frame.f32_buf, frame.instances[sub], frame.transforms)
+        else:
+            cache = {"n": N,
+                     "ok": _supported_vec(frame.instances, frame.transforms,
+                                          frame.f32_buf),
+                     "dk": classify_dense_kinds(frame.f32_buf,
+                                                frame.instances,
+                                                frame.transforms)}
+            self._elig_cache = cache
+        # copies: the cache rows mutate as later frames update them, but a
+        # frame's classification must stay frozen (frames are immutable
+        # render inputs — re-rendering an old frame must not see a newer
+        # frame's eligibility rows)
+        frame._pallas_inst_ok = cache["ok"].copy()
+        frame._dense_kinds = cache["dk"].copy()
+
     def _dense_records(self, frame, f32_buf, instances, transforms,
                        tile_insts, ti_dev, dk, dk_dev, ti_key, seq):
         """Dense per-tile records for one pass, incrementally: a persistent
@@ -889,29 +1109,19 @@ class Renderer:
         dkey = ("dense", seq, slots_)
         mirror = self._dense_mirrors.get(dkey)
         ti_ch = self._delta.last_changed(ti_key)
-        inst_ch = self._delta.last_changed("inst")
-        f32_ch = self._delta.last_changed("f32")
-        xf_ch = self._delta.last_changed("xf")
         dk_ch = self._delta.last_changed(("dk",))
+        base_m = getattr(frame, "_changed_inst_mask", None)
         usable = (mirror is not None and mirror["shape"] == (nt_, slots_)
-                  and ti_ch is not None and inst_ch is not None
-                  and f32_ch is not None and xf_ch is not None
-                  and dk_ch is not None and f32_ch.size <= 256)
+                  and ti_ch is not None and dk_ch is not None
+                  and base_m is not None
+                  # freshness: the mirror must have been (re)gathered on the
+                  # immediately preceding render — a skipped render (pass-
+                  # level dense cache) leaves it at an older frame's content
+                  and mirror.get("rseq") == self._render_seq - 1)
         if usable:
             N = frame.instances.shape[0]
-            m = np.zeros(N, bool)
-            m[inst_ch[inst_ch < N]] = True
+            m = base_m.copy()
             m[dk_ch[dk_ch < N]] = True
-            if xf_ch.size:
-                m |= np.isin(frame.instances[:, INST_SPATIAL], xf_ch)
-            if f32_ch.size:
-                pa = frame.instances[:, INST_PRIM_ADDR]
-                m |= np.isin(pa // 128, f32_ch) | \
-                    np.isin((pa + 63) // 128, f32_ch)
-                c0 = frame.instances[:, INST_CLIP_ADDR] // 128
-                cnt = frame.instances[:, INST_CLIP_COUNT]
-                for r in f32_ch:
-                    m |= (c0 <= r) & (r < c0 + cnt)
             dirty = np.zeros(nt_, bool)
             dirty[ti_ch[ti_ch < nt_]] = True
             ids = np.nonzero(m)[0]
@@ -919,6 +1129,7 @@ class Renderer:
                 dirty |= np.isin(tile_insts, ids).any(axis=1)
             nd = int(dirty.sum())
             if nd == 0:
+                mirror["rseq"] = self._render_seq
                 return mirror["dev"]
             if nd <= nt_ // 2:
                 bucket = min(max(64, 1 << (nd - 1).bit_length()), nt_)
@@ -926,12 +1137,16 @@ class Renderer:
                     .astype(np.int32)
                 dense = update_dense_records_device(
                     mirror["dev"], f32_buf, instances, transforms, ti_dev,
-                    dk_dev, jnp.asarray(tiles))
+                    dk_dev, jnp.asarray(tiles),
+                    aligned=getattr(frame, "_addr_aligned", False))
                 mirror["dev"] = dense
+                mirror["rseq"] = self._render_seq
                 return dense
         dense = build_dense_records_device(
-            f32_buf, instances, transforms, ti_dev, dk_dev)
-        self._dense_mirrors[dkey] = {"dev": dense, "shape": (nt_, slots_)}
+            f32_buf, instances, transforms, ti_dev, dk_dev,
+            aligned=getattr(frame, "_addr_aligned", False))
+        self._dense_mirrors[dkey] = {"dev": dense, "shape": (nt_, slots_),
+                                     "rseq": self._render_seq}
         return dense
 
     def _run_raster(self, p: RenderPass, frame: Frame, f32_buf, instances,
@@ -981,10 +1196,13 @@ class Renderer:
             dense_cache_holder=p)
         x, y, rw, rh = p.region
         if p.target == TARGET_ROOT:
-            return _write_region(
-                jnp.zeros((4, rh, rw), jnp.float32) if framebuffer is None
-                else framebuffer,
-                tiles, nx=p.nx, ny=p.ny, w=rw, h=rh, x=0, y=0)
+            if framebuffer is None:
+                # the tile grid covers the whole root region: assembling IS
+                # the framebuffer (no zeros+update round-trip — one less
+                # device execution per frame on tunneled platforms)
+                return _assemble(tiles, nx=p.nx, ny=p.ny, w=rw, h=rh)
+            return _write_region(framebuffer, tiles, nx=p.nx, ny=p.ny,
+                                 w=rw, h=rh, x=0, y=0)
         self.surface_atlas = _write_region(
             self.surface_atlas, tiles, nx=p.nx, ny=p.ny, w=rw, h=rh, x=x, y=y,
             quantize=True)
